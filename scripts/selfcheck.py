@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Self-check harness: mimic the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
+Reads <outDir>/<name>/ parquet (Spark results) + <outDir>/oracle_sql.json,
+runs each oracle on DuckDB over <sfDir>/*.parquet, canonicalizes
+(sort columns by name, sort rows, round floats) and compares.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps -> iso strings, floats -> rounded
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in
+                sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))], ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})"); n_fail += 1; continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); n_fail += 1; continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
+        # schema check (loose): dtype kinds must match
+        kinds = [(str(a[c].dtype), str(b[c].dtype)) for c in a.columns]
+        mismatch_schema = [(c, ka, kb) for c, (ka, kb) in zip(a.columns, kinds)
+                           if pd.api.types.is_float_dtype(a[c]) != pd.api.types.is_float_dtype(b[c])
+                           or pd.api.types.is_integer_dtype(a[c]) != pd.api.types.is_integer_dtype(b[c])]
+        ok = True
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+                same = ((a[c].fillna(-9e99) - b[c].fillna(-9e99)).abs() < 1e-9).all()
+            else:
+                same = (a[c].fillna("<N>").astype(str) == b[c].fillna("<N>").astype(str)).all()
+            if not same:
+                bad = (a[c].fillna("<N>").astype(str) != b[c].fillna("<N>").astype(str))
+                idx = bad[bad].index[:3].tolist() if bad.any() else []
+                print(f"FAIL {name}: col {c} differs at rows {idx}")
+                for i in idx[:2]:
+                    print(f"    spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}")
+                ok = False
+                break
+        if ok and mismatch_schema:
+            print(f"WARN {name}: dtype kinds differ: {mismatch_schema}")
+        if ok:
+            print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator surface (SURVEY.md §2.2–2.7),
+  * re-expressed as thin, scale-conscious wrappers over the Dataset API.
+  *
+  * The reference (jackpal/SQLiteDataFrame, SDF.swift:295-304) reaches all
+  * of these by handing arbitrary SQL text to SQLite's VDBE; here each is a
+  * declarative Spark plan so Catalyst owns pushdown, join strategy and
+  * whole-stage codegen. Rules applied throughout:
+  *   - never `.collect()` inside an operator (everything stays distributed)
+  *   - small dimension sides are broadcast explicitly
+  *   - aggregations are plain `groupBy().agg()` so Catalyst plans
+  *     partial (map-side) + final hash aggregation automatically
+  */
+object Relational {
+
+  // §2.2 projections / filters -------------------------------------------
+
+  /** P1/P2: projection; unknown names tolerated (reference drops them
+    * silently, SDF.swift:363) behind `lenient=true`, strict by default. */
+  def project(df: DataFrame, cols: Seq[String], lenient: Boolean = false): DataFrame = {
+    val have = df.columns.toSet
+    val want = if (lenient) cols.filter(have) else cols
+    df.select(want.map(col): _*)
+  }
+
+  /** P3: row predicate. */
+  def where(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+
+  /** P4: SQLite implicit `rowid` — deterministic 1-based id from a total
+    * order. Uses a global window deliberately ONLY for small frames; at
+    * scale prefer `zipWithIndex`-style or a natural key. */
+  def withRowId(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    df.withColumn("rowid", row_number().over(w))
+  }
+
+  /** P6 */
+  def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  // §2.3 joins ------------------------------------------------------------
+
+  def innerJoin(l: DataFrame, r: DataFrame, on: Column): DataFrame = l.join(r, on, "inner")
+  def leftJoin(l: DataFrame, r: DataFrame, on: Column): DataFrame  = l.join(r, on, "left")
+  def rightJoin(l: DataFrame, r: DataFrame, on: Column): DataFrame = l.join(r, on, "right")
+  def fullJoin(l: DataFrame, r: DataFrame, on: Column): DataFrame  = l.join(r, on, "full")
+  def crossJoin(l: DataFrame, r: DataFrame): DataFrame             = l.crossJoin(r)
+  def semiJoin(l: DataFrame, r: DataFrame, on: Column): DataFrame  = l.join(r, on, "left_semi")
+  def antiJoin(l: DataFrame, r: DataFrame, on: Column): DataFrame  = l.join(r, on, "left_anti")
+
+  /** J5/J9: theta join. When one side is a dimension, broadcast it so the
+    * plan is BroadcastNestedLoop over the small side rather than a
+    * cartesian shuffle. */
+  def thetaJoin(big: DataFrame, small: DataFrame, cond: Column): DataFrame =
+    big.join(broadcast(small), cond, "inner")
+
+  /** J8: USING-style equi-join that dedups the key columns. */
+  def joinUsing(l: DataFrame, r: DataFrame, keys: Seq[String], how: String = "inner"): DataFrame =
+    l.join(r, keys, how)
+
+  // §2.6 sorts / limits ----------------------------------------------------
+
+  def sortBy(df: DataFrame, keys: Column*): DataFrame = df.orderBy(keys: _*)
+
+  /** O3: top-k — `orderBy().limit()` lowers to TakeOrderedAndProject:
+    * per-partition heaps + single reduce, no global sort shuffle. */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame = df.orderBy(keys: _*).limit(k)
+
+  // §2.7 set ops -----------------------------------------------------------
+
+  def unionAll(l: DataFrame, r: DataFrame): DataFrame     = l.unionByName(r)
+  def unionDistinct(l: DataFrame, r: DataFrame): DataFrame = l.unionByName(r).distinct()
+  def intersect(l: DataFrame, r: DataFrame): DataFrame    = l.intersect(r)
+  def except(l: DataFrame, r: DataFrame): DataFrame       = l.except(r)
+}
