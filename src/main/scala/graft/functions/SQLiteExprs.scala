@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's per-cell decode/encode semantics (SURVEY.md §2.8),
+  * re-expressed as compositions of codegen'd built-in expressions — no
+  * UDFs, so everything stays inside whole-stage codegen at 100 TB.
+  */
+object SQLiteExprs {
+
+  /** C1 (SDF.swift:455-456): SQLite bool = int64 != 0. */
+  def boolFromInt(c: Column): Column = c =!= lit(0L)
+
+  /** Julian-day epoch constant (SDF.swift:506, SQLite date doc). */
+  val JulianUnixEpoch = 2440587.5
+  val SecondsPerDay   = 86400.0
+
+  /** C4 (SDF.swift:491-511): SQLite's tri-representation date decode.
+    * A date cell may arrive as
+    *   TEXT  "yyyy-MM-dd HH:mm:ss"  → parsed with that exact format
+    *   INT   Unix epoch seconds     → timestamp_seconds
+    *   REAL  Julian day number      → (jd - 2440587.5) * 86400 seconds
+    * The reference switches on the runtime cell type; with a fixed-schema
+    * string column we decode by shape: text timestamps parse, pure
+    * integers are epoch seconds, decimals are Julian days.
+    */
+  def dateTriFromString(c: Column): Column = {
+    val asText   = try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))
+    val isInt    = c.rlike("^-?\\d+$")
+    val isReal   = c.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$")
+    val fromInt  = timestamp_seconds(c.cast(LongType))
+    val fromReal = timestamp_seconds(
+      (c.cast(DoubleType) - lit(JulianUnixEpoch)) * lit(SecondsPerDay))
+    when(isInt, fromInt).when(isReal, fromReal).otherwise(asText)
+  }
+
+  /** Typed variants for when the storage type is already known. */
+  def dateFromUnixSeconds(c: Column): Column = timestamp_seconds(c)
+  def dateFromJulian(c: Column): Column =
+    timestamp_seconds((c - lit(JulianUnixEpoch)) * lit(SecondsPerDay))
+
+  /** C6 write-side (SDF.swift:636-640): dates encode as TEXT with the
+    * same fixed format. */
+  def dateToText(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** C3 (SDF.swift:473-479): UInt64 survives via TEXT when > Int64.max.
+    * Spark has no unsigned types → DecimalType(20,0) escape hatch. */
+  def uint64FromText(c: Column): Column = c.cast(DecimalType(20, 0))
+
+  /** C3 write side (SDF.swift:617-623): a decimal that still fits Int64
+    * binds as an integer cell; above Int64.max it falls back to its text
+    * representation so the value survives (SQLite cells are dynamic; our
+    * single-typed write column is the textual form, lossless either way). */
+  def uint64FitsInt64(c: Column): Column =
+    c <= lit(new java.math.BigDecimal(Long.MaxValue))
+
+  /** C2 (SDF.swift:457-472): integer width narrowing. ANSI-mode cast
+    * (throws on overflow) is our documented divergence from Swift's trap
+    * (SURVEY.md §7.4). */
+  def narrow(c: Column, to: DataType): Column = c.cast(to)
+
+  /** C5 (SDF.swift:513-526): `.any` dynamic cells. Fixed-schema engine →
+    * a variant struct carrying the runtime type tag plus one slot per
+    * SQLite storage class. Build one from any typed column: */
+  def toVariant(c: Column, cellType: Column): Column = struct(
+    cellType.as("t"),
+    when(cellType === "int", c.cast(LongType)).as("i"),
+    when(cellType === "real", c.cast(DoubleType)).as("r"),
+    when(cellType === "text", c.cast(StringType)).as("s"))
+
+  /** Render a variant back to its display string (the `.any` read path). */
+  def variantToString(v: Column): Column =
+    when(v.getField("t") === "int",  v.getField("i").cast(StringType))
+      .when(v.getField("t") === "real", v.getField("r").cast(StringType))
+      .otherwise(v.getField("s"))
+}

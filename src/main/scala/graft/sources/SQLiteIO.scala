@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types._
+import graft.types.SQLiteType
+
+/** S1–S9: the reference's source/sink surface (SURVEY.md §2.1) as a Spark
+  * JDBC dialect + reader/writer API.
+  *
+  * The reference (SDF.swift:248-304, 721-776) reads a table or arbitrary
+  * SQL into an eager frame and writes frames back with a table-creation
+  * policy. Spark-first shape: `spark.read.jdbc` with a registered
+  * `JdbcDialect` carrying the affinity rules, `df.write.jdbc` with the
+  * policy→SaveMode mapping. The dialect + SQL generation are pure and
+  * unit-tested; live-connection paths need a sqlite-jdbc driver on the
+  * cluster classpath (not present in this container — see spec).
+  */
+object SQLiteIO {
+
+  /** IfTableExistsPolicy (SDF.swift:197-206) ↔ SaveMode (S7). */
+  sealed trait IfExists { def saveMode: SaveMode }
+  object IfExists {
+    case object Fail      extends IfExists { val saveMode = SaveMode.ErrorIfExists }
+    case object DoNothing extends IfExists { val saveMode = SaveMode.Ignore }
+    case object Replace   extends IfExists { val saveMode = SaveMode.Overwrite }
+    case object Append    extends IfExists { val saveMode = SaveMode.Append }
+  }
+
+  /** Affinity-aware dialect: read-side decltype → Catalyst type
+    * (SDF.swift:161-194), write-side Spark type → SQLite decl
+    * (SDF.swift:741-771). */
+  object SQLiteDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.toLowerCase.startsWith("jdbc:sqlite")
+
+    override def getCatalystType(
+        sqlType: Int, typeName: String, size: Int,
+        md: MetadataBuilder): Option[DataType] =
+      Option(typeName).filter(_.nonEmpty)
+        .map(t => SQLiteType.fromDeclared(t).sparkType)
+
+    override def getJDBCType(dt: DataType): Option[JdbcType] =
+      SQLiteType.declFor(dt).map { decl =>
+        JdbcType(decl, dt match {
+          case StringType  => java.sql.Types.VARCHAR
+          case BooleanType => java.sql.Types.BOOLEAN
+          case FloatType | DoubleType => java.sql.Types.DOUBLE
+          case TimestampType | DateType => java.sql.Types.TIMESTAMP
+          case BinaryType  => java.sql.Types.BLOB
+          case _           => java.sql.Types.BIGINT
+        })
+      }
+
+    override def quoteIdentifier(colName: String): String =
+      "\"" + colName.replace("\"", "\"\"") + "\""
+  }
+
+  def registerDialect(): Unit = JdbcDialects.registerDialect(SQLiteDialect)
+
+  /** S1 SQL generation (SDF.swift:250-251): projection pushed into the
+    * SELECT by construction. Pure — unit tested. */
+  def tableScanSql(table: String, columns: Seq[String] = Nil): String = {
+    val cols = if (columns.isEmpty) "*" else columns.mkString(", ")
+    s"SELECT $cols FROM $table"
+  }
+
+  /** `customSchema` string honoring user type overrides (the reference's
+    * `types:` dict, SDF.swift:364-374). */
+  def customSchema(overrides: Map[String, SQLiteType]): String =
+    overrides.map { case (n, t) => s"$n ${t.sparkType.simpleString}" }.mkString(", ")
+
+  /** S1/S2: read a table or arbitrary SQL through JDBC. */
+  def read(
+      spark: SparkSession, url: String,
+      table: Option[String] = None, query: Option[String] = None,
+      columns: Seq[String] = Nil,
+      typeOverrides: Map[String, SQLiteType] = Map.empty): DataFrame = {
+    registerDialect()
+    val r0 = spark.read.format("jdbc").option("url", url)
+    val r1 = (table, query) match {
+      case (Some(t), _) => r0.option("dbtable", s"(${tableScanSql(t, columns)}) q")
+      case (_, Some(q)) => r0.option("query", q)
+      case _ => throw new IllegalArgumentException("table or query required")
+    }
+    val r2 = if (typeOverrides.nonEmpty)
+      r1.option("customSchema", customSchema(typeOverrides)) else r1
+    r2.load()
+  }
+
+  /** S7: table sink with creation policy. */
+  def write(df: DataFrame, url: String, table: String, ifExists: IfExists): Unit = {
+    registerDialect()
+    df.write.mode(ifExists.saveMode).format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+  }
+}

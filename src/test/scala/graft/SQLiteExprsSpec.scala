@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.SQLiteExprs._
+import graft.types.SQLiteCodec
+
+/** Golden tests for the reference's decode semantics (SDF.swift:455-526),
+  * esp. the date tri-format with the Julian constant 2440587.5. */
+class SQLiteExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C1 bool decode: int64 != 0") {
+    val got = Seq(0L, 1L, -3L, 42L).toDF("c")
+      .select(boolFromInt($"c").as("b")).as[Boolean].collect().toSeq
+    assert(got == Seq(false, true, true, true))
+  }
+
+  test("C4 date tri-format: TEXT / unix seconds / julian day all decode") {
+    val rows = Seq(
+      "2022-01-02 03:04:05",   // TEXT, reference format
+      "1641092645",            // same instant as unix seconds
+      "2459581.627835648148"   // same instant as julian day
+    ).toDF("c").select(dateTriFromString($"c").cast(LongType).as("epoch"))
+      .as[Long].collect().toSeq
+    assert(rows(0) == 1641092645L)
+    assert(rows(1) == 1641092645L)
+    assert(math.abs(rows(2) - 1641092645L) <= 1) // julian double rounding
+  }
+
+  test("julian epoch golden: JD 2440587.5 == 1970-01-01T00:00:00Z") {
+    val got = Seq("2440587.5").toDF("c")
+      .select(dateTriFromString($"c").cast(LongType).as("e"))
+      .as[Long].head()
+    assert(got == 0L)
+  }
+
+  test("C4 garbage text decodes to null, not an ANSI error") {
+    val got = Seq("not a date").toDF("c")
+      .select(dateTriFromString($"c").as("t")).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("C6 date→text write format round-trips with tri-format read") {
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("1999-12-31T23:59:58Z"))
+    val back = Seq(ts).toDF("t")
+      .select(dateToText($"t").as("s"))
+      .select(dateTriFromString($"s").as("t2"))
+      .as[java.sql.Timestamp].head()
+    assert(back == ts)
+  }
+
+  test("C3 uint64 > Int64.max survives via text → Decimal(20,0)") {
+    val big = "18446744073709551615" // UInt64.max
+    val got = Seq(big).toDF("c").select(uint64FromText($"c").as("d")).head().getDecimal(0)
+    assert(got.toPlainString == big)
+    val fits = Seq("42").toDF("c")
+      .select(uint64FitsInt64(uint64FromText($"c")).as("f")).as[Boolean].head()
+    assert(fits)
+  }
+
+  test("C5 variant struct: dynamic cells round-trip through typed slots") {
+    val df = Seq(("1", "int"), ("2.5", "real"), ("hi", "text")).toDF("v", "ty")
+    val got = df.select(variantToString(toVariant($"v", $"ty")).as("s"))
+      .as[String].collect().toSeq
+    assert(got == Seq("1", "2.5", "hi"))
+  }
+
+  test("codec dispatch: bool codec encodes/decodes (≈ IntThing, Tests.swift:225-241)") {
+    val enc = Seq(true, false).toDF("b")
+      .select(SQLiteCodec[Boolean].encode($"b").as("cell"))
+    assert(enc.as[Long].collect().toSeq == Seq(1L, 0L))
+    val dec = enc.select(SQLiteCodec[Boolean].decode($"cell").as("b"))
+    assert(dec.as[Boolean].collect().toSeq == Seq(true, false))
+  }
+
+  test("timestamp codec: storage text, reads any representation") {
+    val c = SQLiteCodec[java.sql.Timestamp]
+    val got = Seq("946684800").toDF("cell") // 2000-01-01 as unix text cell
+      .select(c.decode($"cell").as("t"))
+      .select(date_format($"t", "yyyy-MM-dd").as("d")).as[String].head()
+    assert(got == "2000-01-01")
+  }
+}
