@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decode/feature-extract as partition-wise
+  * batch transforms.
+  *
+  * The decode kernels are STUBBED (no image/audio libraries ship in this
+  * container) with deterministic fakes; everything Spark-side — schema,
+  * typed Dataset shape, mapPartitions batching, partitioning — is real.
+  * In production the `decodeStub`/`featuresStub` bodies are replaced by
+  * JNI/FFM calls into the codec library; the operator shape (one
+  * iterator-to-iterator pass per partition, no driver involvement, no
+  * shuffle) is exactly what runs at 100 TB.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int, format: String, duration_ms: Long)
+
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      feature: Array[Float], frame_count: Int)
+
+  /** Synthesize a media table from the documents corpus: payload = UTF-8
+    * bytes of the text (deterministic), metadata derived from doc fields.
+    * Stands in for `spark.read.format("binaryFile")` at scale. */
+  def synthesize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+      col("text").cast(BinaryType).as("bytes"),
+      (col("n_chars") % 640 + 32).cast(IntegerType).as("width"),
+      (col("n_chars") % 480 + 32).cast(IntegerType).as("height"),
+      lit("raw").as("format"),
+      (col("n_chars") * 10L).as("duration_ms"))
+
+  /** STUB decode kernel: deterministic features from payload bytes.
+    * Real impl would decode pixels/samples here (out of scope: codec libs
+    * are not in this container). */
+  private[operators] def featuresStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-wise feature extraction: Dataset[MediaRecord] →
+    * Dataset[MediaFeatures]. Iterator-to-iterator (constant memory per
+    * partition), narrow (no shuffle), executor-side only. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val feats = featuresStub(m.bytes)
+        val frames =
+          if (m.kind == "video") math.max(1, (m.duration_ms / 1000L).toInt) else 1
+        MediaFeatures(m.media_id, m.kind, m.bytes.length, feats, frames)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * offset (sequence + explode — pure expressions, no UDF). */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_off_ms"))
+
+  /** End-to-end stub pipeline over a documents frame. */
+  def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = synthesize(docs).as[MediaRecord]
+    extractFeatures(media).toDF()
+  }
+}

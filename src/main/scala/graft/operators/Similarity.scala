@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact — broadcast the query set,
+  * scan the corpus once, per-partition heaps via TakeOrderedAndProject /
+  * window top-k). Scale path: IVF-style coarse quantization and
+  * random-hyperplane LSH bucketing, both as equi-joins.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns — zip_with + aggregate,
+    * fully codegen'd, accumulates in double. */
+  def dot(u: Column, v: Column): Column =
+    aggregate(zip_with(u, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(u: Column, v: Column): Column = dot(u, v) / (norm(u) * norm(v))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * `queries` MUST be small (it is broadcast); the corpus streams. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
+      norm(col(corpusVec)).as("__cn"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      norm(col(queryVec)).as("__qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: plane j component i
+    * derived from a hash — no data shipping, same constants on every
+    * executor. Returns array<int> of sign bits (planes entries). */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planeVals: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    array(planeVals.map { p =>
+      val proj = (0 until dim).map(i => element_at(vec, i + 1).cast(DoubleType) * lit(p(i)))
+        .reduce(_ + _)
+      when(proj >= 0, 1).otherwise(0)
+    }: _*)
+  }
+
+  /** IVF-style ANN: coarse centroids = a deterministic sample of the
+    * corpus (first `nCells` by id — stands in for k-means cells; the
+    * assignment/probe machinery is identical). Corpus rows are assigned to
+    * their nearest centroid cell (one broadcast join); each query probes
+    * its `nprobe` nearest cells and searches only those rows. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val centroids = corpus.orderBy(col(corpusId)).limit(nCells)
+      .select(col(corpusId).as("cell_id"), col(corpusVec).as("cell_vec"))
+    // assign corpus rows to nearest cell
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col(corpusVec), col("cell_vec")) /
+        (norm(col(corpusVec)) * norm(col("cell_vec"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(corpusId)).orderBy(col("__d").desc, col("cell_id"))))
+      .filter(col("__rn") === 1)
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"), col("cell_id"))
+    // each query probes nprobe nearest cells
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col(queryVec), col("cell_vec")) /
+        (norm(col(queryVec)) * norm(col("cell_vec"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(col("__d").desc, col("cell_id"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"), col("cell_id"))
+    // search only the probed cells (equi-join on cell_id — no cross join)
+    val scored = assigned.join(probes, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("__cv"), col("__qv")) /
+        (norm(col("__cv")) * norm(col("__qv"))), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is a composition of codegen'd built-in expressions — a pure
+  * narrow map over the documents table, so at 100 TB it runs embarrassingly
+  * parallel at scan speed with zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token estimate: word pieces + digits + punctuation as
+    * separate tokens (a cheap stand-in for a real BPE vocab; determinstic
+    * and identical in the oracle SQL). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Normalized text: lowercase, collapsed whitespace — the canonical form
+    * for fingerprinting and exact dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content-defined fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast(BinaryType))
+
+  /** Polynomial rolling hash over the word stream (base-31 Horner form,
+    * mod 2^31-1 so ANSI-mode long arithmetic can't overflow) —
+    * order-sensitive unlike a bag-of-words hash. Pure expression. */
+  val RollingHashPrime = 2147483647L
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(normalize(text), " "), w => pmod(xxhash64(w), lit(RollingHashPrime))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(RollingHashPrime)))
+
+  /** Punctuation ratio, alpha ratio, stopword ratio, mean word length —
+    * the classic cheap quality signals. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  def stopwordRatio(text: Column): Column = {
+    val pat = "\\b(" + Stopwords.mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(text), lit(pat), lit(0))).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+  }
+
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(normalize(text), " ", "")).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+
+  /** Composite quality score in [0,1]: length sweet-spot + punctuation
+    * sanity + stopword presence. Deliberately simple and fully
+    * SQL-expressible so the oracle can recompute it. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
+    val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(5.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore + punctPen + stopScore) / lit(3.0), 4)
+  }
+
+  /** Language-ID: n-gram/stopword profile scoring. Each language has a
+    * profile of high-frequency function words; score = count of profile
+    * hits per token; argmax wins (ties broken by profile order). The
+    * profiles are deliberately tiny — the point is the distributed scoring
+    * shape (narrow map, no shuffle), not linguistic accuracy. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, words) =>
+      val pat = "\\b(" + words.mkString("|") + ")\\b"
+      lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with first-wins tie-break, as a fold over the profile list
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) over the documents + embeddings tables. SQL-expressible ops
+  * carry a DuckDB oracle that recomputes the same definition from scratch;
+  * LSH/stub-based ops are rows-only checked (driver's weaker gate) but
+  * still deterministic. */
+object Pipeline {
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  // DuckDB needs the 'g' flag for global regexp_replace (Spark is global
+  // by default) — every oracle below uses it.
+  private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val duckTokens = s"regexp_split_to_array(trim(text), '\\s+')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ---------------------------------------------------
+    QueryDef("t01_token_counts", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source", TextOps.tokenCount($"text").as("ws"),
+                TextOps.bpeishTokenCount($"text").as("bpe"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"ws").as("ws_tokens"),
+             sum($"bpe").as("bpe_tokens"))
+        .orderBy($"source")
+    }, Some(s"""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len($duckTokens) END) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+      FROM documents GROUP BY source ORDER BY source""")),
+
+    QueryDef("t02_quality", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      SELECT doc_id, round((
+        least(length(text) / 500.0, 1.0)
+        + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+            / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0)
+        + least((len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b'))
+            / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($duckTokens) END AS DOUBLE), 1.0)) * 5.0, 1.0)
+      ) / 3.0, 4) AS quality
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("t03_langid", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang".as("tagged_lang"), TextOps.langId($"text").as("pred_lang"))
+        .groupBy($"tagged_lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"tagged_lang", $"pred_lang")
+    }, Some("""
+      WITH sc AS (SELECT lang AS tagged_lang,
+        len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|is|in)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht)\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une)\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|un|una)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(的|是|了|在|和|有|我)\b')) AS s_zh
+        FROM documents),
+      pick AS (SELECT tagged_lang,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+             WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+             WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+             WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+             WHEN s_de > s_en THEN 'de'
+             ELSE 'en' END AS pred_lang
+        FROM sc)
+      SELECT tagged_lang, pred_lang, count(*) AS n
+      FROM pick GROUP BY 1, 2 ORDER BY tagged_lang, pred_lang""")),
+
+    QueryDef("t04_fingerprint", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      SELECT doc_id, md5($duckNorm) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- dedup -----------------------------------------------------------
+    QueryDef("d01_dedup_exact", (s, dir) => {
+      Dedup.exactDupStats(t(s, dir, "documents"), "text")
+    }, Some(s"""
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+             count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_groups
+      FROM (SELECT md5($duckNorm) AS fp, count(*) AS cnt
+            FROM documents GROUP BY 1) g""")),
+
+    QueryDef("d02_dedup_minhash", (s, dir) => {
+      import s.implicits._
+      // LSH candidates (64 hashes, 16 bands) + exact-jaccard verify.
+      // No SQL oracle (LSH recall < 1 by construction) -> rows-only gate.
+      Dedup.dedupMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.2)
+        .orderBy($"id1", $"id2")
+    }, None),
+
+    QueryDef("d03_dedup_simhash", (s, dir) => {
+      import s.implicits._
+      Dedup.dedupSimHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy($"id1", $"id2")
+    }, None),
+
+    QueryDef("d04_ngram_jaccard", (s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.1)
+        .orderBy($"id1", $"id2")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array($duckNorm, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.1 ORDER BY id1, id2""")),
+
+    QueryDef("d05_cosine_neardup", (s, dir) => {
+      import s.implicits._
+      Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy($"id1", $"id2")
+    }, Some("""
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+      ORDER BY id1, id2""")),
+
+    // ---- similarity search ----------------------------------------------
+    QueryDef("s01_ann_brute", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy($"query_id", $"rank")
+    }, Some("""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    QueryDef("s02_ann_ivf", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    }, None),
+
+    // ---- multimodal ------------------------------------------------------
+    QueryDef("m01_media_features", (s, dir) => {
+      import s.implicits._
+      Multimodal.featurePipeline(s, t(s, dir, "documents"))
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"),
+             sum($"n_bytes").as("total_bytes"),
+             sum($"frame_count").as("total_frames"),
+             round(sum(element_at($"feature", 1)), 2).as("f0_sum"))
+        .orderBy($"kind")
+    }, None),
+
+    QueryDef("m02_frame_sample", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.synthesize(t(s, dir, "documents"))
+      Multimodal.sampleFrames(media, everyMs = 500L)
+        .groupBy($"media_id")
+        .agg(count(lit(1)).as("n_frames"), max($"frame_off_ms").as("last_off"))
+        .orderBy($"media_id")
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CAST(floor((n_chars * 10 - 1) / 500) + 1 AS BIGINT) AS n_frames,
+             CAST(floor((n_chars * 10 - 1) / 500) * 500 AS BIGINT) AS last_off
+      FROM documents WHERE doc_id % 3 = 2
+      ORDER BY media_id"""))
+  )
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.SimHash64
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace splitting with empty guard") {
+    val got = Seq("a b  c", "  ", "one").toDF("t")
+      .select(TextOps.tokenCount($"t").as("n")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 1))
+  }
+
+  test("bpeish token count splits words, digits, punct") {
+    val got = Seq("hello, world 42!").toDF("t")
+      .select(TextOps.bpeishTokenCount($"t").as("n")).as[Int].head()
+    // hello , world 4 2 !  -> 6
+    assert(got == 6)
+  }
+
+  test("normalize collapses whitespace and lowercases") {
+    val got = Seq("  Hello   WORLD  ").toDF("t")
+      .select(TextOps.normalize($"t").as("n")).as[String].head()
+    assert(got == "hello world")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("Hello  World", "hello world").toDF("t")
+      .select(TextOps.fingerprint($"t").as("f")).as[String].collect().toSeq
+    assert(fps(0) == fps(1))
+  }
+
+  test("rollingHash is order-sensitive (unlike a bag hash)") {
+    val hs = Seq("a b c", "c b a").toDF("t")
+      .select(TextOps.rollingHash($"t").as("h")).as[Long].collect().toSeq
+    assert(hs(0) != hs(1))
+  }
+
+  test("langId picks the profile with most hits") {
+    val got = Seq(
+      "the cat is on the mat and a dog",
+      "der hund ist ein tier und das haus",
+      "xyzzy qwerty").toDF("t")
+      .select(TextOps.langId($"t").as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore is in [0,1]") {
+    val docs = Tables.load(spark, sf, "documents")
+    val mm = docs.select(TextOps.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: sliding word 3-grams, distinct") {
+    val got = Seq("a b c d a b c d").toDF("t")
+      .select(Dedup.shingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(got.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingles: short doc falls back to whole text") {
+    val got = Seq("a b").toDF("t")
+      .select(Dedup.shingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(got == Seq("a b"))
+  }
+
+  test("minhash: identical texts give identical signatures; disjoint differ") {
+    val df = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
+                 (3L, "p q r m n o k j")).toDF("id", "t")
+      .select($"id", Dedup.minhashSignature(Dedup.shingles($"t", 2), 16).as("sig"))
+    val sigs = df.orderBy($"id").as[(Long, Seq[Long])].collect()
+    assert(sigs(0)._2 == sigs(1)._2)
+    assert(sigs(0)._2 != sigs(2)._2)
+  }
+
+  test("dedupExact keeps lowest id per duplicate group") {
+    val df = Seq((10L, "same text"), (3L, "same  TEXT"), (5L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.dedupExact(df, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("simhash: identical tokens → hamming 0; near texts → small hamming") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog end"),
+                 (2L, "the quick brown fox jumps over the lazy dog end"),
+                 (3L, "entirely different words appear here now okay yes")).toDF("doc_id", "text")
+    val pairs = Dedup.dedupSimHashPairs(df, "doc_id", "text", maxHamming = 0)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds planted near-dup and verifies jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("kappa", "lambda")
+    val df = Seq((1L, base), (2L, nearDup), (3L, "unrelated content entirely " * 10))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.dedupMinHashPairs(df, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.3))
+  }
+
+  test("ngramJaccard matches brute-force on the documents table") {
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // brute force via cross join
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter($"j" >= 0.1)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(fast == brute)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 3.0f))).toDF("u", "v")
+    val d = df.select(Similarity.dot($"u", $"v").as("d")).as[Double].head()
+    assert(d == 8.0)
+    val c = df.select(Similarity.cosine($"u", $"v").as("c")).as[Double].head()
+    assert(math.abs(c - 0.99227787671) < 1e-9)
+  }
+
+  test("bruteForceTopK: k results per query, self excluded, rank ordered") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val res = Similarity.bruteForceTopK(emb, q, 4).collect()
+    assert(res.length == 12)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4))
+      assert(!rows.exists(_.getLong(1) == qid))
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, 5, nCells = 8, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthesize: schema has binary payload + typed metadata") {
+    val m = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
+    val sc = m.schema
+    assert(sc("bytes").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(sc("width").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(m.count() > 0)
+  }
+
+  test("extractFeatures: partition-wise stub decode, deterministic") {
+    val docs = Tables.load(spark, sf, "documents").limit(10)
+    val f1 = Multimodal.featurePipeline(spark, docs).orderBy($"media_id").collect()
+    val f2 = Multimodal.featurePipeline(spark, docs).orderBy($"media_id").collect()
+    assert(f1.sameElements(f2))
+    assert(f1.forall(_.getAs[Seq[Float]]("feature").length == 8))
+  }
+
+  test("sampleFrames: one row per 500ms step") {
+    val media = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
+    val s = Multimodal.sampleFrames(media, 500L)
+      .groupBy($"media_id").agg(count(lit(1)).as("n"))
+      .join(media.select($"media_id", $"duration_ms"), "media_id")
+      .withColumn("expect", floor(($"duration_ms" - 1) / 500) + 1)
+    assert(s.filter($"n" =!= $"expect").count() == 0)
+  }
+}
