@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Second tranche of the SURVEY §2 relational inventory: remaining window
+  * functions (W1/W2/W4), group_concat, OFFSET, LIKE/GLOB, math functions,
+  * nested CTEs, IN/NOT IN, VALUES, CUBE. */
+object Core2 {
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q31_window_ntile", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }, Some("""
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""")),
+
+    QueryDef("q32_window_firstlast", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(w).as("first_key"),
+          last($"o_orderkey").over(w).as("last_key"),
+          nth_value($"o_orderkey", 2).over(w).as("second_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey) OVER w AS last_key,
+             nth_value(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef("q33_window_range", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+        .rangeBetween(-10000L, 0L)
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          count(lit(1)).over(w).as("n_in_band"))
+        .select($"o_orderpriority", $"o_orderkey", $"n_in_band")
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }, Some("""
+      SELECT o_orderpriority, o_orderkey,
+             count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+      FROM orders
+      ORDER BY o_orderpriority, o_orderkey""")),
+
+    QueryDef("q34_group_concat", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy($"r_name")
+    }, Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")),
+
+    QueryDef("q35_offset", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .offset(100).limit(50)
+    }, Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 50 OFFSET 100""")),
+
+    QueryDef("q36_like_glob", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey", $"p_name", $"p_brand",
+          $"p_name".like("%gre%").as("like_hit"),
+          // SQLite GLOB 'Brand#1*' semantics as an anchored regex
+          $"p_brand".rlike("^Brand#1.*$").as("glob_hit"),
+          $"p_name".like("_i%").as("underscore_hit"))
+        .filter($"like_hit" || $"glob_hit" || $"underscore_hit")
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey, p_name, p_brand,
+             p_name LIKE '%gre%' AS like_hit,
+             regexp_matches(p_brand, '^Brand#1.*$') AS glob_hit,
+             p_name LIKE '_i%' AS underscore_hit
+      FROM part
+      WHERE p_name LIKE '%gre%' OR regexp_matches(p_brand, '^Brand#1.*$')
+            OR p_name LIKE '_i%'
+      ORDER BY p_partkey""")),
+
+    QueryDef("q37_math_funcs", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_orderkey" <= 1000)
+        .select($"l_orderkey", $"l_linenumber",
+          abs($"l_discount" - 0.05).as("a"),
+          ceil($"l_extendedprice" / 1000).cast("long").as("c"),
+          floor($"l_extendedprice" / 1000).cast("long").as("f"),
+          round(sqrt($"l_quantity"), 6).as("sq"),
+          round(pow($"l_quantity", 2), 2).as("p2"),
+          round(log($"l_extendedprice"), 6).as("lg"),
+          signum($"l_discount" - 0.05).cast("int").as("sg"),
+          ($"l_orderkey" % 7).as("md"))
+        .withColumn("a", round($"a", 6))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(abs(l_discount - 0.05), 6) AS a,
+             CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS c,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
+             round(sqrt(l_quantity), 6) AS sq,
+             round(pow(l_quantity, 2), 2) AS p2,
+             round(ln(l_extendedprice), 6) AS lg,
+             CAST(sign(l_discount - 0.05) AS INT) AS sg,
+             l_orderkey % 7 AS md
+      FROM lineitem WHERE l_orderkey <= 1000
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q38_nested_cte", (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val supRev = li.groupBy($"l_suppkey")
+        .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      val natRev = supRev.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(round(sum($"rev"), 2).as("nation_rev"))
+      val w = Window.orderBy($"nation_rev".desc, $"n_name")
+      natRev.withColumn("rnk", rank().over(w)).orderBy($"rnk", $"n_name")
+    }, Some("""
+      WITH sup_rev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_suppkey),
+      nat_rev AS (
+        SELECT n_name, round(sum(rev), 2) AS nation_rev
+        FROM sup_rev JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, nation_rev,
+             CAST(rank() OVER (ORDER BY nation_rev DESC, n_name) AS INT) AS rnk
+      FROM nat_rev ORDER BY rnk, n_name""")),
+
+    QueryDef("q39_in_notin", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val hotCust = t(s, dir, "customer").filter($"c_acctbal" > 9500)
+        .select($"c_custkey")
+      o.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .join(hotCust, $"o_custkey" === $"c_custkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q40_values_inline", (s, dir) => {
+      import s.implicits._
+      val weights = s.createDataFrame(Seq(
+        ("1-URGENT", 5.0), ("2-HIGH", 4.0), ("3-MEDIUM", 3.0),
+        ("4-NOT SPECIFIED", 2.0), ("5-LOW", 1.0)))
+        .toDF("prio", "weight")
+      t(s, dir, "orders")
+        .join(broadcast(weights), $"o_orderpriority" === $"prio")
+        .groupBy($"prio")
+        .agg(round(sum($"o_totalprice" * $"weight"), 2).as("weighted_rev"))
+        .orderBy($"prio")
+    }, Some("""
+      SELECT prio, round(sum(o_totalprice * weight), 2) AS weighted_rev
+      FROM orders
+      JOIN (VALUES ('1-URGENT', 5.0), ('2-HIGH', 4.0), ('3-MEDIUM', 3.0),
+                   ('4-NOT SPECIFIED', 2.0), ('5-LOW', 1.0)) AS v(prio, weight)
+        ON o_orderpriority = prio
+      GROUP BY prio ORDER BY prio""")),
+
+    QueryDef("q41_cube", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+                coalesce($"l_linestatus", lit("ALL")).as("ls"),
+                $"n", $"qty")
+        .orderBy($"rf", $"ls")
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (additive scope — the
+  * reference is a pure batch bridge, SURVEY.md §2.10).
+  *
+  * Everything is expressed so the *same* logical transform runs in batch
+  * (for the oracle-checked queries) and as a stream: windowed aggregates
+  * with watermarks, and custom sessionization state via
+  * flatMapGroupsWithState. File-source streaming over the test parquet
+  * exercises the full incremental execution path.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) arrives as long nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of the events table; normalizes nano-longs to a
+    * real timestamp like Tables.load does for batch. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts with a watermark: the streaming twin of the
+    * batch q28_time_window. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).getField("start").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  // ---- custom state: sessionization via flatMapGroupsWithState ----------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, duration_sec: Double)
+
+  /** Emits one row per closed session (gap > gapSec between events, or
+    * state timeout). Mirrors the batch q29_sessionize logic with true
+    * incremental state. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          for (e <- sorted) {
+            val t = e.ts.getTime / 1000
+            sessions match {
+              case cur :: rest if t - cur.lastSeen <= gapSec =>
+                sessions = cur.copy(lastSeen = t, nEvents = cur.nEvents + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(userId,
+                  new java.sql.Timestamp(cur.sessionStart * 1000),
+                  cur.nEvents, (cur.lastSeen - cur.sessionStart).toDouble)
+                sessions = SessionState(t, t, 1) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1) :: Nil
+            }
+          }
+          if (state.hasTimedOut) {
+            sessions.foreach { cur =>
+              closed += SessionOut(userId,
+                new java.sql.Timestamp(cur.sessionStart * 1000),
+                cur.nEvents, (cur.lastSeen - cur.sessionStart).toDouble)
+            }
+            state.remove()
+          } else {
+            state.update(sessions)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gapSec * 1000)
+          }
+          closed.iterator
+      }
+  }
+
+  /** Run a streaming query to completion against the (finite) file source
+    * and return the materialized result — the test/verify harness. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

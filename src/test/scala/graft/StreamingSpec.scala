@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed streaming counts match the batch computation") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val streamed = EventStreams.windowedCounts(stream)
+    val got = EventStreams.runToMemory(spark, streamed, "win_counts")
+      .orderBy($"hour_start", $"event_type")
+      .collect()
+
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour_start", $"event_type")
+      .collect()
+
+    assert(got.length == batch.length)
+    assert(got.sameElements(batch))
+  }
+
+  test("stateful sessionization emits closed sessions incrementally") {
+    val stream = EventStreams.readEventStream(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val sessions = EventStreams.sessionize(stream)
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+    // with a finite source only watermark-closed sessions emit; the count
+    // must be positive and no session may exceed its user's event count
+    assert(got.count() > 0)
+    val perUser = got.groupBy($"user_id").agg(sum($"n_events").as("n"))
+    val batchCounts = Tables.load(spark, sf, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("nb"))
+    val joined = perUser.join(batchCounts, "user_id")
+      .filter($"n" > $"nb")
+    assert(joined.count() == 0)
+  }
+}
