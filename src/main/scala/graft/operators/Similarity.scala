@@ -14,15 +14,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns — zip_with + aggregate,
-    * fully codegen'd, accumulates in double. */
-  def dot(u: Column, v: Column): Column =
-    aggregate(zip_with(u, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product — fused native expression (graft.functions.VecDotF32):
+    * one primitive loop per pair, no intermediate array allocation (the
+    * zip_with+aggregate form allocates per pair, which dominates all-pairs
+    * joins). Accumulates in double, matching the oracle bit-for-bit. */
+  def dot(u: Column, v: Column): Column = graft.functions.VecDotF32.dot(u, v)
 
-  def norm(v: Column): Column = sqrt(dot(v, v))
+  def norm(v: Column): Column = graft.functions.VecDotF32.norm(v)
 
-  def cosine(u: Column, v: Column): Column = dot(u, v) / (norm(u) * norm(v))
+  def cosine(u: Column, v: Column): Column = graft.functions.VecDotF32.cosine(u, v)
 
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` MUST be small (it is broadcast); the corpus streams. */
