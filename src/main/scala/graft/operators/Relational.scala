@@ -69,6 +69,16 @@ object Relational {
     * per-partition heaps + single reduce, no global sort shuffle. */
   def topK(df: DataFrame, k: Int, keys: Column*): DataFrame = df.orderBy(keys: _*).limit(k)
 
+  /** S4: the reference's incremental re-read (`readSQL`, SDF.swift:406-531)
+    * appends a fresh result set into an existing frame, matching columns
+    * BY POSITION. Spark union is positional too, but we enforce width and
+    * rename so the result keeps the existing frame's column names. */
+  def appendByPosition(existing: DataFrame, batch: DataFrame): DataFrame = {
+    require(existing.columns.length == batch.columns.length,
+      s"width mismatch: ${existing.columns.length} vs ${batch.columns.length}")
+    existing.union(batch.toDF(existing.columns: _*))
+  }
+
   // §2.7 set ops -----------------------------------------------------------
 
   def unionAll(l: DataFrame, r: DataFrame): DataFrame     = l.unionByName(r)

@@ -199,6 +199,42 @@ object Core2 {
         ON o_orderpriority = prio
       GROUP BY prio ORDER BY prio""")),
 
+    QueryDef("q42_strftime", (s, dir) => {
+      import s.implicits._
+      // SQLite strftime/date/time/datetime surface via date_format
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("d"),
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("dt"),
+          date_format($"o_orderdate", "yyyy").as("y4"),
+          date_format($"o_orderdate", "D").cast("int").as("doy"),
+          dayofweek($"o_orderdate").as("dow"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt,
+             strftime(o_orderdate, '%Y') AS y4,
+             CAST(CAST(strftime(o_orderdate, '%j') AS INT) AS INT) AS doy,
+             CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+      FROM orders ORDER BY o_orderkey""")),
+
+    QueryDef("q43_printf", (s, dir) => {
+      import s.implicits._
+      // SQLite printf/format -> format_string
+      t(s, dir, "supplier")
+        .select($"s_suppkey",
+          format_string("supplier %d has balance %.2f", $"s_suppkey", $"s_acctbal").as("msg"),
+          format_string("%05d", $"s_suppkey").as("padded"),
+          format_string("%s/%s", $"s_name", $"s_nationkey").as("path"))
+        .orderBy($"s_suppkey")
+    }, Some("""
+      SELECT s_suppkey,
+             printf('supplier %d has balance %.2f', s_suppkey, s_acctbal) AS msg,
+             printf('%05d', s_suppkey) AS padded,
+             printf('%s/%s', s_name, CAST(s_nationkey AS VARCHAR)) AS path
+      FROM supplier ORDER BY s_suppkey""")),
+
     QueryDef("q41_cube", (s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")

@@ -68,6 +68,18 @@ class StoreSpec extends SparkSpec {
     assert(st.exists(spark, "yes"))
   }
 
+  test("S4 appendByPosition matches by position, keeps existing names (≈ SDF readSQL)") {
+    import graft.operators.Relational
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, "y")).toDF("other", "label") // different names, same shape
+    val got = Relational.appendByPosition(a, b)
+    assert(got.columns.toSeq == Seq("id", "name"))
+    assert(got.count() == 2)
+    assertThrows[IllegalArgumentException] {
+      Relational.appendByPosition(a, Seq(1).toDF("only"))
+    }
+  }
+
   test("S1 scan SQL generation pushes projection by construction") {
     assert(SQLiteIO.tableScanSql("tasks") == "SELECT * FROM tasks")
     assert(SQLiteIO.tableScanSql("tasks", Seq("a", "b")) == "SELECT a, b FROM tasks")
