@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** A7: custom typed aggregate (the reference exposes no UDAF surface —
+  * SQLite's create_function is never surfaced, SURVEY.md §2.9 — so this
+  * belongs to the additive scope).
+  *
+  * Bounded top-k by score inside an aggregation: each partition keeps a
+  * k-sized buffer (partial aggregation), merge is bounded merge — so a
+  * global "top k per group" costs one shuffle of k-sized states instead
+  * of a full window sort of every row. The 100 TB alternative to
+  * `row_number().over(...) <= k` when k << group size.
+  */
+case class ScoredId(id: Long, score: Double)
+
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
+    s.sortBy(x => (-x.score, x.id)).take(k)
+
+  def zero: Seq[ScoredId] = Seq.empty
+  def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
+    if (buf.size < k || in.score > buf.last.score) trim(buf :+ in) else buf
+  def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = trim(a ++ b)
+  def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+  def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+  def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+}

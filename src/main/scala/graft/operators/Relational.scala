@@ -69,6 +69,43 @@ object Relational {
     * per-partition heaps + single reduce, no global sort shuffle. */
   def topK(df: DataFrame, k: Int, keys: Column*): DataFrame = df.orderBy(keys: _*).limit(k)
 
+  /** J9: as-of join — for each left row, the most recent right row with
+    * `rightTs < leftTs` (strict) or `<= leftTs` (inclusive) per key.
+    *
+    * Scale-first shape: instead of an equi-join (which explodes on hot
+    * keys: every left row × every earlier right row, then a window to
+    * keep one), tag and UNION both sides, sort once per key by time, and
+    * carry the latest right payload forward with `last(_, ignoreNulls)`.
+    * One shuffle + one sort, output exactly |left| rows — the classic
+    * distributed as-of. Right payload arrives as a struct column
+    * (`asofCol`), null when no earlier right row exists. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      asofCol: String = "asof", strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val payStruct = struct(rightPayload.map(col): _*)
+    val payType = StructType(right.select(rightPayload.map(col): _*).schema.fields)
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val leftType = StructType(left.schema.fields)
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__isL"),
+      lit(null).cast(payType).as("__r"), leftStruct.as("__l"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__isL"),
+      payStruct.as("__r"), lit(null).cast(leftType).as("__l"))
+    // at equal ts: left-first ⇒ the left row cannot see the right row
+    // (strict <); right-first ⇒ it can (inclusive <=)
+    val tieOrder = if (strict) col("__isL").desc else col("__isL").asc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, tieOrder)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isL") === 1)
+      .select(col("__l.*") +: Seq(col("__match").as(asofCol)): _*)
+  }
+
   /** S4: the reference's incremental re-read (`readSQL`, SDF.swift:406-531)
     * appends a fresh result set into an existing frame, matching columns
     * BY POSITION. Spark union is positional too, but we enforce width and

@@ -235,6 +235,25 @@ object Core2 {
              printf('%s/%s', s_name, CAST(s_nationkey AS VARCHAR)) AS path
       FROM supplier ORDER BY s_suppkey""")),
 
+    QueryDef("q44_asof_join", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Relational
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_event"), $"user_id", $"ts")
+      Relational.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          rightPayload = Seq("click_event"), asofCol = "m", strict = true)
+        .select($"event_id", $"user_id", $"m.click_event".as("click_id"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, c.event_id AS click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts > c.ts
+      ORDER BY p.event_id""")),
+
     QueryDef("q41_cube", (s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")

@@ -88,6 +88,12 @@ object SQLiteIO {
     r2.load()
   }
 
+  /** S9: batch-SQL passthrough (≈ SQLiteConnection.exec, SDF.swift:52-54):
+    * run semicolon-separated statements through Spark SQL (DDL/DML on the
+    * session catalog; fixtures, view definitions, CTAS). */
+  def exec(spark: SparkSession, sql: String): Unit =
+    sql.split(";").map(_.trim).filter(_.nonEmpty).foreach(spark.sql(_).collect())
+
   /** S7: table sink with creation policy. */
   def write(df: DataFrame, url: String, table: String, ifExists: IfExists): Unit = {
     registerDialect()

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ScoredId, TopKAggregator}
+import graft.operators.{Relational, Similarity}
+import graft.sources.SQLiteIO
+
+/** Remaining SURVEY §2 surface rows: S9 exec, S10 CSV round-trip, S11
+  * pretty-print, A7 custom Aggregator, J9 as-of join semantics. */
+class SurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S9 exec runs semicolon-separated SQL against the session") {
+    Tables.load(spark, sf, "region").createOrReplaceTempView("region_v")
+    SQLiteIO.exec(spark,
+      """CREATE OR REPLACE TEMP VIEW r2 AS SELECT * FROM region_v WHERE r_regionkey < 3;
+         CREATE OR REPLACE TEMP VIEW r3 AS SELECT count(*) AS n FROM r2""")
+    assert(spark.table("r3").as[Long].head() == 3L)
+  }
+
+  test("S10 CSV round-trip preserves data (reference: csvRepresentation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val d = Seq(("do dishes", false, 17), ("mow lawn", true, 2)).toDF("description", "done", "prio")
+    d.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(d.schema).csv(dir)
+    assert(back.orderBy("description").collect().toSeq ==
+           d.orderBy("description").collect().toSeq)
+  }
+
+  test("S11 show() renders (smoke)") {
+    Tables.load(spark, sf, "region").show(2) // must not throw
+  }
+
+  test("A7 TopKAggregator: bounded per-group top-k equals window top-k") {
+    val agg = new TopKAggregator(3).toColumn
+    val o = Tables.load(spark, sf, "orders")
+    val viaAgg = o.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)]
+      .map { case (c, k, p) => (c, ScoredId(k, p)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (cust, items) => items.map(i => (cust, i.id)) }
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = o.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("J9 asofJoin strict vs inclusive tie semantics") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 20L)).toDF("id", "k", "t")
+    val right = Seq((7L, 100L, 10L), (8L, 100L, 15L)).toDF("rid", "k", "t")
+    val strict = Relational.asofJoin(left, right, "k", "t", "t", Seq("rid"), "m", strict = true)
+      .select($"id", $"m.rid".as("rid")).as[(Long, Option[Long])].collect().toMap
+    // left t=10: no right strictly earlier; left t=20: rid=8 (t=15)
+    assert(strict(1L).isEmpty && strict(2L).contains(8L))
+    val incl = Relational.asofJoin(left, right, "k", "t", "t", Seq("rid"), "m", strict = false)
+      .select($"id", $"m.rid".as("rid")).as[(Long, Option[Long])].collect().toMap
+    // left t=10: rid=7 at equal ts is now visible
+    assert(incl(1L).contains(7L) && incl(2L).contains(8L))
+  }
+}
