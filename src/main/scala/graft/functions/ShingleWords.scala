@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graft.glue
+
+/** Distinct word k-shingles of a text in ONE native pass: lowercase,
+  * whitespace-split, sliding k-gram join, first-occurrence dedup.
+  *
+  * The built-in composition (normalize → split → transform(sequence,
+  * slice+concat_ws) → array_distinct) runs the higher-order lambdas
+  * interpreted (HOFs are outside whole-stage codegen) and dominated the
+  * whole MinHash pipeline (~6.7 s of a 10 s run at sf0.1). This fused
+  * expression does the same work in a single String walk + LinkedHashSet.
+  */
+case class ShingleWords(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_words"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleWords.eval(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleWords$$.MODULE$$.eval($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleWords =
+    copy(child = newChild)
+}
+
+object ShingleWords {
+  def eval(text: UTF8String, k: Int): ArrayData = {
+    // normalize: lowercase + split on whitespace runs (matches
+    // TextOps.normalize + split(" ") semantics)
+    val s = text.toString.toLowerCase
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        words += s.substring(start, i)
+      }
+    }
+    val out = new java.util.LinkedHashSet[String]
+    if (words.length >= k) {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j <= words.length - k) {
+        sb.setLength(0)
+        var m = 0
+        while (m < k) {
+          if (m > 0) sb.append(' ')
+          sb.append(words(j + m))
+          m += 1
+        }
+        out.add(sb.toString)
+        j += 1
+      }
+    } else {
+      out.add(words.mkString(" "))
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def shingleWords(text: Column, k: Int): Column =
+    glue.toColumn(ShingleWords(glue.toExpression(text), k))
+}

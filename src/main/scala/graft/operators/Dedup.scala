@@ -22,17 +22,12 @@ object Dedup {
 
   // ---- shingling --------------------------------------------------------
 
-  /** Distinct word k-grams of the normalized text (order-preserving
-    * sliding window, then set semantics). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(TextOps.normalize(text), " ")
-    val n = size(words)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - lit(k)),
-          i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", words))))
-  }
+  /** Distinct word k-grams of the normalized text — fused native
+    * expression (one string walk; the equivalent built-in HOF composition
+    * runs interpreted and was the dominant cost of the whole LSH
+    * pipeline, see PERF.md). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.ShingleWords.shingleWords(text, k)
 
   // ---- exact ------------------------------------------------------------
 

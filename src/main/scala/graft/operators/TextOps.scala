@@ -88,14 +88,9 @@ object TextOps {
       lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
     }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // argmax with first-wins tie-break, as a fold over the profile list
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-         when(score > bestScore, score).otherwise(bestScore))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
-  }
+  /** Fused native single-pass scorer (see graft.functions.LangIdExpr —
+    * the expression-fold form re-evaluates every profile's regex count in
+    * each argmax branch). `langScores` above stays as the composable
+    * per-profile building block. */
+  def langId(text: Column): Column = graft.functions.LangIdExpr.langId(text)
 }
