@@ -74,4 +74,39 @@ object ShingleWords {
 
   def shingleWords(text: Column, k: Int): Column =
     glue.toColumn(ShingleWords(glue.toExpression(text), k))
+
+  /** Plain tokenization (all words, duplicates kept) — same fused walk,
+    * k-gram/dedup skipped. Feeds SimHash64. */
+  def tokenize(text: UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[Any](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        out += UTF8String.fromString(s.substring(start, i))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Fused lowercase whitespace tokenizer (duplicates kept). */
+case class TokenizeWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_words"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleWords.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleWords$$.MODULE$$.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeWords =
+    copy(child = newChild)
+}
+
+object TokenizeWords {
+  def tokenizeWords(text: Column): Column =
+    glue.toColumn(TokenizeWords(glue.toExpression(text)))
 }

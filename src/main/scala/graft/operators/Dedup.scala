@@ -221,7 +221,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sigs = df.select(col(idCol),
-      SimHash64.simhash64(split(TextOps.normalize(col(textCol)), " ")).as("sig"))
+      SimHash64.simhash64(
+        graft.functions.TokenizeWords.tokenizeWords(col(textCol))).as("sig"))
     val chunked = sigs.select(col(idCol), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("band"),

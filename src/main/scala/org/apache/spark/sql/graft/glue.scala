@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object glue {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a named expression builder in the session's function
+    * registry so `spark.sql("SELECT name(...)")` resolves it. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    org.apache.spark.sql.classic.SparkSession.getActiveSession
+      .getOrElse(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: guard the properties PERF.md documents —
+  * pruned scans, pushed filters, broadcast joins, TakeOrderedAndProject —
+  * against regressions. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to scan + partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+    assert(p.contains("PushedFilters") || p.contains("l_shipdate"),
+      "expected shipdate filter at the scan")
+  }
+
+  test("q01: scan prunes to referenced columns only") {
+    val p = plan("q01_pricing_summary")
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("l_orderkey"), "unreferenced column not pruned")
+  }
+
+  test("q06: dimension joins are broadcast") {
+    val p = plan("q06_join_3way")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join expected at this scale")
+  }
+
+  test("q17: top-k lowers to TakeOrderedAndProject") {
+    assert(plan("q17_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q09: semi join stays LeftSemi with pushed quantity filter") {
+    val p = plan("q09_join_semi")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("49"), "quantity predicate should reach the scan side")
+  }
+
+  test("registered SQL functions resolve and agree with Column API") {
+    Graft.registerFunctions(spark)
+    Tables.load(spark, sf, "documents").limit(50).createOrReplaceTempView("d50")
+    val viaSql = spark.sql(
+      "SELECT doc_id, lang_id(text) l, simhash64(tokenize_words(text)) s FROM d50")
+      .orderBy($"doc_id").collect()
+    val viaCol = Tables.load(spark, sf, "documents").limit(50)
+      .select($"doc_id", graft.operators.TextOps.langId($"text").as("l"),
+        graft.functions.SimHash64.simhash64(
+          graft.functions.TokenizeWords.tokenizeWords($"text")).as("s"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.sameElements(viaCol))
+    val dotv = spark.sql("SELECT vec_dot(array(1.0F,2.0F), array(2.0F,3.0F)) d")
+      .as[Double].head()
+    assert(dotv == 8.0)
+  }
+}
