@@ -138,12 +138,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val inv = invertedIndex(df, idCol, textCol, k)
-    val sigs = minhashSignatures(inv, idCol, numHashes)
+    // shingle arrays persist once; signatures are a pure narrow map over
+    // them (fused MinHashSig — no explode/shuffle), the inverted index is
+    // derived only for the verification joins
+    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = withShingles.select(col(idCol),
+        graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
       .select(col(idCol),
         explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = bucketPairs(sigs, idCol, maxBucket)
+    val inv = withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
     verifyFromInv(cands, inv, idCol, threshold)
   }
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: bucketed co-located joins and skew salting — the two
+  * shuffle-elimination levers the DataFrame API doesn't hand you
+  * directly.
+  */
+object Scale {
+
+  /** Persist a frame as a bucketed table: rows are hash-partitioned into
+    * `buckets` files by `key` AT WRITE TIME, so any number of later
+    * equi-joins/aggregations on `key` between same-bucketed tables plan
+    * with ZERO Exchange — the 100 TB answer to "this fact-fact join
+    * shuffles terabytes every night". */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — shuffle-free by
+    * construction (assert with PlanSpec / explain: no Exchange). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, how: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), how)
+
+  /** Salted join for skewed keys: explode the SMALL side `salt` ways,
+    * scatter the big side's hot keys uniformly with a random salt, join
+    * on (key, salt). Turns one straggler partition into `salt` even ones.
+    * AQE's skew-join handles sort-merge skew automatically; salting is
+    * the explicit fallback when AQE can't (e.g. aggregations or when a
+    * single key exceeds one executor). Row counts are preserved exactly;
+    * the salt column never escapes. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+      how: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      (abs(xxhash64(monotonically_increasing_id())) % salt).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  /** Deterministic variant for tests/verification: salt derived from a
+    * stable column instead of row position. */
+  def saltedJoinBy(big: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, salt: Int, how: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(salt.toLong)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), how).drop("__salt")
+  }
+}

@@ -96,6 +96,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fused MinHashSig equals the HOF and explode+agg signature forms") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val fused = docs.select($"doc_id",
+        graft.functions.MinHashSig.minhashSig($"sh", 16).as("sig"))
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val hof = docs.select($"doc_id",
+        Dedup.minhashSignature($"sh", 16).as("sig"))
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val agg = Dedup.minhashSignatures(
+        docs.select($"doc_id", explode($"sh").as("shingle")), "doc_id", 16)
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(fused == hof)
+    assert(fused == agg)
+  }
+
   test("minhash LSH finds planted near-dup and verifies jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val nearDup = base.replace("kappa", "lambda")

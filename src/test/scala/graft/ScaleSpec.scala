@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plans with zero Exchange") {
+    // uses the session's default warehouse dir (spark-warehouse/, gitignored);
+    // clear leftovers from prior runs (dropped tables can leave dirs behind)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists) { d.listFiles.foreach(_.delete()); d.delete() }
+    }
+    Scale.writeBucketed(Tables.load(spark, sf, "orders"), "b_orders", "o_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.load(spark, sf, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8)
+    // at test scale AQE would broadcast instead; force the shuffle-join
+    // path so the bucketing guarantee (no hash-partition Exchange) shows
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan expected:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val joined = Scale.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    // row count equals the plain join
+    val plain = Tables.load(spark, sf, "orders").join(
+      Tables.load(spark, sf, "lineitem"), $"o_orderkey" === $"l_orderkey")
+    assert(joined.count() == plain.count())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  test("salted join preserves exact join semantics") {
+    val big = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey".as("k"), $"l_quantity")
+    val small = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    val salted = Scale.saltedJoinBy(big, small, "k", col("l_quantity"), 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy($"o_orderpriority").agg(round(sum($"l_quantity"), 2).as("s"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    val b = plain.groupBy($"o_orderpriority").agg(round(sum($"l_quantity"), 2).as("s"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    assert(a == b)
+  }
+}
