@@ -478,13 +478,17 @@ object Core {
 
     QueryDef("q28_time_window", (s, dir) => {
       import s.implicits._
-      // tumbling 1h window: same result as date_trunc since windows align
+      // tumbling 1h window: same result as date_trunc since windows align.
+      // Output the window start as epoch seconds (bigint) — integer
+      // compare is immune to parquet timestamp-encoding differences
+      // between engines (INT96 vs µs).
       t(s, dir, "events")
-        .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"), $"event_type")
+        .groupBy(unix_seconds(window($"ts", "1 hour").getField("start")).as("hour_start"),
+                 $"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
         .orderBy($"hour_start", $"event_type")
     }, Some("""
-      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 

@@ -88,6 +88,16 @@ object SQLiteIO {
     r2.load()
   }
 
+  /** Eager-compat read (SURVEY.md §7.4 hard part 2): the reference fully
+    * materializes at init, so later table mutations don't affect an
+    * already-read frame. Spark frames are lazy views — opt into snapshot
+    * semantics by caching and forcing materialization here. */
+  def snapshot(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    cached.count()
+    cached
+  }
+
   /** S9: batch-SQL passthrough (≈ SQLiteConnection.exec, SDF.swift:52-54):
     * run semicolon-separated statements through Spark SQL (DDL/DML on the
     * session catalog; fixtures, view definitions, CTAS). */

@@ -43,6 +43,12 @@ object EventStreams {
                col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Streaming exact dedup: drop re-delivered events by id within the
+    * watermark horizon (state is bounded by the watermark — the streaming
+    * twin of Dedup.dedupExact). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

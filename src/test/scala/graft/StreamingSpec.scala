@@ -23,6 +23,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    // duplicate the stream by unioning it with itself: every event twice
+    val doubled = stream.union(stream)
+    val deduped = EventStreams.dedupEvents(doubled)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_events").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_events").count()
+    val expect = Tables.load(spark, sf, "events").count()
+    assert(got == expect)
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     val stream = EventStreams.readEventStream(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
