@@ -15,7 +15,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: pay JVM/codegen/parquet-footer costs before any timing
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
