@@ -56,6 +56,36 @@ object SQLiteExprs {
   def uint64FitsInt64(c: Column): Column =
     c <= lit(new java.math.BigDecimal(Long.MaxValue))
 
+  /** SQLite GLOB pattern → anchored Java/RE2 regex: `*` → `.*`, `?` →
+    * `.`, `[seq]` passes through (incl. `[^...]`), everything else
+    * quoted. Case-sensitive, full-string match — SQLite GLOB semantics. */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\["); }
+          else {
+            val body0 = glob.substring(i + 1, close)
+            val body = if (body0.startsWith("^")) body0 else body0.replace("\\", "\\\\")
+            sb.append('[').append(body).append(']')
+            i = close
+          }
+        case c if "\\.[]{}()<>*+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** GLOB as a Column predicate. */
+  def glob(c: Column, pattern: String): Column = c.rlike(globToRegex(pattern))
+
   /** C2 (SDF.swift:457-472): integer width narrowing. ANSI-mode cast
     * (throws on overflow) is our documented divergence from Swift's trap
     * (SURVEY.md §7.4). */

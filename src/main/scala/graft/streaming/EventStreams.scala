@@ -43,6 +43,29 @@ object EventStreams {
                col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Stream-stream interval join: purchases attributed to a click by the
+    * same user within `windowSec` before the purchase. Both sides carry
+    * watermarks so join state is bounded (Spark requires the interval
+    * condition + watermarks to garbage-collect buffered rows). */
+  def clickAttribution(events: DataFrame, windowSec: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") < col("p_ts"),
+      "inner")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (state is bounded by the watermark — the streaming
     * twin of Dedup.dedupExact). */

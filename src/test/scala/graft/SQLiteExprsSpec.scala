@@ -66,6 +66,32 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(got == Seq("1", "2.5", "hi"))
   }
 
+  test("GLOB → regex translation (SQLite semantics: *, ?, [seq], case-sensitive)") {
+    val rows = Seq("Brand#12", "brand#12", "Brand#45", "Bx", "B!").toDF("s")
+    def hits(p: String) = rows.filter(globFn($"s", p)).as[String].collect().toSet
+    assert(hits("Brand#1*") == Set("Brand#12"))          // case-sensitive prefix
+    assert(hits("B?") == Set("Bx", "B!"))                 // ? = single char
+    assert(hits("Brand#[14]*") == Set("Brand#12", "Brand#45"))
+    assert(hits("*rand*") == Set("Brand#12", "brand#12", "Brand#45"))
+  }
+  private def globFn = (c: org.apache.spark.sql.Column, p: String) => glob(c, p)
+
+  test("custom codec round-trip through a store (≈ custom codec write, Tests.swift:113-127)") {
+    import graft.types.SQLiteCodec
+    import graft.sources.{ParquetStore, SQLiteIO}
+    // a CGPoint-style value stored via its text description (C6 fallback)
+    val pts = Seq((1L, "(1.5, 2.5)"), (2L, "(3.0, 4.0)")).toDF("id", "pt")
+    val enc = pts.select($"id", SQLiteCodec.descriptionFallback.encode($"pt").as("pt_cell"),
+      SQLiteCodec[Boolean].encode($"id" % 2 === 0).as("even_cell"))
+    val st = new ParquetStore(java.nio.file.Files.createTempDirectory("graft-codec").toString)
+    st.write(enc, "pts", SQLiteIO.IfExists.Replace)
+    val back = st.read(spark, "pts")
+      .select($"id", SQLiteCodec.descriptionFallback.decode($"pt_cell").as("pt"),
+        SQLiteCodec[Boolean].decode($"even_cell").as("even"))
+      .orderBy($"id").as[(Long, String, Boolean)].collect().toSeq
+    assert(back == Seq((1L, "(1.5, 2.5)", false), (2L, "(3.0, 4.0)", true)))
+  }
+
   test("codec dispatch: bool codec encodes/decodes (≈ IntThing, Tests.swift:225-241)") {
     val enc = Seq(true, false).toDF("b")
       .select(SQLiteCodec[Boolean].encode($"b").as("cell"))

@@ -36,6 +36,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("stream-stream interval join matches the batch computation") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val joined = EventStreams.clickAttribution(stream)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib").count()
+
+    val ev = Tables.load(spark, sf, "events")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val batch = p.join(c, $"p_user" === $"c_user" &&
+      $"c_ts" >= $"p_ts" - expr("INTERVAL 3600 SECONDS") && $"c_ts" < $"p_ts").count()
+    assert(got == batch && got > 0)
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     val stream = EventStreams.readEventStream(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
