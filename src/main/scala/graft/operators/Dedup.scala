@@ -274,16 +274,21 @@ object Dedup {
   def cosineNearDupLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 16, bands: Int = 4,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
+    // fused signature (one long, native pass — the composed per-plane
+    // expression tree exceeded codegen limits AND was re-evaluated on
+    // both self-join branches); banded frame persisted so the join reads
+    // it instead of recomputing lineage
     val rowsPerBand = planes / bands
-    val withSig = df.select(col(idCol), col(vecCol), sig.as("hsig"))
+    val mask = (1L << rowsPerBand) - 1
+    val withSig = df.select(col(idCol), col(vecCol),
+      graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
     val exploded = withSig.select(col(idCol), col(vecCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", slice(col("hsig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast(ArrayType(StringType)))).as("bucket"))
+          shiftright(col("hsig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val okBuckets = exploded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)

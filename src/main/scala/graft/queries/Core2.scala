@@ -254,6 +254,22 @@ object Core2 {
         ON p.user_id = c.user_id AND p.ts > c.ts
       ORDER BY p.event_id""")),
 
+    QueryDef("q45_salted_join", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Scale
+      // skew-salted join must be semantically invisible: oracle is the
+      // PLAIN join aggregation
+      val big = t(s, dir, "lineitem").select($"l_orderkey".as("k"), $"l_quantity")
+      val small = t(s, dir, "orders").select($"o_orderkey".as("k"), $"o_orderpriority")
+      Scale.saltedJoinBy(big, small, "k", $"l_quantity", salt = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     QueryDef("q41_cube", (s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")

@@ -177,6 +177,57 @@ object Pipeline {
         .orderBy($"query_id", $"rank")
     }, None),
 
+    QueryDef("s03_topk_agg", (s, dir) => {
+      import s.implicits._
+      import graft.functions.{ScoredId, TopKAggregator}
+      // bounded typed aggregation; oracle = window top-k (must agree)
+      val aggc = new TopKAggregator(3).toColumn
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .as[(Long, Long, Double)]
+        .map { case (c, k, p) => (c, ScoredId(k, p)) }
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(aggc.name("topk"))
+        .flatMap { case (cust, items) =>
+          items.zipWithIndex.map { case (i, r) => (cust, i.id, r + 1) } }
+        .toDF("o_custkey", "o_orderkey", "rnk")
+        .orderBy($"o_custkey", $"rnk")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) x
+      WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
+
+    QueryDef("d06_cosine_lsh", (s, dir) => {
+      import s.implicits._
+      // hyperplane-LSH candidates + exact verify: the 100 TB path for
+      // d05; approximate recall -> rows-only gate. 8 bits per band keeps
+      // buckets small (2-bit bands put ~25% of the corpus in each bucket
+      // = quadratic candidate blowup); recall is tuned for true near-dups
+      // (cos >= 0.9), not this corpus's 0.4 tail — see operator docs
+      Dedup.cosineNearDupLSH(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, planes = 32, bands = 4)
+        .orderBy($"id1", $"id2")
+    }, None),
+
+    QueryDef("e01_stream_window", (s, dir) => {
+      import s.implicits._
+      // the STREAMING path itself under the oracle gate: run the
+      // watermarked windowed aggregation to completion over the file
+      // source, return the materialized result
+      import graft.streaming.EventStreams
+      val name = "e01_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+      val res = EventStreams.runToMemory(s, EventStreams.windowedCounts(stream), name)
+      res.select(unix_seconds($"hour_start").as("hour_start"), $"event_type", $"n", $"total_value")
+        .orderBy($"hour_start", $"event_type")
+    }, Some("""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
     // ---- multimodal ------------------------------------------------------
     QueryDef("m01_media_features", (s, dir) => {
       import s.implicits._
