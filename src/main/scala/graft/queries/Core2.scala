@@ -270,6 +270,25 @@ object Core2 {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    QueryDef("q46_null_funcs", (s, dir) => {
+      import s.implicits._
+      // SQLite ifnull/nullif/coalesce/iif surface
+      t(s, dir, "lineitem").filter($"l_orderkey" <= 2000)
+        .select($"l_orderkey", $"l_linenumber",
+          nullif($"l_returnflag", lit("N")).as("rf_or_null"),
+          coalesce(nullif($"l_returnflag", lit("N")), lit("(none)")).as("rf_filled"),
+          when($"l_quantity" > 25, "bulk").otherwise("small").as("iif_bucket"),
+          expr("ifnull(nullif(l_linestatus, 'O'), 'open')").as("ls_filled"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_returnflag, 'N') AS rf_or_null,
+             coalesce(nullif(l_returnflag, 'N'), '(none)') AS rf_filled,
+             CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS iif_bucket,
+             ifnull(nullif(l_linestatus, 'O'), 'open') AS ls_filled
+      FROM lineitem WHERE l_orderkey <= 2000
+      ORDER BY l_orderkey, l_linenumber""")),
+
     QueryDef("q41_cube", (s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
