@@ -196,26 +196,47 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
     val inv = invertedIndex(df, idCol, textCol, k)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val rareShingles = inv.groupBy(col("shingle"))
+    val dfCounts = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
-      .select(col("shingle"))
-    val capped = inv.join(rareShingles, Seq("shingle"))
-    // one shuffle: co-occurrence counts ARE the intersection sizes — no
-    // distinct pass, no second verification join over arrays
-    val inter = capped.select(col("shingle"), col(idCol).as("id1"))
-      .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
-      .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
-      .withColumn("jaccard", round(
-        col("__inter").cast(DoubleType) /
-        (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    if (threshold >= 0.5) {
+      // AllPairs prefix filter (Bayardo et al.): order each doc's
+      // shingles by GLOBAL rarity; a pair with jaccard >= t must share
+      // an element within the first |x| - ceil(t*|x|) + 1 shingles of
+      // BOTH docs (any consistent total order). Lossless; worth the two
+      // extra shuffles only when t is high enough that the prefix is a
+      // small fraction (t=0.7 -> 30% of shingles; t=0.1 -> 90%, useless).
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__df").asc, col("shingle").asc)
+      val prefix = inv.join(dfCounts, Seq("shingle"))
+        .withColumn("__rk", row_number().over(wDoc))
+        .join(sizes, Seq(idCol))
+        .filter(col("__rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select(col("shingle"), col(idCol))
+      val cands = prefix.select(col("shingle"), col(idCol).as("id1"))
+        .join(prefix.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+        .distinct()
+      verifyFromInv(cands, inv, idCol, threshold)
+    } else {
+      // low threshold: one shuffle — co-occurrence counts ARE the
+      // intersection sizes; no distinct pass, no second verification join
+      val capped = inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+      val inter = capped.select(col("shingle"), col(idCol).as("id1"))
+        .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("__inter"))
+      inter
+        .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
+        .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
+        .withColumn("jaccard", round(
+          col("__inter").cast(DoubleType) /
+          (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
   }
 
   // ---- SimHash ----------------------------------------------------------

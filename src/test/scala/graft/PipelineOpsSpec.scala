@@ -122,6 +122,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.3))
   }
 
+  test("ngramJaccard prefix-filter path (t>=0.5) is lossless vs brute force") {
+    val docs = Tables.load(spark, sf, "documents").limit(150)
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter($"j" >= 0.7)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(fast == brute)
+  }
+
   test("ngramJaccard matches brute-force on the documents table") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
     val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
