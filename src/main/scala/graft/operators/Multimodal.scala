@@ -27,6 +27,21 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       feature: Array[Float], frame_count: Int)
 
+  /** Real ingestion path for media directories: Spark's binaryFile
+    * source yields (path, modificationTime, length, content) with
+    * content as the opaque payload — the at-scale entry point for
+    * image/audio/video directories (supports pathGlobFilter, recursive
+    * lookup, and partition pruning on path). */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("path"),
+        col("content").as("bytes"),
+        col("length").cast(LongType).as("n_bytes"))
+
   /** Synthesize a media table from the documents corpus: payload = UTF-8
     * bytes of the text (deterministic), metadata derived from doc fields.
     * Stands in for `spark.read.format("binaryFile")` at scale. */

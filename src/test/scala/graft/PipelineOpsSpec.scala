@@ -201,6 +201,14 @@ class MultimodalSpec extends SparkSpec {
     assert(m.count() > 0)
   }
 
+  test("readBinaryDir ingests opaque files with payloads intact") {
+    val m = Multimodal.readBinaryDir(spark, sf, "*.parquet")
+    assert(m.count() == Tables.all.size) // one blob per table file
+    val row = m.orderBy($"path").limit(1)
+      .select($"n_bytes", length($"bytes").cast("long").as("blen")).head()
+    assert(row.getLong(0) == row.getLong(1) && row.getLong(0) > 0)
+  }
+
   test("extractFeatures: partition-wise stub decode, deterministic") {
     val docs = Tables.load(spark, sf, "documents").limit(10)
     val f1 = Multimodal.featurePipeline(spark, docs).orderBy($"media_id").collect()
