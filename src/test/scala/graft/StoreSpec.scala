@@ -68,6 +68,16 @@ class StoreSpec extends SparkSpec {
     assert(st.exists(spark, "yes"))
   }
 
+  test("P2 lenient projection drops unknown names silently; strict throws (≈ Tests.swift:49-57)") {
+    import graft.operators.Relational
+    val df = Seq((1, "a")).toDF("id", "name")
+    val kept = Relational.project(df, Seq("id", "bogus"), lenient = true)
+    assert(kept.columns.toSeq == Seq("id"))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Relational.project(df, Seq("id", "bogus")).collect()
+    }
+  }
+
   test("S4 appendByPosition matches by position, keeps existing names (≈ SDF readSQL)") {
     import graft.operators.Relational
     val a = Seq((1, "x")).toDF("id", "name")
