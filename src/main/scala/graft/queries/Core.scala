@@ -247,7 +247,8 @@ object Core {
         .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"), $"rn", $"rk")
         .orderBy($"o_custkey", $"rn")
     }, Some("""
-      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn, rk FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
                rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk

@@ -270,6 +270,28 @@ object Core2 {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    QueryDef("q47_stats_agg", (s, dir) => {
+      import s.implicits._
+      // statistical aggregates (beyond the reference's SQLite surface —
+      // additive, exact-definition functions shared with DuckDB)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
+          round(var_samp($"l_quantity"), 4).as("var_qty"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("q46_null_funcs", (s, dir) => {
       import s.implicits._
       // SQLite ifnull/nullif/coalesce/iif surface
