@@ -292,6 +292,34 @@ object Core2 {
              round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    QueryDef("q48_string_funcs2", (s, dir) => {
+      import s.implicits._
+      // trim family + padding + part extraction (SQLite: ltrim/rtrim/
+      // trim/substr; padding via printf — here the direct functions)
+      t(s, dir, "part").filter($"p_partkey" <= 500)
+        .select($"p_partkey",
+          ltrim(concat(lit("  "), $"p_brand")).as("lt"),
+          rtrim(concat($"p_brand", lit("  "))).as("rt"),
+          lpad($"p_partkey".cast("string"), 8, "0").as("lp"),
+          rpad($"p_brand", 12, ".").as("rp"),
+          reverse($"p_brand").as("rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          split($"p_type", " ").getItem(0).as("first_word"),
+          element_at(split($"p_type", " "), -1).as("last_word"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             ltrim('  ' || p_brand) AS lt,
+             rtrim(p_brand || '  ') AS rt,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS lp,
+             rpad(p_brand, 12, '.') AS rp,
+             reverse(p_brand) AS rev,
+             repeat('ab', 3) AS rep,
+             split_part(p_type, ' ', 1) AS first_word,
+             split_part(p_type, ' ', -1) AS last_word
+      FROM part WHERE p_partkey <= 500
+      ORDER BY p_partkey""")),
+
     QueryDef("q46_null_funcs", (s, dir) => {
       import s.implicits._
       // SQLite ifnull/nullif/coalesce/iif surface
