@@ -320,6 +320,36 @@ object Core2 {
       FROM part WHERE p_partkey <= 500
       ORDER BY p_partkey""")),
 
+    QueryDef("q49_pivot", (s, dir) => {
+      import s.implicits._
+      // pivot with an explicit value list (deterministic columns); oracle
+      // spells the same thing as conditional sums
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum($"l_extendedprice"), 2))
+        .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS rev_f,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q50_unpivot", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "supplier")
+        .unpivot(Array($"s_suppkey"), Array($"s_acctbal", $"s_nationkey".cast("double")),
+          "metric", "value")
+        .select($"s_suppkey", $"metric", round($"value", 2).as("value"))
+        .orderBy($"s_suppkey", $"metric")
+    }, Some("""
+      SELECT s_suppkey, metric, round(value, 2) AS value FROM (
+        SELECT s_suppkey, 's_acctbal' AS metric, s_acctbal AS value FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 's_nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value FROM supplier) u
+      ORDER BY s_suppkey, metric""")),
+
     QueryDef("q46_null_funcs", (s, dir) => {
       import s.implicits._
       // SQLite ifnull/nullif/coalesce/iif surface

@@ -228,6 +228,32 @@ object Pipeline {
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
+    QueryDef("e02_session_window", (s, dir) => {
+      import s.implicits._
+      // built-in session_window (30-min gap) — must agree with the
+      // manual lag-based sessionization (q29's oracle recomputes it
+      // independently in SQL)
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events FROM (
+        SELECT user_id, sess, count(*) AS n FROM (
+          SELECT user_id,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events) a) b
+        GROUP BY user_id, sess) c
+      GROUP BY user_id ORDER BY user_id""")),
+
     // ---- multimodal ------------------------------------------------------
     QueryDef("m01_media_features", (s, dir) => {
       import s.implicits._
