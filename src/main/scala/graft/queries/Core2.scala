@@ -350,6 +350,26 @@ object Core2 {
         SELECT s_suppkey, 's_nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value FROM supplier) u
       ORDER BY s_suppkey, metric""")),
 
+    QueryDef("q51_sql_lateral", (s, dir) => {
+      // S2 for real: the arbitrary-SQL entry point (register views, hand
+      // SQL text to Catalyst — the reference's DataFrame(connection:
+      // statement:) path, SDF.swift:295) with a correlated LATERAL
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS top_price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        ORDER BY c.c_custkey""")
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS top_price
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      ORDER BY c.c_custkey""")),
+
     QueryDef("q46_null_funcs", (s, dir) => {
       import s.implicits._
       // SQLite ifnull/nullif/coalesce/iif surface
