@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. The driver captures only the last ~2000 chars
+  * of output, so the line must both END and START inside that window: we
+  * round to milliseconds and, if needed, trim the per-query map to the
+  * slowest entries until the whole line fits a conservative budget.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,7 +19,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: pay JVM/codegen/parquet-footer costs before any timing
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
@@ -20,11 +27,23 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    val total = results.map(_._2).sum
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+    }
+    // fit budget: driver tail window is 2000 chars and sbt appends a
+    // "[success] Total time ..." trailer; stay well clear of both.
+    val budget = 1600
+    val bySlowest = results.sortBy(-_._2)
+    var keep = bySlowest.size
+    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > budget) keep -= 1
+    val out = line(bySlowest.take(keep).sortBy(_._1))
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }
