@@ -2,10 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR
-  * and prints ONE JSON line. The driver captures only the last ~2000 chars
-  * of output, so the line must both END and START inside that window: we
-  * round to milliseconds and, if needed, trim the per-query map to the
-  * slowest entries until the whole line fits a conservative budget.
+  * and prints ONE JSON line as the process's LAST stdout line (build.sbt
+  * sets `run / outputStrategy := StdoutOutput` and `showSuccess := false`
+  * so sbt neither prefixes "[info] " nor appends a success trailer).
+  * The driver captures only the last ~2000 chars of output, so the line
+  * must both END and START inside that window: we round to milliseconds
+  * and, if needed, trim the per-query map to the slowest entries until the
+  * whole line fits a conservative budget (flagged via "omitted").
+  * Queries that throw are reported with value -1 and listed in "errors".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,26 +27,35 @@ object Bench {
     // warm-up: pay JVM/codegen/parquet-footer costs before any timing
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name; false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+      val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val omitted = results.size - entries.size
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"omitted":$omitted,"sf":"$sfDir","n_queries":${results.size}}"""
     }
-    // fit budget: driver tail window is 2000 chars and sbt appends a
-    // "[success] Total time ..." trailer; stay well clear of both.
-    val budget = 1600
+    // fit budget: the driver's tail window is ~2000 chars; stay clear of it.
+    val budget = 1800
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest.size
     while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > budget) keep -= 1
     val out = line(bySlowest.take(keep).sortBy(_._1))
-    spark.stop()
+    // stop() before printing keeps Spark's shutdown chatter above the JSON
+    // line, but must never swallow the measurements if it throws.
+    try spark.stop() catch { case _: Throwable => () }
     println(out)
     System.out.flush()
   }

@@ -28,9 +28,14 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     MinHashSig.eval(input.asInstanceOf[ArrayData], ab._1, ab._2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val abRef = ctx.addReferenceObj("minhashAB", ab, classOf[(Array[Long], Array[Long])].getName)
+    // Two typed long[] references, NOT one Tuple2: Tuple2._1() erases to
+    // Object in Java, which janino can't match against eval's long[]
+    // parameters (the compile failure silently dropped the whole stage to
+    // interpreted mode).
+    val aRef = ctx.addReferenceObj("minhashA", ab._1, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", ab._2, "long[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSig$$.MODULE$$.eval($c, (($abRef)._1()), (($abRef)._2()))")
+      s"graft.functions.MinHashSig$$.MODULE$$.eval($c, $aRef, $bRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

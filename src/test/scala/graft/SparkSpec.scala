@@ -12,6 +12,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Make codegen compile failures FATAL in tests: Spark's default is a
+      // silent fall-back to interpreted mode, which hides a 5-50x perf bug
+      // (bit us once: MinHashSig's generated call didn't janino-compile and
+      // every bench run quietly ran it interpreted).
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
