@@ -36,7 +36,15 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           failed ::= name; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolate queries from each other: several operators persist()
+      // intermediate frames (inverted indexes, LSH buckets) that stay
+      // referenced until here and would otherwise pressure the heap of
+      // every later query (e01 measured 2s isolated vs 12-23s when run
+      // after the dedup block with its caches still resident).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (if (ok) dt else -1.0)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
