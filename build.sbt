@@ -16,6 +16,7 @@ run / fork := true
 // logger prefix) and sbt must not append a "[success] Total time" trailer.
 run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command engine, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

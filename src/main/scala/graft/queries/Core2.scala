@@ -404,6 +404,46 @@ object Core2 {
              count(*) AS n, round(sum(l_quantity), 2) AS qty
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
-      ORDER BY rf, ls"""))
+      ORDER BY rf, ls""")),
+
+    QueryDef("q52_scalar_minmax_hex", (s, dir) => {
+      import s.implicits._
+      // SQLite's 2-arg scalar min/max (-> least/greatest), hex(),
+      // unicode() (-> ascii) and char() (-> char) surface
+      t(s, dir, "part").filter($"p_partkey" < 500)
+        .select($"p_partkey",
+          least($"p_size".cast("double"), $"p_retailprice").as("lo"),
+          greatest($"p_size".cast("double"), $"p_retailprice").as("hi"),
+          hex(substring($"p_name", 1, 4)).as("hx"),
+          ascii($"p_name").as("uni"),
+          expr("char(65 + p_size % 26)").as("ch"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             least(CAST(p_size AS DOUBLE), p_retailprice) AS lo,
+             greatest(CAST(p_size AS DOUBLE), p_retailprice) AS hi,
+             hex(substr(p_name, 1, 4)) AS hx,
+             ascii(p_name) AS uni,
+             chr(65 + p_size % 26) AS ch
+      FROM part WHERE p_partkey < 500 ORDER BY p_partkey""")),
+
+    QueryDef("q53_total_agg", (s, dir) => {
+      import s.implicits._
+      // SQLite total(): like sum() but 0.0 (never NULL) over an empty
+      // input — shown side-by-side on a predicate that matches no rows
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(coalesce(sum(when($"l_discount" > 0.99, $"l_quantity")), lit(0.0)), 2)
+            .as("total_phantom"),
+          sum(when($"l_discount" > 0.99, $"l_quantity")).as("sum_phantom"),
+          round(coalesce(sum($"l_quantity"), lit(0.0)), 2).as("total_qty"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(coalesce(sum(l_quantity) FILTER (WHERE l_discount > 0.99), 0.0), 2) AS total_phantom,
+             sum(l_quantity) FILTER (WHERE l_discount > 0.99) AS sum_phantom,
+             round(coalesce(sum(l_quantity), 0.0), 2) AS total_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

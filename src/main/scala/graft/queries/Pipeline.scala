@@ -200,6 +200,38 @@ object Pipeline {
         FROM orders) x
       WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
 
+    QueryDef("s04_kmeans_assign", (s, dir) => {
+      import s.implicits._
+      // the Lloyd-iteration assign step at cluster scale: K centroids
+      // broadcast to every partition, corpus streams through one narrow
+      // stage (no shuffle until the per-cluster aggregate). Centroids are
+      // a fixed deterministic pick so the oracle can recompute them.
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid",
+          round(Similarity.cosine($"embedding", $"cvec"), 6).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"cosine".desc, $"cid".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n"), round(avg($"cosine"), 4).as("avg_cos"))
+        .orderBy($"cid")
+    }, Some("""
+      WITH scored AS (
+        SELECT v.vec_id, c.vec_id AS cid,
+               round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings v, embeddings c WHERE c.vec_id < 8),
+      assigned AS (
+        SELECT vec_id, cid, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, cid ASC) AS rn
+        FROM scored)
+      SELECT cid, count(*) AS n, round(avg(cosine), 4) AS avg_cos
+      FROM assigned WHERE rn = 1 GROUP BY cid ORDER BY cid""")),
+
     QueryDef("d06_cosine_lsh", (s, dir) => {
       import s.implicits._
       // hyperplane-LSH candidates + exact verify: the 100 TB path for
@@ -253,6 +285,50 @@ object Pipeline {
             FROM events) a) b
         GROUP BY user_id, sess) c
       GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("e03_stream_dedup", (s, dir) => {
+      import s.implicits._
+      // streaming exact dedup under the oracle gate: the source unioned
+      // with itself simulates at-least-once re-delivery; dropDuplicates
+      // on event_id (state GC'd by the watermark) must reduce it back to
+      // exactly the batch table. Append mode emits first-seen rows
+      // immediately; the aggregation happens on the materialized result.
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.OutputMode
+      val name = "e03_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+      val deduped = EventStreams.dedupEvents(stream.union(stream))
+        .select($"event_id", $"event_type", $"value")
+      EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("e04_click_attribution", (s, dir) => {
+      import s.implicits._
+      // stream-stream interval join under the oracle gate: purchases
+      // joined to same-user clicks in the preceding hour, with watermarks
+      // bounding both join buffers. Inner matches emit within the batch,
+      // so the finite source materializes the complete join.
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.OutputMode
+      val name = "e04_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+      val attributed = EventStreams.clickAttribution(stream, windowSec = 3600)
+      EventStreams.runToMemory(s, attributed, name, OutputMode.Append())
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_attr"), round(sum($"value"), 2).as("attr_value"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT p.user_id, count(*) AS n_attr, round(sum(p.value), 2) AS attr_value
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 3600 SECONDS AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      GROUP BY 1 ORDER BY 1""")),
 
     // ---- multimodal ------------------------------------------------------
     QueryDef("m01_media_features", (s, dir) => {

@@ -124,10 +124,14 @@ object EventStreams {
   }
 
   /** Run a streaming query to completion against the (finite) file source
-    * and return the materialized result — the test/verify harness. */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    * and return the materialized result — the test/verify harness.
+    * Complete mode for aggregations; Append for dedup / stream-stream
+    * joins (both emit matched/first-seen rows within the batch, so a
+    * finite source leaves nothing stuck behind the watermark). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
