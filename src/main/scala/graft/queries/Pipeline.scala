@@ -252,7 +252,11 @@ object Pipeline {
       import graft.streaming.EventStreams
       val name = "e01_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val stream = EventStreams.readEventStream(s, dir)
-      val res = EventStreams.runToMemory(s, EventStreams.windowedCounts(stream), name)
+      // 8 state partitions, sized to this stream's key space (hour x
+      // event_type) — see withShufflePartitions
+      val res = EventStreams.withShufflePartitions(s, 8) {
+        EventStreams.runToMemory(s, EventStreams.windowedCounts(stream), name)
+      }
       res.select(unix_seconds($"hour_start").as("hour_start"), $"event_type", $"n", $"total_value")
         .orderBy($"hour_start", $"event_type")
     }, Some("""
@@ -299,8 +303,9 @@ object Pipeline {
       val stream = EventStreams.readEventStream(s, dir)
       val deduped = EventStreams.dedupEvents(stream.union(stream))
         .select($"event_id", $"event_type", $"value")
-      EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
-        .groupBy($"event_type")
+      EventStreams.withShufflePartitions(s, 8) {
+        EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+      }.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
         .orderBy($"event_type")
     }, Some("""
@@ -318,8 +323,12 @@ object Pipeline {
       val name = "e04_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val stream = EventStreams.readEventStream(s, dir)
       val attributed = EventStreams.clickAttribution(stream, windowSec = 3600)
-      EventStreams.runToMemory(s, attributed, name, OutputMode.Append())
-        .groupBy($"user_id")
+      // interval joins keep 4 state stores per partition and every
+      // micro-batch commits all of them; 8 partitions fit this stream's
+      // ~150 users (32 tripled the runtime in pure commit overhead)
+      EventStreams.withShufflePartitions(s, 8) {
+        EventStreams.runToMemory(s, attributed, name, OutputMode.Append())
+      }.groupBy($"user_id")
         .agg(count(lit(1)).as("n_attr"), round(sum($"value"), 2).as("attr_value"))
         .orderBy($"user_id")
     }, Some("""

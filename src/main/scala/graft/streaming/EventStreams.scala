@@ -123,6 +123,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming stateful operators hash-partition their state by
+    * spark.sql.shuffle.partitions, fixed at the first checkpoint — AQE
+    * never resizes it, and every micro-batch pays a per-partition state
+    * store commit whether or not the partition saw data. Production
+    * streaming jobs therefore size this explicitly to expected state
+    * volume (keys x throughput), independent of the batch setting. This
+    * scopes that sizing to one query and restores the session after. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Run a streaming query to completion against the (finite) file source
     * and return the materialized result — the test/verify harness.
     * Complete mode for aggregations; Append for dedup / stream-stream
