@@ -24,9 +24,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm-up: pay JVM/codegen/parquet-footer costs before any timing
+    // warm-up: pay JVM/codegen/parquet-footer costs before any timing.
+    // The first query to run a given physical shape (parquet scan →
+    // project → HashAggregate → Exchange → Sort) pays its whole-stage
+    // codegen + JIT compile (~0.7 s measured); exercise that shape once
+    // over a real table so per-query timings measure the query, not the
+    // first-compile of common operators.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.load(spark, sfDir, "nation")
+      .groupBy(org.apache.spark.sql.functions.col("n_regionkey"))
+      .count().orderBy("n_regionkey").collect()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

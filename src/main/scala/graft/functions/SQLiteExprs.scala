@@ -45,6 +45,40 @@ object SQLiteExprs {
     * same fixed format. */
   def dateToText(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  private val SignedUnit =
+    "^([+-]?\\d+)\\s+(second|minute|hour|day|month|year)s?$".r
+  private val WeekdayN = "^weekday\\s+([0-6])$".r
+
+  /** SQLite date-function modifier chain (`datetime(ts, 'start of month',
+    * '+1 month', '-1 day')` — sqlite.org/lang_datefunc.html, reachable
+    * through the reference's SQL entry points SDF.swift:295-304), applied
+    * left-to-right as codegen'd built-ins:
+    *   - `start of month|year|day`  → date_trunc
+    *   - `±N second|minute|hour|day|month|year[s]` → interval arithmetic
+    *     (note: month/year adds clamp at month end like Spark/DuckDB —
+    *     SQLite instead normalizes Jan 31 + 1 month to Mar 3; documented
+    *     dialect gap, same class as W4 GROUPS frames)
+    *   - `weekday N` (0=Sunday) → advance to the next such weekday,
+    *     keeping the time of day (no-op when already on it)
+    * Modifier strings are validated at plan-build time — an unknown
+    * modifier throws immediately, not per-row. */
+  def dateModifiers(c: Column, mods: String*): Column =
+    mods.foldLeft(c) { (acc, raw) =>
+      raw.trim.toLowerCase match {
+        case "start of day"   => date_trunc("day", acc)
+        case "start of month" => date_trunc("month", acc)
+        case "start of year"  => date_trunc("year", acc)
+        case SignedUnit(n, unit) =>
+          acc + expr(s"INTERVAL '$n' ${unit.toUpperCase}")
+        case WeekdayN(n) =>
+          // Spark dayofweek: 1=Sunday..7=Saturday; SQLite weekday: 0=Sunday
+          val delta = (lit(7 + n.toInt) - (dayofweek(acc) - lit(1))) % lit(7)
+          acc + make_dt_interval(delta)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported date modifier: $other")
+      }
+    }
+
   /** C3 (SDF.swift:473-479): UInt64 survives via TEXT when > Int64.max.
     * Spark has no unsigned types → DecimalType(20,0) escape hatch. */
   def uint64FromText(c: Column): Column = c.cast(DecimalType(20, 0))

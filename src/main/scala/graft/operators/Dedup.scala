@@ -122,15 +122,23 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
-  /** Inverted index (id, shingle), computed ONCE and persisted: every
-    * LSH/jaccard stage below re-reads it instead of re-shingling the
-    * corpus per stage (Spark recomputes lineage on every reuse otherwise —
-    * at 100 TB re-tokenizing the corpus 4x is the dominant cost; the
-    * (id, shingle) index is the thing you want resident/spillable). */
-  private def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Inverted index (id, shingle-hash) derived from a persisted
+    * (id, shingle-array) frame. Shingles are folded to 64-bit xxhash64
+    * keys *before* anything shuffles: every downstream join/groupBy then
+    * moves 8-byte longs instead of multi-word strings — at 100 TB the
+    * shuffle volume of the candidate join is the dominant network cost,
+    * and 64 bits keeps the collision odds (~|shingles|²/2⁶⁴) negligible.
+    * The array frame (not the exploded stream) is what persists: doc
+    * sizes then come from `size(sh)` as a narrow map instead of a
+    * count-per-id shuffle over the exploded index. */
+  private def invFromShingles(withShingles: DataFrame, idCol: String): DataFrame =
+    withShingles.select(col(idCol), explode(col("sh")).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("shingle"))
+
+  /** Per-doc distinct-shingle counts, narrow (shingle arrays are distinct
+    * by construction — ShingleWords emits each k-gram once). */
+  private def sizesFromShingles(withShingles: DataFrame, idCol: String): DataFrame =
+    withShingles.select(col(idCol), size(col("sh")).cast(LongType).as("sz"))
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Returns (id1, id2, jaccard) for pairs ≥ threshold. */
@@ -149,24 +157,22 @@ object Dedup {
         explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = bucketPairs(sigs, idCol, maxBucket)
-    val inv = withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
-    verifyFromInv(cands, inv, idCol, threshold)
+    verifyFromInv(cands, invFromShingles(withShingles, idCol),
+      sizesFromShingles(withShingles, idCol), idCol, threshold)
   }
 
   /** Exact Jaccard for candidate pairs via co-occurrence counts on the
     * inverted index: |A∩B| = shared-shingle count, |A∪B| = |A|+|B|-|A∩B|.
-    * No array columns cross a join — only (id, shingle) rows and one
+    * No array columns cross a join — only (id, shingle-hash) rows and one
     * count aggregation. Pairs sharing zero shingles drop out (their
     * jaccard is 0, below any positive threshold). */
   def verifyJaccard(pairs: DataFrame, withShingles: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val inv = withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
-    verifyFromInv(pairs, inv, idCol, threshold)
-  }
+      threshold: Double): DataFrame =
+    verifyFromInv(pairs, invFromShingles(withShingles, idCol),
+      sizesFromShingles(withShingles, idCol), idCol, threshold)
 
-  private def verifyFromInv(pairs: DataFrame, inv: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+  private def verifyFromInv(pairs: DataFrame, inv: DataFrame, sizes: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val inter = pairs
       .join(inv.select(col(idCol).as("id1"), col("shingle")), "id1")
       .join(inv.select(col(idCol).as("id2"), col("shingle")), Seq("id2", "shingle"))
@@ -194,8 +200,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
-    val inv = invertedIndex(df, idCol, textCol, k)
-    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = invFromShingles(withShingles, idCol)
+    val sizes = sizesFromShingles(withShingles, idCol)
     val dfCounts = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
@@ -218,7 +226,7 @@ object Dedup {
         .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"))
         .distinct()
-      verifyFromInv(cands, inv, idCol, threshold)
+      verifyFromInv(cands, inv, sizes, idCol, threshold)
     } else {
       // low threshold: one shuffle — co-occurrence counts ARE the
       // intersection sizes; no distinct pass, no second verification join

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.SQLiteExprs
+
+/** Round-3 additions: a TPC-H Q5-shaped headline join, the generator
+  * (UDTF) surface, SQLite date-modifier chains, and TTL'd streaming
+  * dedup — each under the DuckDB oracle gate. */
+object Core3 {
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Headline 6-table join (TPC-H Q5 shape): two broadcast dims pruned
+    // before the fact-fact shuffles; the date filter pushes to the orders
+    // scan. The plan to want at 100 TB: lineitem⋈orders⋈customer sort-
+    // merge/shuffled-hash on the big keys, region+nation broadcast, AQE
+    // free to re-plan the supplier side from runtime stats.
+    QueryDef("q54_tpch_q5", (s, dir) => {
+      import s.implicits._
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+      val lineitem = t(s, dir, "lineitem")
+      val supplier = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region").filter($"r_name" === "ASIA")
+      customer
+        .join(orders, $"c_custkey" === $"o_custkey")
+        .join(lineitem, $"l_orderkey" === $"o_orderkey")
+        .join(supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc)
+    }, Some("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC""")),
+
+    // Generator/UDTF surface (SURVEY §2.9 reserve): posexplode is the
+    // built-in Generator — one narrow stage, no shuffle until the sort.
+    QueryDef("q55_posexplode_words", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter($"doc_id" <= 20)
+        .select($"doc_id",
+          split(trim(regexp_replace(lower($"text"), "[^a-z]+", " ")), " ").as("ws"))
+        .select($"doc_id", posexplode($"ws").as(Seq("pos0", "word")))
+        .filter($"word" =!= "")
+        .select($"doc_id", ($"pos0" + 1).cast(LongType).as("pos"), $"word")
+        .orderBy($"doc_id", $"pos")
+    }, Some("""
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos FROM (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS ws
+          FROM documents WHERE doc_id <= 20) x)
+      WHERE word <> ''
+      ORDER BY doc_id, pos""")),
+
+    // SQLite datetime() modifier chains (sqlite.org/lang_datefunc.html),
+    // decoded by SQLiteExprs.dateModifiers into codegen'd built-ins.
+    QueryDef("q56_date_modifiers", (s, dir) => {
+      import s.implicits._
+      def f(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+      t(s, dir, "events")
+        .filter($"event_id" <= 50)
+        .select($"event_id",
+          f(SQLiteExprs.dateModifiers($"ts", "start of month", "+1 month", "-1 day"))
+            .as("month_end"),
+          f(SQLiteExprs.dateModifiers($"ts", "weekday 1")).as("next_monday"),
+          f(SQLiteExprs.dateModifiers($"ts", "start of year", "+9 hours"))
+            .as("year_start_9am"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id,
+             strftime(date_trunc('month', ts) + INTERVAL 1 MONTH - INTERVAL 1 DAY,
+                      '%Y-%m-%d %H:%M:%S') AS month_end,
+             strftime(ts + to_days(CAST((7 + 1 - dayofweek(ts)) % 7 AS INT)),
+                      '%Y-%m-%d %H:%M:%S') AS next_monday,
+             strftime(date_trunc('year', ts) + INTERVAL 9 HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS year_start_9am
+      FROM events WHERE event_id <= 50 ORDER BY event_id""")),
+
+    // Streaming dedup with TTL'd state (dropDuplicatesWithinWatermark):
+    // same at-least-once re-delivery simulation as e03, but state entries
+    // expire a watermark-delay after first sight instead of tracking the
+    // event-time column — the bounded-state contract for high-throughput
+    // sources. Must still reduce to exactly the batch table.
+    QueryDef("e05_stream_dedup_ttl", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.OutputMode
+      val name = "e05_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+      val deduped = EventStreams.dedupEventsWithinWatermark(stream.union(stream))
+        .select($"event_id", $"event_type", $"value")
+      EventStreams.withShufflePartitions(s, 8) {
+        EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+      }.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -72,6 +72,19 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming dedup with TTL'd state: unlike [[dedupEvents]] (whose state
+    * only drops once the *event-time column itself* ages past the
+    * watermark), `dropDuplicatesWithinWatermark` guarantees dedup only for
+    * duplicates arriving within the watermark delay of first sight and may
+    * evict earlier — the right contract for at-least-once sources that
+    * re-deliver promptly, with strictly smaller state at 100 TB/day
+    * throughput. Same output as dedupEvents whenever re-deliveries land
+    * inside the horizon (they do for a finite replayed source). */
+  def dedupEventsWithinWatermark(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

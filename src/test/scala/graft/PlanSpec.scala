@@ -56,4 +56,21 @@ class PlanSpec extends SparkSpec {
       .as[Double].head()
     assert(dotv == 8.0)
   }
+
+  test("q54: Q5-shape keeps dims broadcast and date filter at the orders scan") {
+    val p = plan("q54_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast dim joins")
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+    val ordersScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("o_orderdate")).get
+    assert(ordersScan.contains("PushedFilters: [") && ordersScan.contains("o_orderdate"),
+      "orderdate range filter should push to the parquet scan")
+  }
+
+  test("q55: posexplode stays a narrow Generate (no shuffle before the sort)") {
+    val p = plan("q55_posexplode_words")
+    assert(p.contains("Generate posexplode"), "expected the built-in Generator")
+    // exactly one exchange: the final range-partitioned sort
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
+  }
 }

@@ -107,4 +107,27 @@ class SQLiteExprsSpec extends SparkSpec {
       .select(date_format($"t", "yyyy-MM-dd").as("d")).as[String].head()
     assert(got == "2000-01-01")
   }
+
+  test("dateModifiers: SQLite modifier chains (lang_datefunc semantics)") {
+    def run(ts: String, mods: String*): String =
+      Seq(ts).toDF("c")
+        .select(dateModifiers(to_timestamp($"c"), mods: _*).as("t"))
+        .select(date_format($"t", "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    // start-of chain: month end via +1 month -1 day
+    assert(run("2024-01-17 10:30:00", "start of month", "+1 month", "-1 day")
+      == "2024-01-31 00:00:00")
+    // signed units, applied left-to-right
+    assert(run("2024-01-17 10:30:00", "-2 hours", "+90 minutes") == "2024-01-17 10:00:00")
+    assert(run("2024-01-17 10:30:00", "start of year", "+9 hours") == "2024-01-01 09:00:00")
+    // weekday 1 (Monday): 2024-01-17 is a Wednesday → advances to the
+    // next Monday keeping time-of-day; a Monday stays put (no-op)
+    assert(run("2024-01-17 10:30:00", "weekday 1") == "2024-01-22 10:30:00")
+    assert(run("2024-01-15 10:30:00", "weekday 1") == "2024-01-15 10:30:00")
+    // weekday 0 (Sunday) from a Saturday advances one day
+    assert(run("2024-01-20 23:59:59", "weekday 0") == "2024-01-21 23:59:59")
+    // unknown modifiers are a plan-time error, not a runtime one
+    intercept[IllegalArgumentException] {
+      dateModifiers($"c", "start of fortnight")
+    }
+  }
 }
