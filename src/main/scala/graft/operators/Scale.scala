@@ -52,4 +52,41 @@ object Scale {
       explode(array((0 until salt).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "__salt"), how).drop("__salt")
   }
+
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partCols`. A filter on a partition column then prunes whole
+    * directories at planning time (`PartitionFilters` on the scan, never
+    * opening a file) — the difference between scanning 100 TB and
+    * scanning one day of it. Partition columns must be low-cardinality
+    * (date, region, flag): one dir per value, and a high-cardinality
+    * partition key means millions of tiny files. */
+  def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Scope Spark's runtime bloom-filter join pruning (Spark ≥ 3.4,
+    * `InjectRuntimeFilter`): when one join side carries a selective
+    * filter, Spark builds a bloom filter over its join keys at runtime
+    * and semi-prunes the other side's scan with `might_contain` BEFORE
+    * the shuffle — at 100 TB this drops most of a fact table's shuffle
+    * volume for dimension-filtered joins without bucketing anything.
+    * The defaults only engage above a 10 GB application-side scan
+    * (pointless below; the bloom build costs a pass over the creation
+    * side), so tests/small runs must lower the thresholds explicitly —
+    * which is what this helper scopes and restores. */
+  def withRuntimeBloomJoin[T](spark: SparkSession,
+      applicationSideScanThreshold: String = "0",
+      creationSideThreshold: String = "100MB")(f: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> applicationSideScanThreshold,
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> creationSideThreshold)
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

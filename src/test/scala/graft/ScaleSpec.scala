@@ -53,4 +53,38 @@ class ScaleSpec extends SparkSpec {
       .orderBy($"o_orderpriority").collect().toSeq
     assert(a == b)
   }
+
+  test("partitioned write prunes directories at plan time (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val li = Tables.load(spark, sf, "lineitem")
+    Scale.writePartitioned(li, dir, "l_returnflag")
+    val back = spark.read.parquet(dir).filter($"l_returnflag" === "R")
+    val scanLine = back.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("PartitionFilters:") && scanLine.contains("l_returnflag"),
+      s"returnflag filter should prune partitions, not rows:\n$scanLine")
+    // pruning must not change results
+    assert(back.count() == li.filter($"l_returnflag" === "R").count())
+  }
+
+  test("runtime bloom filter semi-prunes the fact side of a filtered dim join") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val sup = Tables.load(spark, sf, "supplier").filter($"s_acctbal" > 9000)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val (bloomed, plain) = Scale.withRuntimeBloomJoin(spark) {
+        val j = li.join(sup, $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name").agg(count(lit(1)).as("n"))
+        val opt = j.queryExecution.optimizedPlan.toString
+        assert(opt.contains("might_contain"),
+          s"expected an injected runtime bloom filter:\n$opt")
+        (j.orderBy($"s_name").collect().toSeq, ())
+      }
+      val plainRows = li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name").agg(count(lit(1)).as("n"))
+        .orderBy($"s_name").collect().toSeq
+      assert(bloomed == plainRows, "bloom pruning must not change results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
 }
