@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Graft.enableOptimizations(spark)
     // warm-up: pay JVM/codegen/parquet-footer costs before any timing.
     // The first query to run a given physical shape (parquet scan →
     // project → HashAggregate → Exchange → Sort) pays its whole-stage

@@ -8,6 +8,16 @@ import graft.functions._
   * function registry so they compose in `spark.sql` text as well as the
   * Column API. */
 object Graft {
+  /** Add graft's optimizer rules to a live session (idempotent). The
+    * cluster-deployment path is `spark.sql.extensions=graft.plans
+    * .GraftExtensions`; this is the same set of rules for sessions built
+    * before the library loads. */
+  def enableOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.RegexPrefixPushdown))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.RegexPrefixPushdown
+  }
+
   def registerFunctions(spark: SparkSession): Unit = {
     glue.registerFunction(spark, "simhash64", es => SimHash64(es.head))
     glue.registerFunction(spark, "vec_dot", es => VecDotF32(es(0), es(1)))

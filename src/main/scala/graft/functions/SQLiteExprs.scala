@@ -92,9 +92,11 @@ object SQLiteExprs {
 
   /** SQLite GLOB pattern → anchored Java/RE2 regex: `*` → `.*`, `?` →
     * `.`, `[seq]` passes through (incl. `[^...]`), everything else
-    * quoted. Case-sensitive, full-string match — SQLite GLOB semantics. */
+    * quoted. Case-sensitive, full-string match — SQLite GLOB semantics:
+    * `(?s)` because GLOB wildcards cross newlines, `\z` because `$`
+    * would also accept a match before a trailing newline. */
   def globToRegex(glob: String): String = {
-    val sb = new StringBuilder("^")
+    val sb = new StringBuilder("(?s)^")
     var i = 0
     while (i < glob.length) {
       glob.charAt(i) match {
@@ -114,11 +116,33 @@ object SQLiteExprs {
       }
       i += 1
     }
-    sb.append('$').toString
+    sb.append("\\z").toString
   }
 
-  /** GLOB as a Column predicate. */
-  def glob(c: Column, pattern: String): Column = c.rlike(globToRegex(pattern))
+  /** GLOB as a Column predicate. The four shapes that dominate real
+    * predicates — exact, `lit*`, `*lit`, `*lit*` — compile to string
+    * predicates instead of a regex: those push down to the parquet scan
+    * (`StringStartsWith` & co. prune row groups via column statistics)
+    * and stay cheap per row, where a regex is opaque to every source.
+    * Everything else falls back to the full anchored-regex translation.
+    * (General `rlike` filters with a literal-prefix shape get the same
+    * treatment from the [[graft.plans.RegexPrefixPushdown]] optimizer
+    * rule.) */
+  def glob(c: Column, pattern: String): Column = {
+    val meta = "*?[".toSet
+    def pure(s: String) = !s.exists(meta)
+    val body = pattern.drop(1).dropRight(1)
+    pattern match {
+      case p if pure(p) => c === lit(p)
+      case p if p.length >= 2 && p.endsWith("*") && !p.startsWith("*") && pure(p.dropRight(1)) =>
+        c.startsWith(p.dropRight(1))
+      case p if p.length >= 2 && p.startsWith("*") && !p.endsWith("*") && pure(p.drop(1)) =>
+        c.endsWith(p.drop(1))
+      case p if p.length >= 3 && p.startsWith("*") && p.endsWith("*") && body.nonEmpty && pure(body) =>
+        c.contains(body)
+      case _ => c.rlike(globToRegex(pattern))
+    }
+  }
 
   /** C2 (SDF.swift:457-472): integer width narrowing. ANSI-mode cast
     * (throws on overflow) is our documented divergence from Swift's trap

@@ -96,8 +96,8 @@ object Core2 {
       t(s, dir, "part")
         .select($"p_partkey", $"p_name", $"p_brand",
           $"p_name".like("%gre%").as("like_hit"),
-          // SQLite GLOB 'Brand#1*' semantics as an anchored regex
-          $"p_brand".rlike("^Brand#1.*$").as("glob_hit"),
+          // SQLite GLOB 'Brand#1*' — prefix shape compiles to StartsWith
+          graft.functions.SQLiteExprs.glob($"p_brand", "Brand#1*").as("glob_hit"),
           $"p_name".like("_i%").as("underscore_hit"))
         .filter($"like_hit" || $"glob_hit" || $"underscore_hit")
         .orderBy($"p_partkey")

@@ -73,4 +73,33 @@ class PlanSpec extends SparkSpec {
     // exactly one exchange: the final range-partitioned sort
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
   }
+
+  test("prefix GLOB compiles to StartsWith and pushes to the parquet scan") {
+    import graft.functions.SQLiteExprs
+    val df = Tables.load(spark, sf, "part")
+      .filter(SQLiteExprs.glob($"p_brand", "Brand#1*"))
+      .select($"p_partkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("StartsWith(p_brand"), s"expected StartsWith predicate:\n$p")
+    assert(p.contains("StringStartsWith(p_brand,Brand#1"),
+      s"expected the prefix pushed to the scan:\n$p")
+  }
+
+  test("RegexPrefixPushdown rewrites anchored-literal rlike to a pushed StartsWith") {
+    // raw user rlike, not via glob(): the optimizer rule must catch it
+    val df = Tables.load(spark, sf, "part")
+      .filter($"p_brand".rlike("^Brand#2.*"))
+      .select($"p_partkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("RLike"), s"rlike should have been rewritten:\n$p")
+    assert(p.contains("StringStartsWith(p_brand,Brand#2"),
+      s"expected the prefix pushed to the scan:\n$p")
+    // semantics preserved incl. the escaped-metachar path of the parser
+    import graft.plans.RegexPrefixPushdown.literalPrefix
+    assert(literalPrefix("^Brand\\#1.*") == None)     // '#' is not escapable in our set
+    assert(literalPrefix("^a\\.b") == Some("a.b"))    // escaped '.' is literal
+    assert(literalPrefix("^a.b") == None)             // live '.' — not a prefix
+    assert(literalPrefix("^abc$") == None)            // $-anchored: left alone
+    assert(literalPrefix("^a\\d.*") == None)          // regex class: left alone
+  }
 }

@@ -74,6 +74,15 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(hits("Brand#[14]*") == Set("Brand#12", "Brand#45"))
     assert(hits("*rand*") == Set("Brand#12", "brand#12", "Brand#45"))
   }
+
+  test("GLOB wildcards cross newlines and exact shapes stay exact (SQLite semantics)") {
+    val rows = Seq("a\nb", "ab", "a", "a\n").toDF("s")
+    def hits(p: String) = rows.filter(globFn($"s", p)).as[String].collect().toSet
+    assert(hits("a*b") == Set("a\nb", "ab"))  // * crosses \n
+    assert(hits("a*") == Set("a\nb", "ab", "a", "a\n"))
+    assert(hits("a") == Set("a"))             // no trailing-newline leniency
+    assert(hits("a?") == Set("ab", "a\n"))    // ? matches \n too
+  }
   private def globFn = (c: org.apache.spark.sql.Column, p: String) => glob(c, p)
 
   test("custom codec round-trip through a store (≈ custom codec write, Tests.swift:113-127)") {

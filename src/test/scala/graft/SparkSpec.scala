@@ -20,6 +20,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    Graft.enableOptimizations(s)
     s
   }
 }
