@@ -106,6 +106,40 @@ object Relational {
       .select(col("__l.*") +: Seq(col("__match").as(asofCol)): _*)
   }
 
+  /** Interval (range) join, scale path. A time-containment theta join
+    * (`lTs BETWEEN rStart AND rEnd`) plans as BroadcastNestedLoopJoin —
+    * quadratic work and a broadcast of a whole side; at 100 TB it simply
+    * does not run. Binning recovers an equi-join: the left row hashes to
+    * its time bin, the right interval replicates to every bin it
+    * overlaps (bounded by `binSeconds` ≈ the typical interval length,
+    * so the blow-up factor is ~interval/bin + 1), the bin equi-join
+    * shuffles hash-partitioned like any other join, and an exact
+    * containment filter finishes. Each matching pair meets in exactly
+    * one bin — the left row's — so no dedup pass is needed.
+    * Same shape Flink/streaming engines use for interval joins; the
+    * streaming twin is [[graft.streaming.EventStreams.clickAttribution]].
+    * Containment is `rStart <= lTs < rEnd` (half-open; `inclusiveEnd`
+    * for BETWEEN semantics). `key` adds an equality predicate that
+    * rides the same shuffle for free. */
+  def intervalJoin(left: DataFrame, lTs: String, right: DataFrame,
+      rStart: String, rEnd: String, key: Option[(String, String)] = None,
+      binSeconds: Long = 3600, inclusiveEnd: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def secs(c: org.apache.spark.sql.Column) = c.cast(TimestampType).cast(LongType)
+    val l = left.withColumn("__bin", floor(secs(col(lTs)) / binSeconds))
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(secs(col(rStart)) / binSeconds),
+                       floor(secs(col(rEnd)) / binSeconds))))
+    val endCmp = if (inclusiveEnd) col(lTs) <= col(rEnd) else col(lTs) < col(rEnd)
+    val binEq = l("__bin") === r("__bin")
+    val cond = key match {
+      case Some((lk, rk)) => binEq && l(lk) === r(rk)
+      case None           => binEq
+    }
+    l.join(r, cond && col(lTs) >= col(rStart) && endCmp, "inner")
+      .drop("__bin")
+  }
+
   /** S4: the reference's incremental re-read (`readSQL`, SDF.swift:406-531)
     * appends a fresh result set into an existing frame, matching columns
     * BY POSITION. Spark union is positional too, but we enforce width and

@@ -63,6 +63,44 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Z-order (Morton-curve) clustered write: scale both columns to
+    * `bits`-bit integers by min-max range, interleave their bits into a
+    * single Z-value, range-partition and sort the data by it, write.
+    * Each output file then covers a small rectangle of the 2-D key
+    * space instead of a stripe of one dimension — so parquet row-group
+    * min/max statistics prune scans filtered on EITHER column (a plain
+    * sort only serves its leading column). This is the layout trick
+    * behind Delta/Iceberg Z-ordering, expressed with stock Spark: one
+    * stats aggregate, one narrow map, one range shuffle.
+    * Caveats at scale: min-max scaling assumes roughly uniform value
+    * spread (use pre-ranked columns otherwise), and monotonically
+    * growing domains (timestamps) belong in the leading partition dirs
+    * of [[writePartitioned]], not in the Z-value. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      files: Int = 16, bits: Int = 16): Unit = {
+    val mx = (1L << bits) - 1
+    val stats = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    def scaled(c: String, mn: Double, mxv: Double) = {
+      val span = if (mxv > mn) mxv - mn else 1.0
+      least(greatest(((col(c).cast("double") - mn) / span * mx).cast("long"),
+        lit(0L)), lit(mx))
+    }
+    val x = scaled(c1, stats.getDouble(0), stats.getDouble(1))
+    val y = scaled(c2, stats.getDouble(2), stats.getDouble(3))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Scope Spark's runtime bloom-filter join pruning (Spark ≥ 3.4,
     * `InjectRuntimeFilter`): when one join side carries a selective
     * filter, Spark builds a bloom filter over its join keys at runtime

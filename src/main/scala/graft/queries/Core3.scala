@@ -94,6 +94,32 @@ object Core3 {
                       '%Y-%m-%d %H:%M:%S') AS year_start_9am
       FROM events WHERE event_id <= 50 ORDER BY event_id""")),
 
+    // Batch interval join via time binning (Relational.intervalJoin) —
+    // the equi-join scale path for the same semantics the theta form
+    // would hand to BroadcastNestedLoopJoin (plan-asserted). Oracle and
+    // semantics identical to the streaming twin e04.
+    QueryDef("q57_interval_join", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Relational
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+        .withColumn("w_start", $"p_ts" - expr("INTERVAL 3600 SECONDS"))
+      Relational.intervalJoin(clicks, "c_ts", purchases, "w_start", "p_ts",
+          key = Some(("c_user", "p_user")), binSeconds = 3600)
+        .groupBy($"p_user".as("user_id"))
+        .agg(count(lit(1)).as("n_attr"), round(sum($"value"), 2).as("attr_value"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT p.user_id, count(*) AS n_attr, round(sum(p.value), 2) AS attr_value
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 3600 SECONDS AND c.ts < p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      GROUP BY 1 ORDER BY 1""")),
+
     // Streaming dedup with TTL'd state (dropDuplicatesWithinWatermark):
     // same at-least-once re-delivery simulation as e03, but state entries
     // expire a watermark-delay after first sight instead of tracking the

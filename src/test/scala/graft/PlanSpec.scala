@@ -74,6 +74,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
   }
 
+  test("q57: interval join plans as an equi-join, not BroadcastNestedLoopJoin") {
+    val p = plan("q57_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"binned interval join must not fall back to BNLJ:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("prefix GLOB compiles to StartsWith and pushes to the parquet scan") {
     import graft.functions.SQLiteExprs
     val df = Tables.load(spark, sf, "part")

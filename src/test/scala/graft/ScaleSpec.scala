@@ -67,6 +67,28 @@ class ScaleSpec extends SparkSpec {
     assert(back.count() == li.filter($"l_returnflag" === "R").count())
   }
 
+  test("z-ordered write clusters BOTH columns per file (row-group skip layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.load(spark, sf, "lineitem")
+    Scale.writeZOrdered(li, dir, "l_orderkey", "l_extendedprice", files = 16)
+    val back = spark.read.parquet(dir)
+    // per-file value span, as a fraction of the global span, averaged
+    def avgSpanFrac(c: String): Double = {
+      val g = li.agg(max(col(c)).cast("double") - min(col(c)).cast("double")).head().getDouble(0)
+      val spans = back.groupBy(input_file_name())
+        .agg((max(col(c)).cast("double") - min(col(c)).cast("double")).as("s"))
+        .agg(avg($"s")).head().getDouble(0)
+      spans / g
+    }
+    val (fo, fp) = (avgSpanFrac("l_orderkey"), avgSpanFrac("l_extendedprice"))
+    // a single-column sort gives ~1/16 on its column and ~1.0 on the other;
+    // the Z-curve must keep both well under full-span
+    assert(fo < 0.55 && fp < 0.55,
+      f"z-order failed to cluster both dims: orderkey=$fo%.2f extendedprice=$fp%.2f")
+    // layout must not change content
+    assert(back.count() == li.count())
+  }
+
   test("runtime bloom filter semi-prunes the fact side of a filtered dim join") {
     val li = Tables.load(spark, sf, "lineitem")
     val sup = Tables.load(spark, sf, "supplier").filter($"s_acctbal" > 9000)

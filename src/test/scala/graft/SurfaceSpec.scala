@@ -62,4 +62,26 @@ class SurfaceSpec extends SparkSpec {
     // left t=10: rid=7 at equal ts is now visible
     assert(incl(1L).contains(7L) && incl(2L).contains(8L))
   }
+
+  test("intervalJoin equals the theta join, incl. bin-boundary-spanning intervals") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // intervals deliberately spanning multiple 3600s bins and touching edges
+    val left = Seq((1L, ts(100)), (1L, ts(3600)), (2L, ts(7200)), (1L, ts(7199)))
+      .toDF("lk", "lt")
+    val right = Seq((1L, ts(0), ts(3600)), (1L, ts(3500), ts(7300)),
+        (2L, ts(7200), ts(7200)), (2L, ts(0), ts(100000)))
+      .toDF("rk", "rs", "re")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lk", $"lt", $"rs", $"re").as[(Long, Timestamp, Timestamp, Timestamp)]
+        .collect().toSet
+    for (incl <- Seq(true, false)) {
+      val binned = key(Relational.intervalJoin(left, "lt", right, "rs", "re",
+        Some(("lk", "rk")), binSeconds = 3600, inclusiveEnd = incl))
+      val endCmp = if (incl) $"lt" <= $"re" else $"lt" < $"re"
+      val theta = key(left.join(right,
+        $"lk" === $"rk" && $"lt" >= $"rs" && endCmp))
+      assert(binned == theta, s"inclusiveEnd=$incl mismatch")
+    }
+  }
 }
