@@ -163,4 +163,14 @@ object SQLiteExprs {
     when(v.getField("t") === "int",  v.getField("i").cast(StringType))
       .when(v.getField("t") === "real", v.getField("r").cast(StringType))
       .otherwise(v.getField("s"))
+
+  /** SQLite `typeof()` over a variant cell: the storage class as text
+    * ('integer' | 'real' | 'text' | 'null'; 'blob' lives in binary
+    * columns outside the variant, see operators.Multimodal). NULL tag →
+    * 'null', matching SQLite's typeof(NULL). */
+  def typeofVariant(v: Column): Column =
+    when(v.getField("t") === "int", lit("integer"))
+      .when(v.getField("t") === "real", lit("real"))
+      .when(v.getField("t") === "text", lit("text"))
+      .otherwise(lit("null"))
 }

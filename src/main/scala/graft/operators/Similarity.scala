@@ -95,4 +95,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Spherical k-means, full Lloyd loop (the training step behind
+    * [[ivfTopK]]'s cells; the per-iteration assign is the s04 query).
+    * Per iteration: K centroids broadcast, every row scored in one
+    * narrow pass (fused dot/norm), assignment by max cosine; centroid
+    * update is `avg` per (cluster, dimension) over the posexploded
+    * vectors — partial aggregation map-side, so the shuffle carries
+    * K×dim partial sums per partition, not vectors. The only driver
+    * state between iterations is the K×dim centroid matrix (what MLlib
+    * keeps too); corpus never leaves the executors.
+    * Deterministic: init = first K vectors by id, ties break on cid.
+    * Returns (centroids, assignments(idCol, cid, cosine)). */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Seq[Array[Float]], DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[Array[Float]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect().toSeq
+    def assign(c: Seq[Array[Float]]): DataFrame = {
+      val cdf = broadcast(c.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cid", "cvec"))
+      corpus.crossJoin(cdf)
+        .withColumn("__cos", cosine(col(vecCol), col("cvec")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("cid"))))
+        .filter(col("__rn") === 1)
+    }
+    for (_ <- 0 until iters) {
+      val a = assign(cents)
+      // per-(cluster, dim) mean; K×dim rows come back to the driver
+      val upd = a.select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => upd.get(i).map(_.toArray).getOrElse(cents(i)))
+    }
+    val out = assign(cents)
+      .select(col(idCol), col("cid"), round(col("__cos"), 6).as("cosine"))
+    (cents, out)
+  }
 }

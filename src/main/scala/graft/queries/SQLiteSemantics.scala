@@ -92,6 +92,28 @@ object SQLiteSemantics {
              CASE WHEN event_id % 3 = 0 THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
                   WHEN event_id % 3 = 1 THEN CAST(round(value, 2) AS VARCHAR)
                   ELSE event_type END AS rendered
+      FROM events ORDER BY event_id""")),
+
+    // typeof() — SQLite's storage-class probe over dynamic cells
+    QueryDef("c05_typeof", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id",
+          when($"event_id" % 5 === 0, lit(null).cast(StringType))
+            .when($"event_id" % 3 === 0, lit("int"))
+            .when($"event_id" % 3 === 1, lit("real"))
+            .otherwise(lit("text")).as("ty"),
+          $"value".cast(StringType).as("raw"))
+        .select($"event_id",
+          SQLiteExprs.typeofVariant(SQLiteExprs.toVariant($"raw", $"ty"))
+            .as("storage_class"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN 'null'
+                  WHEN event_id % 3 = 0 THEN 'integer'
+                  WHEN event_id % 3 = 1 THEN 'real'
+                  ELSE 'text' END AS storage_class
       FROM events ORDER BY event_id"""))
   )
 }

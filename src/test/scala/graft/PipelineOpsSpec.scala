@@ -188,6 +188,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
+
+  test("kmeansFit: Lloyd iterations improve the spherical objective monotonically") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    def objective(iters: Int): Double = {
+      val (_, assigned) = Similarity.kmeansFit(emb, k = 8, iters = iters)
+      assert(assigned.count() == emb.count(), "every vector assigned exactly once")
+      assigned.agg(avg($"cosine")).head().getDouble(0)
+    }
+    val (o0, o1, o3) = (objective(0), objective(1), objective(3))
+    val eps = 1e-9 // float→double roundtrip noise
+    assert(o1 >= o0 - eps, s"iteration 1 must not regress: $o0 -> $o1")
+    assert(o3 >= o1 - eps, s"iteration 3 must not regress: $o1 -> $o3")
+    assert(o3 > o0, s"three iterations should strictly improve on init: $o0 -> $o3")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
