@@ -106,6 +106,35 @@ object Relational {
       .select(col("__l.*") +: Seq(col("__match").as(asofCol)): _*)
   }
 
+  /** W4 dialect-gap recipe: SQLite (≥3.28) window `GROUPS BETWEEN n
+    * PRECEDING AND CURRENT ROW` frames with `EXCLUDE` variants, which
+    * Spark's Window API lacks, by composition:
+    *   - GROUPS distance = dense_rank distance, so a RANGE frame over
+    *     the dense_rank of the order key is exactly a GROUPS frame
+    *     (whole peer groups enter and leave together)
+    *   - EXCLUDE CURRENT ROW / GROUP / TIES are frame-sum arithmetic
+    *     with the peer-group sum (partition by (part, rank))
+    * Three window passes over one shuffle'd sort order — Catalyst plans
+    * a single Exchange; the extra passes are narrow. Adds four columns:
+    * `prefix`, `prefix_excl_row`, `prefix_excl_group`, `prefix_excl_ties`. */
+  def withGroupsFrameSum(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, precedingGroups: Int, prefix: String = "g_sum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDr = df.withColumn("__dr",
+      dense_rank().over(Window.partitionBy(col(partCol)).orderBy(col(orderCol))))
+    val wFrame = Window.partitionBy(col(partCol)).orderBy(col("__dr"))
+      .rangeBetween(-precedingGroups, 0)
+    val wPeer = Window.partitionBy(col(partCol), col("__dr"))
+    withDr
+      .withColumn(prefix, sum(col(valueCol)).over(wFrame))
+      .withColumn(s"${prefix}_excl_row", col(prefix) - col(valueCol))
+      .withColumn(s"${prefix}_excl_group",
+        col(prefix) - sum(col(valueCol)).over(wPeer))
+      .withColumn(s"${prefix}_excl_ties",
+        col(prefix) - sum(col(valueCol)).over(wPeer) + col(valueCol))
+      .drop("__dr")
+  }
+
   /** Interval (range) join, scale path. A time-containment theta join
     * (`lTs BETWEEN rStart AND rEnd`) plans as BroadcastNestedLoopJoin —
     * quadratic work and a broadcast of a whole side; at 100 TB it simply

@@ -279,15 +279,22 @@ object Core {
       val w = Window.partitionBy($"l_suppkey")
         .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // accumulate in DECIMAL so the running sum is exact in both
+      // engines (double accumulation drifted one .005 boundary in 600k
+      // rows at sf0.1), then surface as the same double column
       t(s, dir, "lineitem")
-        .withColumn("running_qty", round(sum($"l_quantity").over(w), 2))
+        .withColumn("running_qty",
+          round(sum($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .over(w).cast("double"), 2))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
         .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
     }, Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
-             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_suppkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               AS running_qty
       FROM lineitem
       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")),
 

@@ -120,6 +120,43 @@ object Core3 {
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       GROUP BY 1 ORDER BY 1""")),
 
+    // W4 gap closed by composition: GROUPS frames + EXCLUDE variants
+    // (Relational.withGroupsFrameSum). The oracle recomputes through
+    // DuckDB's independent dense_rank/RANGE machinery (its GROUPS mode
+    // is unimplemented in v1.0.0); exact EXCLUDE semantics are pinned by
+    // a hand-computed SurfaceSpec case.
+    QueryDef("q58_window_groups", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Relational
+      val li = t(s, dir, "lineitem").filter($"l_orderkey" <= 200)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_quantity", $"l_extendedprice")
+      val g = Relational.withGroupsFrameSum(li, "l_returnflag", "l_quantity",
+        "l_extendedprice", precedingGroups = 2)
+      g.select($"l_orderkey", $"l_linenumber",
+          round($"g_sum", 2).as("g_sum"),
+          round($"g_sum_excl_row", 2).as("g_sum_excl_row"),
+          round($"g_sum_excl_group", 2).as("g_sum_excl_group"),
+          round($"g_sum_excl_ties", 2).as("g_sum_excl_ties"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      WITH t AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice,
+               dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+        FROM lineitem WHERE l_orderkey <= 200)
+      SELECT l_orderkey, l_linenumber,
+             round(sum(l_extendedprice) OVER w, 2) AS g_sum,
+             round(sum(l_extendedprice) OVER w - l_extendedprice, 2) AS g_sum_excl_row,
+             round(sum(l_extendedprice) OVER w - sum(l_extendedprice) OVER peer, 2)
+               AS g_sum_excl_group,
+             round(sum(l_extendedprice) OVER w - sum(l_extendedprice) OVER peer
+                   + l_extendedprice, 2) AS g_sum_excl_ties
+      FROM t
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY dr
+                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+             peer AS (PARTITION BY l_returnflag, dr)
+      ORDER BY l_orderkey, l_linenumber""")),
+
     // Streaming dedup with TTL'd state (dropDuplicatesWithinWatermark):
     // same at-least-once re-delivery simulation as e03, but state entries
     // expire a watermark-delay after first sight instead of tracking the

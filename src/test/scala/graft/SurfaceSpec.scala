@@ -63,6 +63,23 @@ class SurfaceSpec extends SparkSpec {
     assert(incl(1L).contains(7L) && incl(2L).contains(8L))
   }
 
+  test("withGroupsFrameSum: GROUPS frame + EXCLUDE semantics on a hand-computed case") {
+    // partition A, order by q: peer groups {q=1: 10,20}, {q=2: 30}, {q=3: 40}
+    val df = Seq(("A", 1, 10.0), ("A", 1, 20.0), ("A", 2, 30.0), ("A", 3, 40.0))
+      .toDF("p", "q", "x")
+    val g = Relational.withGroupsFrameSum(df, "p", "q", "x", precedingGroups = 1)
+      .select($"q", $"x", $"g_sum", $"g_sum_excl_row", $"g_sum_excl_group", $"g_sum_excl_ties")
+      .as[(Int, Double, Double, Double, Double, Double)].collect().toSet
+    assert(g == Set(
+      // q=1 rows: frame = {q1} (no preceding group): sum 30
+      (1, 10.0, 30.0, 20.0, 0.0, 10.0),
+      (1, 20.0, 30.0, 10.0, 0.0, 20.0),
+      // q=2: frame {q1,q2} = 60; peers of current = {30}
+      (2, 30.0, 60.0, 30.0, 30.0, 60.0),
+      // q=3: frame {q2,q3} = 70
+      (3, 40.0, 70.0, 30.0, 30.0, 70.0)))
+  }
+
   test("intervalJoin equals the theta join, incl. bin-boundary-spanning intervals") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
