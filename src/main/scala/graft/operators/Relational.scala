@@ -125,13 +125,15 @@ object Relational {
     val wFrame = Window.partitionBy(col(partCol)).orderBy(col("__dr"))
       .rangeBetween(-precedingGroups, 0)
     val wPeer = Window.partitionBy(col(partCol), col("__dr"))
+    // NULL values contribute nothing to a SQL sum, so EXCLUDE arithmetic
+    // must subtract/add 0 for them — not NULL-poison the result
+    val v0 = coalesce(col(valueCol), lit(0))
+    val peerSum = coalesce(sum(col(valueCol)).over(wPeer), lit(0))
     withDr
       .withColumn(prefix, sum(col(valueCol)).over(wFrame))
-      .withColumn(s"${prefix}_excl_row", col(prefix) - col(valueCol))
-      .withColumn(s"${prefix}_excl_group",
-        col(prefix) - sum(col(valueCol)).over(wPeer))
-      .withColumn(s"${prefix}_excl_ties",
-        col(prefix) - sum(col(valueCol)).over(wPeer) + col(valueCol))
+      .withColumn(s"${prefix}_excl_row", col(prefix) - v0)
+      .withColumn(s"${prefix}_excl_group", col(prefix) - peerSum)
+      .withColumn(s"${prefix}_excl_ties", col(prefix) - peerSum + v0)
       .drop("__dr")
   }
 
@@ -159,13 +161,15 @@ object Relational {
     val r = right.withColumn("__bin",
       explode(sequence(floor(secs(col(rStart)) / binSeconds),
                        floor(secs(col(rEnd)) / binSeconds))))
-    val endCmp = if (inclusiveEnd) col(lTs) <= col(rEnd) else col(lTs) < col(rEnd)
+    // frame-qualified refs throughout: shared column names between the
+    // two sides must not make the join condition ambiguous
+    val endCmp = if (inclusiveEnd) l(lTs) <= r(rEnd) else l(lTs) < r(rEnd)
     val binEq = l("__bin") === r("__bin")
     val cond = key match {
       case Some((lk, rk)) => binEq && l(lk) === r(rk)
       case None           => binEq
     }
-    l.join(r, cond && col(lTs) >= col(rStart) && endCmp, "inner")
+    l.join(r, cond && l(lTs) >= r(rStart) && endCmp, "inner")
       .drop("__bin")
   }
 

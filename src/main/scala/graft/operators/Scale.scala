@@ -82,6 +82,12 @@ object Scale {
     val stats = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    if ((0 until 4).exists(stats.isNullAt)) {
+      // empty input or an all-NULL cluster column: no ranges to
+      // interleave — write the data as-is rather than NPE mid-layout
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def scaled(c: String, mn: Double, mxv: Double) = {
       val span = if (mxv > mn) mxv - mn else 1.0
       least(greatest(((col(c).cast("double") - mn) / span * mx).cast("long"),

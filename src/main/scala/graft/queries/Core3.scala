@@ -36,7 +36,7 @@ object Core3 {
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
-        .orderBy($"revenue".desc)
+        .orderBy($"revenue".desc, $"n_name")
     }, Some("""
       SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM customer
@@ -47,7 +47,7 @@ object Core3 {
       JOIN region   ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-      GROUP BY n_name ORDER BY revenue DESC""")),
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
     // Generator/UDTF surface (SURVEY §2.9 reserve): posexplode is the
     // built-in Generator — one narrow stage, no shuffle until the sort.

@@ -103,7 +103,11 @@ object SQLiteSemantics {
             .when($"event_id" % 3 === 0, lit("int"))
             .when($"event_id" % 3 === 1, lit("real"))
             .otherwise(lit("text")).as("ty"),
-          $"value".cast(StringType).as("raw"))
+          // int-tagged cells must carry an integral rendering (as in c04):
+          // the variant's int slot casts raw to LONG, an ANSI throw for
+          // "523.47" if any later consumer evaluates the slot
+          when($"event_id" % 3 === 0, floor($"value").cast(LongType).cast(StringType))
+            .otherwise($"value".cast(StringType)).as("raw"))
         .select($"event_id",
           SQLiteExprs.typeofVariant(SQLiteExprs.toVariant($"raw", $"ty"))
             .as("storage_class"))

@@ -95,13 +95,13 @@ class ScaleSpec extends SparkSpec {
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
     try {
-      val (bloomed, plain) = Scale.withRuntimeBloomJoin(spark) {
+      val bloomed = Scale.withRuntimeBloomJoin(spark) {
         val j = li.join(sup, $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name").agg(count(lit(1)).as("n"))
         val opt = j.queryExecution.optimizedPlan.toString
         assert(opt.contains("might_contain"),
           s"expected an injected runtime bloom filter:\n$opt")
-        (j.orderBy($"s_name").collect().toSeq, ())
+        j.orderBy($"s_name").collect().toSeq
       }
       val plainRows = li.join(sup, $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_name").agg(count(lit(1)).as("n"))
