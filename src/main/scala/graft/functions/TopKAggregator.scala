@@ -30,3 +30,21 @@ class TopKAggregator(k: Int)
   def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
   def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
 }
+
+/** `collect_list` with a hard size bound: the buffer never grows past
+  * `cap + 1` elements, so a pathological group (an LSH bucket shared by
+  * millions of docs) costs bounded executor memory instead of an OOM —
+  * and saturation is detectable downstream as `size > cap`. Partial
+  * aggregation applies: each map task ships at most cap+1 ids per group.
+  * Saturated groups are meant to be DROPPED by the caller (standard LSH
+  * hot-bucket capping), so which cap+1 ids survive is irrelevant. */
+class CappedIdsAggregator(cap: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  def zero: Seq[Long] = Seq.empty
+  def reduce(buf: Seq[Long], in: Long): Seq[Long] =
+    if (buf.size > cap) buf else buf :+ in
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = (a ++ b).take(cap + 1)
+  def finish(buf: Seq[Long]): Seq[Long] = buf
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

@@ -88,19 +88,23 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH buckets (id1 < id2), hot buckets capped.
-    * Cap via partial-agg counts + join — a window over the exploded index
-    * would sort the whole stream just to count per key. */
+    * ONE shuffle: group each bucket's ids with a size-capped collector
+    * ([[graft.functions.CappedIdsAggregator]] — bounded buffer, partial
+    * aggregation, saturation detectable as size > cap), drop saturated
+    * buckets, then pair generation is a narrow double-explode over the
+    * sorted id list. Replaces the count-agg + semi-join + self-join
+    * chain (4 shuffles, and the self-join materialized every bucket
+    * twice) that profiling showed dominated the whole LSH pipeline at
+    * small scale and shuffles bucket contents twice at any scale. */
   private def bucketPairs(exploded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val bucketCounts = exploded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = exploded.join(bucketCounts, Seq("band", "bucket"))
-    val l = capped.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = capped.select(col("band"), col("bucket"), col(idCol).as("id2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    val cappedIds = udaf(new graft.functions.CappedIdsAggregator(maxBucket))
+    exploded.groupBy(col("band"), col("bucket"))
+      .agg(cappedIds(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(sort_array(col("__ids")).as("__ids"))
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id2"))
       .distinct()
   }
 
