@@ -48,3 +48,19 @@ class CappedIdsAggregator(cap: Int)
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
+
+/** [[CappedIdsAggregator]] for (id, payload) pairs whose payload is one
+  * long (a SimHash fingerprint) — light enough to ride the candidate
+  * shuffle. Heavy payloads (embedding vectors) should instead join back
+  * by id after candidate generation. */
+class CappedLongPairsAggregator(cap: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  def zero: Seq[(Long, Long)] = Seq.empty
+  def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.size > cap) buf else buf :+ in
+  def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (a ++ b).take(cap + 1)
+  def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder[Seq[(Long, Long)]]()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder[Seq[(Long, Long)]]()
+}

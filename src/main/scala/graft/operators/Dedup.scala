@@ -255,7 +255,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: fused 64-bit fingerprint, candidates via the
     * pigeonhole banding (4 × 16-bit chunks: hamming ≤ 3 ⇒ ≥ 1 equal
-    * chunk), verified with bit_count(xor) ≤ maxHamming. */
+    * chunk), verified with bit_count(xor) ≤ maxHamming. Same
+    * single-shuffle capped-collector shape as [[bucketPairs]]; the
+    * fingerprint is one long, so it rides the candidate shuffle. */
   def dedupSimHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
@@ -268,16 +270,16 @@ object Dedup {
                shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val okBuckets = chunked.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = chunked.join(okBuckets, Seq("band", "bucket"))
-    val l = capped.select(col("band"), col("bucket"), col(idCol).as("id1"), col("sig").as("sig1"))
-    val r = capped.select(col("band"), col("bucket"), col(idCol).as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+    val cappedPairs = udaf(new graft.functions.CappedLongPairsAggregator(maxBucket))
+    chunked.groupBy(col("band"), col("bucket"))
+      .agg(cappedPairs(col(idCol), col("sig")).as("__xs"))
+      .filter(size(col("__xs")).between(2, maxBucket))
+      .select(sort_array(col("__xs")).as("__xs"))
+      .select(col("__xs"), posexplode(col("__xs")).as(Seq("__i", "__a")))
+      .select(col("__a"),
+        explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")))).as("__b"))
+      .select(col("__a._1").as("id1"), col("__b._1").as("id2"),
+        bit_count(col("__a._2").bitwiseXOR(col("__b._2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -303,35 +305,33 @@ object Dedup {
   }
 
   /** LSH-bucketed (approximate) cosine near-dup: random-hyperplane sign
-    * bands generate candidates, exact cosine verifies. The scale path. */
+    * bands generate candidates, exact cosine verifies. The scale path:
+    * only (id, band, bucket) rows enter the candidate shuffle
+    * ([[bucketPairs]], single capped aggregation) — the embedding
+    * vectors are heavy per row and join back by id ONLY for the
+    * surviving candidate pairs. At 100 TB this keeps the wide payload
+    * out of the one shuffle that fans out per band. */
   def cosineNearDupLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 16, bands: Int = 4,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
     // fused signature (one long, native pass — the composed per-plane
-    // expression tree exceeded codegen limits AND was re-evaluated on
-    // both self-join branches); banded frame persisted so the join reads
-    // it instead of recomputing lineage
+    // expression tree exceeded codegen limits); persisted so the verify
+    // joins re-read vectors instead of recomputing lineage
     val rowsPerBand = planes / bands
     val mask = (1L << rowsPerBand) - 1
     val withSig = df.select(col(idCol), col(vecCol),
       graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
-    val exploded = withSig.select(col(idCol), col(vecCol),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = withSig.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("hsig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col(idCol), col(vecCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val okBuckets = exploded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = exploded.join(okBuckets, Seq("band", "bucket"))
-    val l = capped.select(col("band"), col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = capped.select(col("band"), col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = bucketPairs(exploded, idCol, maxBucket)
+    cands
+      .join(withSig.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(withSig.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
       .withColumn("cosine", round(
         Similarity.dot(col("v1"), col("v2")) /
         (Similarity.norm(col("v1")) * Similarity.norm(col("v2"))), 4))
