@@ -119,6 +119,14 @@ object SQLiteExprs {
     sb.append("\\z").toString
   }
 
+  /** SQLite LIKE is case-INSENSITIVE by default (for ASCII; sqlite.org
+    * datatype3 §LIKE, reachable through the reference's SQL entry points
+    * SDF.swift:295-304) — Spark/ANSI LIKE is case-sensitive, so the
+    * faithful lowering is `ilike`. Documented delta: `ilike` folds case
+    * for all of Unicode, SQLite only for A–Z (its `case_sensitive_like`
+    * pragma and unicode extension change this anyway). */
+  def sqliteLike(c: Column, pattern: String): Column = c.ilike(pattern)
+
   /** GLOB as a Column predicate. The four shapes that dominate real
     * predicates — exact, `lit*`, `*lit`, `*lit*` — compile to string
     * predicates instead of a regex: those push down to the parquet scan

@@ -157,6 +157,23 @@ object Core3 {
              peer AS (PARTITION BY l_returnflag, dr)
       ORDER BY l_orderkey, l_linenumber""")),
 
+    // SQLite LIKE default case-insensitivity (vs ANSI/Spark LIKE),
+    // lowered to ilike on both engines.
+    QueryDef("q59_sqlite_like", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey", $"p_name",
+          SQLiteExprs.sqliteLike($"p_name", "%GRE%").as("ci_hit"),
+          (!SQLiteExprs.sqliteLike($"p_name", "%A%")).as("ci_not_hit"))
+        .filter($"ci_hit" || $"ci_not_hit")
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey, p_name,
+             p_name ILIKE '%GRE%' AS ci_hit,
+             p_name NOT ILIKE '%A%' AS ci_not_hit
+      FROM part WHERE (p_name ILIKE '%GRE%') OR (p_name NOT ILIKE '%A%')
+      ORDER BY p_partkey""")),
+
     // Streaming dedup with TTL'd state (dropDuplicatesWithinWatermark):
     // same at-least-once re-delivery simulation as e03, but state entries
     // expire a watermark-delay after first sight instead of tracking the
