@@ -84,6 +84,30 @@ object Multimodal {
     }
   }
 
+  /** Resize step for image rows. The Spark-side semantics are REAL —
+    * aspect-preserving fit to (maxW, maxH), never upscaling, metadata
+    * updated per row, iterator-to-iterator narrow pass — only the pixel
+    * resample kernel is the STUB (deterministic byte subsample scaled by
+    * the area ratio; a real impl decodes and scales pixels here — codec
+    * libs are not in this container). Non-image rows pass through. */
+  def resizeStub(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0, s"bad bounds: ${maxW}x$maxH")
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image" || (m.width <= maxW && m.height <= maxH)) m
+        else {
+          val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
+          val w = math.max(1, math.round(m.width * scale).toInt)
+          val h = math.max(1, math.round(m.height * scale).toInt)
+          val targetLen = math.max(1, (m.bytes.length * scale * scale).toInt)
+          m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen),
+            width = w, height = h)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * offset (sequence + explode — pure expressions, no UDF). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =

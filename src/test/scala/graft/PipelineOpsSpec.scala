@@ -231,6 +231,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(_.getAs[Seq[Float]]("feature").length == 8))
   }
 
+  test("resizeStub: aspect-preserving fit, no upscale, non-images untouched") {
+    import graft.operators.Multimodal.MediaRecord
+    val media = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
+      .as[MediaRecord]
+    val out = Multimodal.resizeStub(media, 100, 80).collect()
+    val in = media.collect().map(m => m.media_id -> m).toMap
+    // case-class == is reference equality on the Array[Byte] field
+    def same(a: MediaRecord, b: MediaRecord): Boolean =
+      a.media_id == b.media_id && a.kind == b.kind && a.width == b.width &&
+        a.height == b.height && a.format == b.format &&
+        a.duration_ms == b.duration_ms && a.bytes.sameElements(b.bytes)
+    out.foreach { m =>
+      val orig = in(m.media_id)
+      if (orig.kind != "image") assert(same(m, orig))
+      else {
+        assert(m.width <= 100 && m.height <= 80, s"${m.width}x${m.height} out of bounds")
+        assert(m.width <= orig.width && m.height <= orig.height, "must never upscale")
+        if (orig.width > 100 || orig.height > 80) {
+          val origRatio = orig.width.toDouble / orig.height
+          val newRatio = m.width.toDouble / m.height
+          assert(math.abs(origRatio - newRatio) / origRatio < 0.1,
+            s"aspect drifted: $origRatio -> $newRatio")
+          assert(m.bytes.length <= orig.bytes.length)
+        } else assert(same(m, orig), "within bounds: untouched")
+      }
+    }
+  }
+
   test("sampleFrames: one row per 500ms step") {
     val media = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
     val s = Multimodal.sampleFrames(media, 500L)

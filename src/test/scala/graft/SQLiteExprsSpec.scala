@@ -75,6 +75,60 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(hits("*rand*") == Set("Brand#12", "brand#12", "Brand#45"))
   }
 
+  test("GLOB property: engine agrees with an independent reference matcher") {
+    import org.scalacheck.Gen
+    // direct recursive implementation of SQLite GLOB semantics
+    // (case-sensitive full match; * any incl \n; ? any one char;
+    // [set] with ^ negation and a-b ranges; unclosed [ is literal)
+    def globMatch(p: String, s: String): Boolean = {
+      def m(pi: Int, si: Int): Boolean =
+        if (pi == p.length) si == s.length
+        else p(pi) match {
+          case '*' => (si to s.length).exists(k => m(pi + 1, k))
+          case '?' => si < s.length && m(pi + 1, si + 1)
+          case '[' =>
+            val close = p.indexOf(']', pi + 1)
+            if (close < 0) si < s.length && s(si) == '[' && m(pi + 1, si + 1)
+            else if (si >= s.length) false
+            else {
+              val raw = p.substring(pi + 1, close)
+              val neg = raw.startsWith("^")
+              val body = if (neg) raw.drop(1) else raw
+              var ok = false
+              var i = 0
+              while (i < body.length) {
+                if (i + 2 < body.length && body(i + 1) == '-') {
+                  if (s(si) >= body(i) && s(si) <= body(i + 2)) ok = true
+                  i += 3
+                } else {
+                  if (s(si) == body(i)) ok = true
+                  i += 1
+                }
+              }
+              (ok != neg) && m(close + 1, si + 1)
+            }
+          case c => si < s.length && s(si) == c && m(pi + 1, si + 1)
+        }
+      m(0, 0)
+    }
+    val strings = Seq("", "a", "ab", "abc", "aXc", "Abc", "a\nc", "ac", "abcabc",
+      "b", "c-a", "[ab]", "a?c", "a*", "cba", "aa\n", "abca", "ABC", "xyz", "a-c")
+    val df = strings.toDF("s")
+    val patChar = Gen.frequency(
+      (6, Gen.oneOf('a', 'b', 'c', 'A', 'X')),
+      (3, Gen.oneOf('*', '?')),
+      (2, Gen.oneOf('[', ']', '^', '-')))
+    val patterns = (1 to 80).flatMap(i =>
+      Gen.resize(6, Gen.listOf(patChar)).map(_.mkString)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+      .distinct
+    patterns.foreach { p =>
+      val got = df.filter(glob($"s", p)).as[String].collect().toSet
+      val want = strings.filter(globMatch(p, _)).toSet
+      assert(got == want, s"pattern <$p>: engine=$got reference=$want")
+    }
+  }
+
   test("GLOB wildcards cross newlines and exact shapes stay exact (SQLite semantics)") {
     val rows = Seq("a\nb", "ab", "a", "a\n").toDF("s")
     def hits(p: String) = rows.filter(globFn($"s", p)).as[String].collect().toSet
