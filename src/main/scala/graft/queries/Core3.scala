@@ -157,6 +157,26 @@ object Core3 {
              peer AS (PARTITION BY l_returnflag, dr)
       ORDER BY l_orderkey, l_linenumber""")),
 
+    // Correlated EXISTS / NOT EXISTS through the SQL-text entry point
+    // (SDF.swift:295-304): Catalyst rewrites both to LeftSemi/LeftAnti
+    // — the identical SQL runs on both engines.
+    QueryDef("q60_exists_sql", (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey""")),
+
     // SQLite LIKE default case-insensitivity (vs ANSI/Spark LIKE),
     // lowered to ilike on both engines.
     QueryDef("q59_sqlite_like", (s, dir) => {
