@@ -207,7 +207,7 @@ object Core3 {
       val stream = EventStreams.readEventStream(s, dir)
       val deduped = EventStreams.dedupEventsWithinWatermark(stream.union(stream))
         .select($"event_id", $"event_type", $"value")
-      EventStreams.withShufflePartitions(s, 8) {
+      EventStreams.withShufflePartitions(s, 4) {
         EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
       }.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))

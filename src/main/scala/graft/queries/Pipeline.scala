@@ -252,9 +252,9 @@ object Pipeline {
       import graft.streaming.EventStreams
       val name = "e01_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val stream = EventStreams.readEventStream(s, dir)
-      // 8 state partitions, sized to this stream's key space (hour x
+      // 4 state partitions, sized to this stream's key space (hour x
       // event_type) — see withShufflePartitions
-      val res = EventStreams.withShufflePartitions(s, 8) {
+      val res = EventStreams.withShufflePartitions(s, 4) {
         EventStreams.runToMemory(s, EventStreams.windowedCounts(stream), name)
       }
       res.select(unix_seconds($"hour_start").as("hour_start"), $"event_type", $"n", $"total_value")
@@ -303,7 +303,7 @@ object Pipeline {
       val stream = EventStreams.readEventStream(s, dir)
       val deduped = EventStreams.dedupEvents(stream.union(stream))
         .select($"event_id", $"event_type", $"value")
-      EventStreams.withShufflePartitions(s, 8) {
+      EventStreams.withShufflePartitions(s, 4) {
         EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
       }.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
@@ -324,9 +324,9 @@ object Pipeline {
       val stream = EventStreams.readEventStream(s, dir)
       val attributed = EventStreams.clickAttribution(stream, windowSec = 3600)
       // interval joins keep 4 state stores per partition and every
-      // micro-batch commits all of them; 8 partitions fit this stream's
+      // micro-batch commits all of them; 4 partitions fit this stream's
       // ~150 users (32 tripled the runtime in pure commit overhead)
-      EventStreams.withShufflePartitions(s, 8) {
+      EventStreams.withShufflePartitions(s, 4) {
         EventStreams.runToMemory(s, attributed, name, OutputMode.Append())
       }.groupBy($"user_id")
         .agg(count(lit(1)).as("n_attr"), round(sum($"value"), 2).as("attr_value"))
