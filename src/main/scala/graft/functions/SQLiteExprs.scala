@@ -95,7 +95,35 @@ object SQLiteExprs {
     * quoted. Case-sensitive, full-string match — SQLite GLOB semantics:
     * `(?s)` because GLOB wildcards cross newlines, `\z` because `$`
     * would also accept a match before a trailing newline. */
+  /** A bracket set's members: literal chars and lo–hi ranges. SQLite's
+    * `strglob` rules (sqlite3.c, public source): a `]` immediately after
+    * `[` or `[^` is a literal member and the set runs to the NEXT `]`;
+    * an unclosed `[` makes the whole pattern match NOTHING; an inverted
+    * range (`[z-a]`) is simply never satisfied (no error). Returns the
+    * parsed (negated, members, closeIndex) or None when unclosed. */
+  private def parseGlobSet(glob: String, open: Int)
+      : Option[(Boolean, Seq[Either[Char, (Char, Char)]], Int)] = {
+    var j = open + 1
+    val neg = j < glob.length && glob.charAt(j) == '^'
+    if (neg) j += 1
+    val members = Seq.newBuilder[Either[Char, (Char, Char)]]
+    var first = true
+    while (j < glob.length && (first || glob.charAt(j) != ']')) {
+      val c = glob.charAt(j)
+      if (j + 2 < glob.length && glob.charAt(j + 1) == '-' && glob.charAt(j + 2) != ']') {
+        members += Right((c, glob.charAt(j + 2))); j += 3
+      } else {
+        members += Left(c); j += 1
+      }
+      first = false
+    }
+    if (j >= glob.length) None else Some((neg, members.result(), j))
+  }
+
   def globToRegex(glob: String): String = {
+    val neverMatch = "(?!)" // empty negative lookahead: fails at any position
+    def classEscape(c: Char): String =
+      if ("\\[]&^-".indexOf(c.toInt) >= 0) "\\" + c else c.toString
     val sb = new StringBuilder("(?s)^")
     var i = 0
     while (i < glob.length) {
@@ -103,15 +131,26 @@ object SQLiteExprs {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          val close = glob.indexOf(']', i + 1)
-          if (close < 0) { sb.append("\\["); }
-          else {
-            val body0 = glob.substring(i + 1, close)
-            val body = if (body0.startsWith("^")) body0 else body0.replace("\\", "\\\\")
-            sb.append('[').append(body).append(']')
-            i = close
+          parseGlobSet(glob, i) match {
+            case None => return neverMatch // unclosed set: SQLite matches nothing
+            case Some((neg, members, close)) =>
+              // drop inverted ranges (never satisfiable, Java would throw)
+              val kept = members.filter { case Right((lo, hi)) => lo <= hi; case _ => true }
+              if (kept.isEmpty) {
+                if (neg) sb.append(".") // negation of nothing: any char ((?s) dotall)
+                else sb.append(neverMatch) // positive empty set: fails here
+              } else {
+                sb.append('[')
+                if (neg) sb.append('^')
+                kept.foreach {
+                  case Left(c)         => sb.append(classEscape(c))
+                  case Right((lo, hi)) => sb.append(classEscape(lo)).append('-').append(classEscape(hi))
+                }
+                sb.append(']')
+              }
+              i = close
           }
-        case c if "\\.[]{}()<>*+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c if "\\.[]{}()<>*+-=!?^$|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
         case c => sb.append(c)
       }
       i += 1

@@ -35,32 +35,21 @@ class TopKAggregator(k: Int)
   * `cap + 1` elements, so a pathological group (an LSH bucket shared by
   * millions of docs) costs bounded executor memory instead of an OOM —
   * and saturation is detectable downstream as `size > cap`. Partial
-  * aggregation applies: each map task ships at most cap+1 ids per group.
-  * Saturated groups are meant to be DROPPED by the caller (standard LSH
-  * hot-bucket capping), so which cap+1 ids survive is irrelevant. */
-class CappedIdsAggregator(cap: Int)
-    extends Aggregator[Long, Seq[Long], Seq[Long]] {
-  def zero: Seq[Long] = Seq.empty
-  def reduce(buf: Seq[Long], in: Long): Seq[Long] =
+  * aggregation applies: each map task ships at most cap+1 elements per
+  * group. Saturated groups are meant to be DROPPED by the caller
+  * (standard LSH hot-bucket capping), so which cap+1 elements survive
+  * is irrelevant. The buffer is a Vector so size/append stay O(1)-ish:
+  * with a List, every post-saturation row of a hot bucket would pay an
+  * O(cap) size scan — exactly the straggler this class exists to
+  * prevent. Element type is generic: bare ids (Long) for bucketPairs,
+  * (id, fingerprint) pairs for SimHash. */
+class CappedCollector[T: scala.reflect.runtime.universe.TypeTag](cap: Int)
+    extends Aggregator[T, Seq[T], Seq[T]] {
+  def zero: Seq[T] = Vector.empty
+  def reduce(buf: Seq[T], in: T): Seq[T] =
     if (buf.size > cap) buf else buf :+ in
-  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = (a ++ b).take(cap + 1)
-  def finish(buf: Seq[Long]): Seq[Long] = buf
-  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
-  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
-}
-
-/** [[CappedIdsAggregator]] for (id, payload) pairs whose payload is one
-  * long (a SimHash fingerprint) — light enough to ride the candidate
-  * shuffle. Heavy payloads (embedding vectors) should instead join back
-  * by id after candidate generation. */
-class CappedLongPairsAggregator(cap: Int)
-    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-  def zero: Seq[(Long, Long)] = Seq.empty
-  def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
-    if (buf.size > cap) buf else buf :+ in
-  def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    (a ++ b).take(cap + 1)
-  def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
-  def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder[Seq[(Long, Long)]]()
-  def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder[Seq[(Long, Long)]]()
+  def merge(a: Seq[T], b: Seq[T]): Seq[T] = (a ++ b).take(cap + 1)
+  def finish(buf: Seq[T]): Seq[T] = buf
+  def bufferEncoder: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
+  def outputEncoder: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
 }

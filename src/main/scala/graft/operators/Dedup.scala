@@ -89,7 +89,7 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets (id1 < id2), hot buckets capped.
     * ONE shuffle: group each bucket's ids with a size-capped collector
-    * ([[graft.functions.CappedIdsAggregator]] — bounded buffer, partial
+    * ([[graft.functions.CappedCollector]] — bounded buffer, partial
     * aggregation, saturation detectable as size > cap), drop saturated
     * buckets, then pair generation is a narrow double-explode over the
     * sorted id list. Replaces the count-agg + semi-join + self-join
@@ -97,7 +97,7 @@ object Dedup {
     * twice) that profiling showed dominated the whole LSH pipeline at
     * small scale and shuffles bucket contents twice at any scale. */
   private def bucketPairs(exploded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val cappedIds = udaf(new graft.functions.CappedIdsAggregator(maxBucket))
+    val cappedIds = udaf(new graft.functions.CappedCollector[Long](maxBucket))
     exploded.groupBy(col("band"), col("bucket"))
       .agg(cappedIds(col(idCol)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucket))
@@ -105,6 +105,9 @@ object Dedup {
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id1")))
       .select(col("id1"),
         explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id2"))
+      // strict: a duplicate id inside one bucket (same doc ingested
+      // twice) must not produce a (x, x) self-pair
+      .filter(col("id1") < col("id2"))
       .distinct()
   }
 
@@ -270,7 +273,7 @@ object Dedup {
                shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cappedPairs = udaf(new graft.functions.CappedLongPairsAggregator(maxBucket))
+    val cappedPairs = udaf(new graft.functions.CappedCollector[(Long, Long)](maxBucket))
     chunked.groupBy(col("band"), col("bucket"))
       .agg(cappedPairs(col(idCol), col("sig")).as("__xs"))
       .filter(size(col("__xs")).between(2, maxBucket))
@@ -280,6 +283,7 @@ object Dedup {
         explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")))).as("__b"))
       .select(col("__a._1").as("id1"), col("__b._1").as("id2"),
         bit_count(col("__a._2").bitwiseXOR(col("__b._2"))).as("hamming"))
+      .filter(col("id1") < col("id2")) // no self-pairs from duplicate ids
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -100,7 +100,9 @@ object Multimodal {
           val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
           val w = math.max(1, math.round(m.width * scale).toInt)
           val h = math.max(1, math.round(m.height * scale).toInt)
-          val targetLen = math.max(1, (m.bytes.length * scale * scale).toInt)
+          // shrink-only contract: never grow the payload (incl. 0-byte case)
+          val targetLen =
+            math.min(m.bytes.length, math.max(1, (m.bytes.length * scale * scale).toInt))
           m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen),
             width = w, height = h)
         }

@@ -77,35 +77,43 @@ class SQLiteExprsSpec extends SparkSpec {
 
   test("GLOB property: engine agrees with an independent reference matcher") {
     import org.scalacheck.Gen
-    // direct recursive implementation of SQLite GLOB semantics
-    // (case-sensitive full match; * any incl \n; ? any one char;
-    // [set] with ^ negation and a-b ranges; unclosed [ is literal)
+    // direct recursive implementation of SQLite strglob semantics
+    // (sqlite3.c, public source): case-sensitive full match; * any incl
+    // \n; ? any one char; [set] with ^ negation, a-b ranges, a literal
+    // ']' allowed right after '[' / '[^'; an UNCLOSED '[' means the
+    // pattern matches nothing at all
     def globMatch(p: String, s: String): Boolean = {
+      def parseSet(open: Int): Option[(Boolean, Seq[Either[Char, (Char, Char)]], Int)] = {
+        var j = open + 1
+        val neg = j < p.length && p(j) == '^'
+        if (neg) j += 1
+        val mem = Seq.newBuilder[Either[Char, (Char, Char)]]
+        var first = true
+        while (j < p.length && (first || p(j) != ']')) {
+          if (j + 2 < p.length && p(j + 1) == '-' && p(j + 2) != ']') {
+            mem += Right((p(j), p(j + 2))); j += 3
+          } else { mem += Left(p(j)); j += 1 }
+          first = false
+        }
+        if (j >= p.length) None else Some((neg, mem.result(), j))
+      }
       def m(pi: Int, si: Int): Boolean =
         if (pi == p.length) si == s.length
         else p(pi) match {
           case '*' => (si to s.length).exists(k => m(pi + 1, k))
           case '?' => si < s.length && m(pi + 1, si + 1)
           case '[' =>
-            val close = p.indexOf(']', pi + 1)
-            if (close < 0) si < s.length && s(si) == '[' && m(pi + 1, si + 1)
-            else if (si >= s.length) false
-            else {
-              val raw = p.substring(pi + 1, close)
-              val neg = raw.startsWith("^")
-              val body = if (neg) raw.drop(1) else raw
-              var ok = false
-              var i = 0
-              while (i < body.length) {
-                if (i + 2 < body.length && body(i + 1) == '-') {
-                  if (s(si) >= body(i) && s(si) <= body(i + 2)) ok = true
-                  i += 3
-                } else {
-                  if (s(si) == body(i)) ok = true
-                  i += 1
+            parseSet(pi) match {
+              case None => false // unclosed set: nothing matches
+              case Some((neg, mem, close)) =>
+                si < s.length && {
+                  val ch = s(si)
+                  val in = mem.exists {
+                    case Left(c)         => c == ch
+                    case Right((lo, hi)) => ch >= lo && ch <= hi
+                  }
+                  (in != neg) && m(close + 1, si + 1)
                 }
-              }
-              (ok != neg) && m(close + 1, si + 1)
             }
           case c => si < s.length && s(si) == c && m(pi + 1, si + 1)
         }
@@ -118,9 +126,11 @@ class SQLiteExprsSpec extends SparkSpec {
       (6, Gen.oneOf('a', 'b', 'c', 'A', 'X')),
       (3, Gen.oneOf('*', '?')),
       (2, Gen.oneOf('[', ']', '^', '-')))
-    val patterns = (1 to 80).flatMap(i =>
-      Gen.resize(6, Gen.listOf(patChar)).map(_.mkString)
+    val patterns = ((1 to 150).flatMap(i =>
+      Gen.resize(7, Gen.listOf(patChar)).map(_.mkString)
         .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+      ++ Seq("[", "[]", "[^]", "[]a]", "[^]a]", "[b-a]*", "a[z-a]", "[a-]", "[-a]",
+             "[a[b]", "[^a-c]*", "a[", "*[ab"))
       .distinct
     patterns.foreach { p =>
       val got = df.filter(glob($"s", p)).as[String].collect().toSet

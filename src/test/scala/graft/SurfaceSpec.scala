@@ -101,11 +101,12 @@ class SurfaceSpec extends SparkSpec {
       assert(binned == theta, s"inclusiveEnd=$incl mismatch")
     }
     // shared column names between the sides must not be ambiguous
-    // (refs are frame-qualified internally)
+    // (refs are frame-qualified internally); compare full row counts,
+    // not deduplicated projections
     val lShared = left.withColumnRenamed("lk", "k")
     val rShared = right.withColumnRenamed("rk", "k").withColumn("extra", $"k")
     val n = Relational.intervalJoin(lShared, "lt", rShared, "rs", "re",
       Some(("k", "k")), binSeconds = 3600).count()
-    assert(n == key(left.join(right, $"lk" === $"rk" && $"lt" >= $"rs" && $"lt" < $"re")).size)
+    assert(n == left.join(right, $"lk" === $"rk" && $"lt" >= $"rs" && $"lt" < $"re").count())
   }
 }
