@@ -276,8 +276,16 @@ object Core {
 
     QueryDef("q15_window_running", (s, dir) => {
       import s.implicits._
+      // the synthetic corpus REUSES (l_orderkey, l_linenumber) — 118k
+      // duplicate pairs at sf0.1 — so those two alone are NOT a total
+      // order: one suppkey had two rows tied on (shipdate, orderkey,
+      // linenumber) with different quantities, and DuckDB resolved the
+      // tie differently run-to-run (running_qty flipped 7728/7731).
+      // quantity + extendedprice totalize the order; rows identical in
+      // all five keys are interchangeable, so the output is order-stable
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // accumulate in DECIMAL so the running sum is exact in both
       // engines (double accumulation drifted one .005 boundary in 600k
@@ -292,7 +300,7 @@ object Core {
       SELECT l_suppkey, l_orderkey, l_linenumber,
              round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
                AS running_qty
       FROM lineitem
