@@ -342,4 +342,49 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  // ---- dedup-group resolution -------------------------------------------
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup GROUPS (pick one canonical doc per
+    * component, drop the rest). Classic min-label propagation: every node
+    * starts as its own component; each round pushes labels across edges
+    * and keeps the per-node minimum; fixpoint when no label changes.
+    *
+    * Scale notes: state is ONE (node, component) row per node — never the
+    * transitive closure (which is quadratic on dense clusters). Each round
+    * is an equi-join (edges ⋈ labels) + a min-aggregation, both plain
+    * shuffles on the node key; `localCheckpoint` truncates per-round
+    * lineage. Rounds needed = graph diameter; near-dup clusters are
+    * shallow (docs similar to a common template are all pairwise linked,
+    * diameter ≤ ~2), which is why plain propagation beats the more complex
+    * large-star/small-star variant here. Returns (node, component) with
+    * component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val pushed = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.union(pushed)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") < col("prev")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
 }

@@ -189,4 +189,56 @@ object Relational {
   def unionDistinct(l: DataFrame, r: DataFrame): DataFrame = l.unionByName(r).distinct()
   def intersect(l: DataFrame, r: DataFrame): DataFrame    = l.intersect(r)
   def except(l: DataFrame, r: DataFrame): DataFrame       = l.except(r)
+  /** Multiset (bag) variants — `INTERSECT ALL` / `EXCEPT ALL`. */
+  def intersectAll(l: DataFrame, r: DataFrame): DataFrame = l.intersectAll(r)
+  def exceptAll(l: DataFrame, r: DataFrame): DataFrame    = l.exceptAll(r)
+
+  /** `WITH RECURSIVE` (SQLite supports it through the reference's SQL
+    * entry points, SDF.swift:295-304; Spark has no native recursive CTE)
+    * as a driver-coordinated fixpoint loop — the same shape every
+    * distributed graph framework uses for iteration (Pregel supersteps).
+    *
+    * Semantics:
+    *   - `distinctUnion = true`  ≡ `base UNION step(...)`: each round
+    *     keeps only rows never seen before (`except` vs the accumulator),
+    *     so cyclic graphs terminate (transitive closure, reachability).
+    *   - `distinctUnion = false` ≡ `base UNION ALL step(...)`: rows pass
+    *     through untouched; termination relies on `step` eventually
+    *     producing an empty frame (hierarchy walks with a depth column).
+    *
+    * Scale notes: each iteration is one Spark job over ONLY the frontier
+    * (not the accumulator), and `localCheckpoint` truncates the logical
+    * plan so iteration N's plan doesn't embed N copies of the lineage —
+    * without it the optimizer re-analyzes a plan that doubles per round.
+    * On a real cluster with reliable storage prefer `checkpoint` (HDFS)
+    * over `localCheckpoint` for fault tolerance; the loop itself is a
+    * per-round driver barrier, inherent to any fixpoint. The driver never
+    * holds rows — only emptiness checks run actions. */
+  def recursiveFixpoint(
+      base: DataFrame,
+      step: DataFrame => DataFrame,
+      maxIter: Int = 50,
+      distinctUnion: Boolean = true): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    var acc = (if (distinctUnion) base.distinct() else base).localCheckpoint()
+    var frontier = acc
+    var rounds = 0
+    var done = frontier.isEmpty
+    while (!done && rounds < maxIter) {
+      val stepped = step(frontier)
+      val next =
+        (if (distinctUnion) stepped.distinct().except(acc) else stepped)
+          .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = next
+        rounds += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"recursiveFixpoint: no fixpoint after $maxIter iterations")
+    acc
+  }
 }

@@ -93,4 +93,51 @@ object TextOps {
     * each argmax branch). `langScores` above stays as the composable
     * per-profile building block. */
   def langId(text: Column): Column = graft.functions.LangIdExpr.langId(text)
+
+  // ---- TF-IDF keyword extraction ----------------------------------------
+
+  /** Per-doc top-k terms by TF-IDF (idf = ln(N/df)).
+    *
+    * Distributed shape: one narrow tokenize pass feeds two partial+final
+    * aggregations (per-doc term counts; corpus document frequency), the
+    * corpus size joins in as a broadcast 1-row frame (never a driver-side
+    * `count()` baked into a literal), and the per-doc top-k is a window
+    * over the doc partition. The df side is the piece to persist at
+    * 100 TB — it's corpus-global and reused by every downstream query. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "))
+          .as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Patterns kept RE2-compatible (no backrefs/lookaround) so the same
+    * strings run under Java regex (Spark) and RE2 (DuckDB oracle). */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+[0-9][0-9\\-]{7,}[0-9]"
+
+  /** Redact emails then phone numbers — a pure narrow map (two codegen'd
+    * regex passes), the training-data scrub step at scan speed. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+      lit(phonePattern), lit("<PHONE>"))
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational}
+
+/** recursiveFixpoint (WITH RECURSIVE semantics) + connectedComponents. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recursiveFixpoint UNION ALL: hierarchy walk terminates at leaves") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val base = Seq((1L, 0), (10L, 0)).toDF("node", "depth")
+    val out = Relational.recursiveFixpoint(
+      base,
+      f => f.join(edges, f("node") === edges("src"))
+        .select(edges("dst").as("node"), (f("depth") + 1).as("depth")),
+      maxIter = 10, distinctUnion = false)
+      .as[(Long, Int)].collect().toSet
+    assert(out === Set((1L, 0), (2L, 1), (3L, 2), (4L, 3), (10L, 0), (11L, 1)))
+  }
+
+  test("recursiveFixpoint UNION: cyclic graph reaches a fixpoint") {
+    // 1 -> 2 -> 3 -> 1 cycle: UNION ALL would never terminate; the
+    // distinct variant must converge to the reachable-node set.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val base = Seq(Tuple1(1L)).toDF("node")
+    val out = Relational.recursiveFixpoint(
+      base,
+      f => f.join(edges, f("node") === edges("src"))
+        .select(edges("dst").as("node")),
+      maxIter = 10)
+      .as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L))
+  }
+
+  test("recursiveFixpoint UNION ALL without natural termination throws") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val base = Seq(Tuple1(1L)).toDF("node")
+    intercept[IllegalStateException] {
+      Relational.recursiveFixpoint(
+        base,
+        f => f.join(edges, f("node") === edges("src"))
+          .select(edges("dst").as("node")),
+        maxIter = 5, distinctUnion = false)
+    }
+  }
+
+  test("connectedComponents: chain, triangle, isolated pair") {
+    // components: {1,2,3,4} (chain), {7,8,9} (triangle), {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (7L, 8L), (8L, 9L), (9L, 7L),
+      (20L, 21L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long chain needs multiple rounds") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === 12 && comp.values.forall(_ == 1L))
+  }
+}

@@ -53,6 +53,34 @@ class TextOpsSpec extends SparkSpec {
       .agg(min($"q"), max($"q")).head()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("tfidfTopTerms: hand-checked corpus") {
+    // 3 docs; "cat" in 1 doc (idf ln3), "dog" in all 3 (idf 0)
+    val docs = Seq(
+      (1L, "cat cat dog"), (2L, "dog bird"), (3L, "dog fish")).toDF("id", "tx")
+    val out = TextOps.tfidfTopTerms(docs, "id", "tx", topK = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4).map(r => (r._2, r._3)).toList }
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) === List(("cat", r4(2 * math.log(3.0))), ("dog", 0.0)))
+    assert(out(2L) === List(("bird", r4(math.log(3.0))), ("dog", 0.0)))
+    assert(out(3L) === List(("fish", r4(math.log(3.0))), ("dog", 0.0)))
+  }
+
+  test("redactPii: emails and phones replaced, counts agree") {
+    val df = Seq(
+      "write a.b-c_d@ex-1.co today",
+      "call +1-555-0001234 or +44-20-7946-0958 now",
+      "no pii here",
+      "x@y.io and +1-555-9998877 both").toDF("tx")
+      .select($"tx", TextOps.redactPii($"tx").as("red"),
+        TextOps.emailCount($"tx").as("ne"), TextOps.phoneCount($"tx").as("np"))
+    val rows = df.as[(String, String, Int, Int)].collect().toList
+    assert(rows(0)._2 === "write <EMAIL> today" && rows(0)._3 === 1 && rows(0)._4 === 0)
+    assert(rows(1)._2 === "call <PHONE> or <PHONE> now" && rows(1)._4 === 2)
+    assert(rows(2)._2 === "no pii here" && rows(2)._3 === 0 && rows(2)._4 === 0)
+    assert(rows(3)._2 === "<EMAIL> and <PHONE> both")
+  }
 }
 
 class DedupSpec extends SparkSpec {
