@@ -387,4 +387,32 @@ object Dedup {
         s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
   }
+
+  // ---- benchmark contamination --------------------------------------------
+
+  /** Train/benchmark contamination check: which training documents share
+    * word k-grams with a held-out benchmark set, and how many distinct
+    * grams they share. The standard decontamination step before training
+    * on web-scale corpora.
+    *
+    * Scale design: the benchmark gram set is DISTINCT + hashed to 8-byte
+    * keys and **broadcast** — benchmarks are tiny (thousands of docs)
+    * next to a 100 TB corpus, so the corpus-side gram stream never
+    * shuffles; the join is a map-side hash probe at scan speed, and the
+    * only shuffle is the final per-doc count (partial+final, keyed by the
+    * training doc id). `countDistinct` there is exact but bounded by the
+    * doc's own gram count. Returns (idCol, n_shared) for docs sharing at
+    * least `minShared` distinct grams. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) =
+      df.select((cols :+ explode(shingles(col(textCol), k)).as("__g")): _*)
+        .select((cols :+ xxhash64(col("__g")).as("g")): _*)
+    val benchGrams = grams(bench).distinct()
+    grams(train, col(idCol))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -151,4 +151,29 @@ object Similarity {
     // clears all persisted frames between queries anyway)
     (cents, out)
   }
+
+  /** Per-group medoid: for each label, the member vector closest (squared
+    * L2) to the group's mean vector — the "most representative example per
+    * cluster" selection step of diversity-sampling pipelines.
+    *
+    * Distributed shape: centroids via posexplode + avg per (label, dim) —
+    * partial aggregation means the shuffle carries |labels|×dim partial
+    * sums per partition, not vectors; distances re-join the exploded
+    * corpus to the (tiny) centroid frame on (label, dim) with the
+    * centroid side broadcast; the arg-min per label is a max_by partial
+    * aggregation (no window sort). Distances are rounded before the
+    * arg-min so the selection is stable under float-summation-order
+    * differences; ties break to the lowest id. */
+  def clusterMedoids(corpus: DataFrame, labelCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(labelCol).as("label"), col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val cent = e.groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+    val d2 = e.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("label"), col("id"))
+      .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 4).as("d2"))
+    d2.groupBy(col("label"))
+      .agg(max_by(struct(col("id"), col("d2")), struct(-col("d2"), -col("id"))).as("__b"))
+      .select(col("label"), col("__b.id").as(idCol), col("__b.d2").as("d2"))
+  }
 }

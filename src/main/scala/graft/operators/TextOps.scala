@@ -124,6 +124,49 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
   }
 
+  // ---- repetition / quality signals (Gopher-style) -----------------------
+
+  /** Per-doc repetition signals — the Gopher/C4-style quality-filter
+    * inputs that need corpus-free per-doc term statistics:
+    *
+    *  - `n_words`       total tokens
+    *  - `mean_word_len` mean token length
+    *  - `top_word_frac` fraction of tokens that are the single most
+    *                    frequent token (high ⇒ degenerate repetition)
+    *  - `dup_bigram_frac` fraction of bigrams that are repeats of an
+    *                    earlier bigram (high ⇒ looping text)
+    *
+    * Distributed shape: one narrow tokenize feeds two partial+final
+    * aggregations keyed by (doc, term) / (doc, bigram) — each is a
+    * map-side-combined shuffle of the doc's own vocabulary, never the
+    * corpus vocabulary, so it scales per-doc. The two signal frames join
+    * back on the doc id (co-partitioned by the same key). Tokenizer is
+    * shared with [[tfidfTopTerms]] so oracles can recompute identically. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val termCounts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val words = termCounts.groupBy("doc_id").agg(
+      sum(col("c")).as("n_words"),
+      round(sum(col("c") * length(col("term"))).cast(DoubleType) / sum(col("c")), 4)
+        .as("mean_word_len"),
+      round(max(col("c")).cast(DoubleType) / sum(col("c")), 4).as("top_word_frac"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bg"))
+    val dupBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        round((sum(col("c")) - count(lit(1))).cast(DoubleType) / sum(col("c")), 4)
+          .as("dup_bigram_frac"))
+    words.join(dupBg, "doc_id")
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** Patterns kept RE2-compatible (no backrefs/lookaround) so the same

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Round-4 additions: the remaining training-data-pipeline staples —
+  * Gopher-style repetition/quality signals, train-vs-benchmark
+  * contamination, deterministic stratified sampling, per-cluster medoid
+  * selection — plus GROUPING SETS (the one grouping construct q25/q41
+  * didn't cover; reachable through the reference's SQL entry points,
+  * SDF.swift:295-304). */
+object Core5 {
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Gopher-style per-doc repetition signals (TextOps.repetitionSignals):
+    // token count, mean token length, top-word fraction, duplicate-bigram
+    // fraction. The oracle recomputes the identical derivation with
+    // DuckDB's zipped unnest/generate_subscripts tokenization.
+    QueryDef("t07_repetition", (s, dir) => {
+      import s.implicits._
+      TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS w
+            FROM documents),
+      toks AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM t),
+      tok AS (SELECT * FROM toks WHERE term <> ''),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+      words AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              round(sum(c * length(term)) * 1.0 / sum(c), 4) AS mean_word_len,
+              round(max(c) * 1.0 / sum(c), 4) AS top_word_frac
+            FROM tc GROUP BY 1),
+      bg AS (SELECT doc_id,
+              term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM tok),
+      bgc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+      dup AS (SELECT doc_id, round((sum(c) - count(*)) * 1.0 / sum(c), 4) AS dup_bigram_frac
+            FROM bgc GROUP BY 1)
+      SELECT words.doc_id, n_words, mean_word_len, top_word_frac, dup_bigram_frac
+      FROM words JOIN dup USING (doc_id) ORDER BY doc_id""")),
+
+    // Benchmark-contamination check (Dedup.contamination): which training
+    // docs (source <> 'src0') share 5-word grams with the held-out
+    // benchmark slice (source = 'src0'), and how many distinct grams.
+    // Spark side joins 8-byte gram hashes against the broadcast benchmark
+    // gram set; the oracle recomputes with the literal gram strings.
+    QueryDef("d08_contamination", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+          docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),
+          "doc_id", "text", k = 5)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+              regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents),
+      sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(w) >= 5
+               THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+      tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE source <> 'src0')
+      SELECT doc_id, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared
+      FROM tr JOIN bench USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Per-cluster medoid (Similarity.clusterMedoids): the corpus member
+    // closest to its label's mean vector — centroids by partial-aggregated
+    // posexplode, arg-min by max_by, distances rounded before selection so
+    // float summation order can't flip the winner.
+    QueryDef("s05_cluster_medoid", (s, dir) => {
+      import s.implicits._
+      Similarity.clusterMedoids(t(s, dir, "embeddings"), "label")
+        .orderBy($"label")
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings),
+      cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+      d AS (SELECT e.label, vec_id, round(sum((x - c) * (x - c)), 4) AS d2
+            FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i GROUP BY 1, 2),
+      r AS (SELECT label, vec_id, d2,
+                   row_number() OVER (PARTITION BY label ORDER BY d2, vec_id) AS rk
+            FROM d)
+      SELECT label, vec_id, d2 FROM r WHERE rk = 1 ORDER BY label""")),
+
+    // Deterministic stratified sampling: per-language fixed-k sample by
+    // md5 order (a hash-ordered take-k is a deterministic reservoir — no
+    // RNG state, identical on any cluster size), plus the rate-based
+    // membership flag (first hex digit < '4' ≈ 25%). md5-over-id is
+    // engine-portable so the oracle reproduces the exact sample.
+    QueryDef("q62_stratified_sample", (s, dir) => {
+      import s.implicits._
+      val h = md5($"doc_id".cast(StringType).cast(BinaryType))
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      t(s, dir, "documents")
+        .select($"lang", $"doc_id", h.as("h"))
+        .withColumn("rk", row_number().over(w).cast(IntegerType))
+        .filter($"rk" <= 5)
+        .select($"lang", $"doc_id", $"rk",
+          substring($"h", 1, 1).isin("0", "1", "2", "3").cast(IntegerType).as("in_quarter"))
+        .orderBy($"lang", $"rk")
+    }, Some("""
+      WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      r AS (SELECT lang, doc_id, h,
+                   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk
+            FROM h)
+      SELECT lang, doc_id, rk,
+             CAST(substr(h, 1, 1) IN ('0', '1', '2', '3') AS INT) AS in_quarter
+      FROM r WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // GROUPING SETS with grouping_id — the explicit-sets form (q25 ROLLUP
+    // and q41 CUBE are the derived forms). Through the SQL entry point on
+    // both engines; gid + coalesced keys make the output total-ordered.
+    QueryDef("q63_grouping_sets", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, rf, ls""")
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, rf, ls"""))
+  )
+}

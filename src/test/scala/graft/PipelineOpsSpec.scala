@@ -296,3 +296,42 @@ class MultimodalSpec extends SparkSpec {
     assert(s.filter($"n" =!= $"expect").count() == 0)
   }
 }
+
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Dedup, Similarity, TextOps}
+
+  test("repetitionSignals: hand-computed on a degenerate doc") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // doc 1: 4 words, mean len 1, top word 3/4, bigrams (a a, a a, a b) -> 1/3 dupes
+    assert(got(0) == ((1L, 4L, 1.0, 0.75, 0.3333)))
+    // doc 2: no repetition at all
+    assert(got(1) == ((2L, 4L, 1.0, 0.25, 0.0)))
+  }
+
+  test("contamination: only docs sharing a full 5-gram with bench flag") {
+    val train = Seq(
+      (1L, "one two three four five six"),   // shares 5-grams with bench
+      (2L, "one two three nine ten eleven"), // shares words but no 5-gram
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val bench = Seq((99L, "zero one two three four five")).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, bench, "doc_id", "text", k = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1's grams: {one..five, two..six}; bench has {zero..four, one..five}
+    assert(got == Map(1L -> 1L))
+  }
+
+  test("clusterMedoids: picks the member nearest the label mean") {
+    val df = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)), (3L, 0, Array(1.1f, 0f)),
+      (4L, 1, Array(5f, 5f)), (5L, 1, Array(7f, 5f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.clusterMedoids(df, "label")
+      .select($"label", $"vec_id").as[(Int, Long)].collect().toMap
+    // label 0 mean = (1.033, 0): vec 3 at 1.1 is closest
+    // label 1 mean = (6, 5): tie between 4 and 5 (d2 = 1) -> lowest id
+    assert(got == Map(0 -> 3L, 1 -> 4L))
+  }
+}
