@@ -363,23 +363,31 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // edges checkpoint AFTER a hash-repartition on the join key: the
+    // checkpointed LogicalRDD keeps its outputPartitioning, so the
+    // per-round join re-shuffles only the (much smaller) label frame.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("src")).localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
+      // Messages pre-aggregate to one candidate per receiving node before
+      // touching the label frame, and the previous label rides along so
+      // ONE checkpointed job per round yields both the new labels and the
+      // convergence evidence (the earlier form re-joined next against the
+      // old labels — a second full shuffle job per round).
       val pushed = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("component"))
-      val next = labels.union(pushed)
-        .groupBy("node").agg(min("component").as("component"))
+        .groupBy(col("dst").as("node")).agg(min("component").as("__pushed"))
+      val next = labels.join(pushed, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), col("__pushed")).as("component"),
+          col("component").as("__prev"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("component") < col("__prev")).isEmpty
+      labels = next.select(col("node"), col("component"))
       rounds += 1
     }
     if (!converged)

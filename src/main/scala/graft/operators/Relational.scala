@@ -220,19 +220,22 @@ object Relational {
       maxIter: Int = 50,
       distinctUnion: Boolean = true): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    var acc = (if (distinctUnion) base.distinct() else base).localCheckpoint()
-    var frontier = acc
+    // The accumulator is the lazy union of the per-round checkpointed
+    // frontiers — never re-materialized (the earlier form re-checkpointed
+    // acc every round: O(total) copy work per round, and the dominant
+    // cost of the whole loop at bench scale).
+    var frontiers = List((if (distinctUnion) base.distinct() else base).localCheckpoint())
+    def acc: DataFrame = frontiers.reduceLeft(_ unionByName _)
     var rounds = 0
-    var done = frontier.isEmpty
+    var done = frontiers.head.isEmpty
     while (!done && rounds < maxIter) {
-      val stepped = step(frontier)
+      val stepped = step(frontiers.head)
       val next =
         (if (distinctUnion) stepped.distinct().except(acc) else stepped)
           .localCheckpoint()
       done = next.isEmpty
       if (!done) {
-        acc = acc.unionByName(next).localCheckpoint()
-        frontier = next
+        frontiers ::= next
         rounds += 1
       }
     }

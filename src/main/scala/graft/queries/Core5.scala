@@ -6,6 +6,19 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextOps}
 
+/* Shared DuckDB oracle fragments (string-built so each query's oracle
+ * stays a single self-contained SQL text for the driver). */
+private object CoreSql {
+  /** t02's quality-score formula, verbatim. */
+  val quality: String = """round((
+        least(length(text) / 500.0, 1.0)
+        + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+            / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0)
+        + least((len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b'))
+            / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0)) * 5.0, 1.0)
+      ) / 3.0, 4)"""
+}
+
 /** Round-4 additions: the remaining training-data-pipeline staples —
   * Gopher-style repetition/quality signals, train-vs-benchmark
   * contamination, deterministic stratified sampling, per-cluster medoid
@@ -137,6 +150,81 @@ object Core5 {
              count(*) AS n
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-      ORDER BY gid, rf, ls"""))
+      ORDER BY gid, rf, ls""")),
+
+    // The end-to-end training-data-prep pipeline, composed from the
+    // library's own operators in one declarative plan: quality filter →
+    // exact dedup (min-id representative) → benchmark decontamination
+    // (anti-join against the broadcast gram probe) → deterministic 50%
+    // sample. Every stage is individually oracled elsewhere (t02, d01,
+    // d08, q62); this query pins their COMPOSITION against a from-scratch
+    // SQL recompute of the whole pipeline.
+    QueryDef("p01_prep_pipeline", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter($"source" === "src0")
+      val train = docs.filter($"source" =!= "src0")
+      val scored = train.select($"doc_id", $"lang", $"text",
+          TextOps.tokenCount($"text").cast(LongType).as("ws_tokens"),
+          TextOps.qualityScore($"text").as("quality"))
+        .filter($"quality" >= 0.55)
+      val deduped = Dedup.dedupExact(scored, "doc_id", "text")
+      val contaminated = Dedup.contamination(train, bench, "doc_id", "text", k = 5)
+        .select($"doc_id")
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(substring(md5($"doc_id".cast(StringType).cast(BinaryType)), 1, 1) < "8")
+        .select($"doc_id", $"lang", $"ws_tokens", $"quality")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH train AS (SELECT * FROM documents WHERE source <> 'src0'),
+      q AS (SELECT doc_id, lang, text,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+              ${CoreSql.quality} AS quality
+            FROM train),
+      qf AS (SELECT * FROM q WHERE quality >= 0.55),
+      dd AS (SELECT *, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn FROM qf),
+      dedup AS (SELECT doc_id, lang, ws_tokens, quality FROM dd WHERE rn = 1),
+      t2 AS (SELECT doc_id, source,
+              regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM documents),
+      sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(w) >= 5
+               THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t2),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+      contaminated AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_id, unnest(sh) AS g FROM sh WHERE source <> 'src0') tr
+        JOIN bench USING (g))
+      SELECT doc_id, lang, ws_tokens, quality FROM dedup
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      ORDER BY doc_id""")),
+
+    // Stream-static join — the one Structured Streaming join shape not yet
+    // covered (e04 is stream-stream): each micro-batch hash-joins against
+    // the broadcast static dimension, stateless (no watermark needed on
+    // the static side). Purchases enriched with the customer segment,
+    // aggregated on the materialized result; oracle = the batch join.
+    QueryDef("e06_stream_enrich", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.OutputMode
+      val name = "e06_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+        .filter($"event_type" === "purchase")
+      val dim = broadcast(t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"))
+      val joined = stream.join(dim, $"user_id" === $"c_custkey")
+        .select($"event_id", $"c_mktsegment", $"value")
+      EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.runToMemory(s, joined, name, OutputMode.Append())
+      }.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE event_type = 'purchase'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
