@@ -69,18 +69,20 @@ object Similarity {
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val centroids = corpus.orderBy(col(corpusId)).limit(nCells)
       .select(col(corpusId).as("cell_id"), col(corpusVec).as("cell_vec"))
-    // assign corpus rows to nearest cell
+    // assign corpus rows to nearest cell (scores rounded before the
+    // arg-max so float summation order can't flip a near-tie — keeps the
+    // assignment engine-stable and oracle-reproducible)
     val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col(corpusVec), col("cell_vec")) /
-        (norm(col(corpusVec)) * norm(col("cell_vec"))))
+      .withColumn("__d", round(dot(col(corpusVec), col("cell_vec")) /
+        (norm(col(corpusVec)) * norm(col("cell_vec"))), 6))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(corpusId)).orderBy(col("__d").desc, col("cell_id"))))
       .filter(col("__rn") === 1)
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"), col("cell_id"))
     // each query probes nprobe nearest cells
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col(queryVec), col("cell_vec")) /
-        (norm(col(queryVec)) * norm(col("cell_vec"))))
+      .withColumn("__d", round(dot(col(queryVec), col("cell_vec")) /
+        (norm(col(queryVec)) * norm(col("cell_vec"))), 6))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(queryId)).orderBy(col("__d").desc, col("cell_id"))))
       .filter(col("__rn") <= nprobe)

@@ -175,7 +175,37 @@ object Pipeline {
         .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
       Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nprobe = 4)
         .orderBy($"query_id", $"rank")
-    }, None),
+    }, Some("""
+      WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+                    FROM embeddings ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT vec_id AS neighbor_id, cv, cell_id FROM (
+          SELECT e.vec_id, e.embedding AS cv, c.cell_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                       c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, cell_id FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(c.cvec AS DOUBLE[])), 6) DESC,
+                       c.cell_id) AS rn
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) t WHERE rn <= 4),
+      scored AS (
+        SELECT p.query_id, a.neighbor_id,
+          round(list_cosine_similarity(CAST(a.cv AS DOUBLE[]),
+                                       CAST(p.qv AS DOUBLE[])), 6) AS cosine
+        FROM assign a JOIN probes p USING (cell_id)
+        WHERE a.neighbor_id <> p.query_id),
+      ranked AS (SELECT query_id, neighbor_id, cosine,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("s03_topk_agg", (s, dir) => {
       import s.implicits._

@@ -65,4 +65,26 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comp.size === 12 && comp.values.forall(_ == 1L))
   }
+
+  test("connectedComponents: random graphs match a brute-force union-find") {
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id1", "id2"), "id1", "id2")
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial (n=$n)")
+    }
+  }
 }

@@ -109,4 +109,33 @@ class PlanSpec extends SparkSpec {
     assert(literalPrefix("^abc$") == None)            // $-anchored: left alone
     assert(literalPrefix("^a\\d.*") == None)          // regex class: left alone
   }
+
+  test("d08: benchmark gram probe joins broadcast, never shuffles the corpus stream") {
+    val p = plan("d08_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the benchmark gram set broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus gram stream must not sort-merge:\n$p")
+  }
+
+  test("s05: centroid re-join is broadcast; arg-min is an aggregate, not a window sort") {
+    val p = plan("s05_cluster_medoid")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the (label, dim) centroid frame broadcast:\n$p")
+    assert(p.contains("max_by") || p.contains("partial_max_by"),
+      s"expected max_by partial aggregation for the arg-min:\n$p")
+    assert(!p.contains("Window"), s"no window sort expected:\n$p")
+  }
+
+  test("q63: grouping sets plans one Expand + partial aggregation") {
+    val p = plan("q63_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets lower to Expand")
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("p01: pipeline keeps the contamination anti-join broadcast") {
+    val p = plan("p01_prep_pipeline")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast anti-join for decontamination:\n$p")
+  }
 }
