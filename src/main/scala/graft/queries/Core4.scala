@@ -75,10 +75,10 @@ object Core4 {
       t AS (SELECT doc_id,
               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
             FROM documents),
-      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
                ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
-      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      p AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
               AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.1),
@@ -102,7 +102,7 @@ object Core4 {
         .filter($"doc_id" <= 20)
         .orderBy($"doc_id", $"rnk")
     }, Some("""
-      WITH toks AS (
+      WITH toks AS MATERIALIZED (
         SELECT doc_id, unnest(list_filter(
           string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '),
           x -> x <> '')) AS term

@@ -44,7 +44,7 @@ object Core5 {
               string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS w
             FROM documents),
       toks AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM t),
-      tok AS (SELECT * FROM toks WHERE term <> ''),
+      tok AS MATERIALIZED (SELECT * FROM toks WHERE term <> ''),
       tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
       words AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
               round(sum(c * length(term)) * 1.0 / sum(c), 4) AS mean_word_len,
@@ -75,7 +75,7 @@ object Core5 {
       WITH t AS (SELECT doc_id, source,
               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
             FROM documents),
-      sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(w) >= 5
+      sh AS MATERIALIZED (SELECT doc_id, source, list_distinct(CASE WHEN len(w) >= 5
                THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
                ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
       bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
@@ -189,7 +189,7 @@ object Core5 {
       t2 AS (SELECT doc_id, source,
               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
             FROM documents),
-      sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(w) >= 5
+      sh AS MATERIALIZED (SELECT doc_id, source, list_distinct(CASE WHEN len(w) >= 5
                THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
                ELSE [array_to_string(w, ' ')] END) AS sh FROM t2),
       bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
@@ -225,6 +225,38 @@ object Core5 {
       SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
       FROM events JOIN customer ON user_id = c_custkey
       WHERE event_type = 'purchase'
-      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Explicit NULLS FIRST/LAST ordering (O1): Spark's ASC default is
+    // nulls-first, DuckDB's is nulls-last — only explicit placement is
+    // portable. The driver's compare sorts rows before hashing, so raw
+    // ORDER BY placement is unobservable; a LIMIT after each ordered
+    // branch makes the placement decide CONTENT (top-20 descending with
+    // NULLS LAST must exclude nulls; head-5 ascending with NULLS FIRST
+    // must be all nulls).
+    QueryDef("q64_nulls_order", (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "events").filter($"event_id" < 200)
+        .select($"event_id",
+          when($"event_type" === "error", lit(null))
+            .otherwise(round($"value", 2)).as("v"))
+      val top = base.orderBy($"v".desc_nulls_last, $"event_id").limit(20)
+        .withColumn("part", lit(1))
+      val nulls = base.orderBy($"v".asc_nulls_first, $"event_id").limit(5)
+        .withColumn("part", lit(2))
+      top.unionByName(nulls).select($"part", $"event_id", $"v")
+        .orderBy($"part", $"event_id")
+    }, Some("""
+      WITH base AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS v
+        FROM events WHERE event_id < 200)
+      SELECT part, event_id, v FROM (
+        (SELECT 1 AS part, event_id, v FROM base
+         ORDER BY v DESC NULLS LAST, event_id LIMIT 20)
+        UNION ALL
+        (SELECT 2 AS part, event_id, v FROM base
+         ORDER BY v ASC NULLS FIRST, event_id LIMIT 5)) u
+      ORDER BY part, event_id"""))
   )
 }

@@ -121,7 +121,7 @@ object Pipeline {
         .orderBy($"id1", $"id2")
     }, Some(s"""
       WITH t AS (SELECT doc_id, regexp_split_to_array($duckNorm, ' ') AS w FROM documents),
-      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
                ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
       p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
