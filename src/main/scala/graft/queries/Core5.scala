@@ -257,6 +257,24 @@ object Core5 {
         UNION ALL
         (SELECT 2 AS part, event_id, v FROM base
          ORDER BY v ASC NULLS FIRST, event_id LIMIT 5)) u
-      ORDER BY part, event_id"""))
+      ORDER BY part, event_id""")),
+
+    // foreachBatch sink with idempotent overwrite (the production pattern
+    // the memory sink can't show): Complete-mode per-type totals rewritten
+    // whole each micro-batch — a replayed batch rewrites identical content
+    // (exactly-once by construction). Oracle = the batch aggregation.
+    QueryDef("e07_foreach_batch", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val out = java.nio.file.Files.createTempDirectory("graft_e07").toString
+      val agg = EventStreams.readEventStream(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.runForeachBatchOverwrite(s, agg, out)
+      }.orderBy($"event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

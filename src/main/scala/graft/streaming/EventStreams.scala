@@ -165,4 +165,26 @@ object EventStreams {
     q.stop()
     spark.table(name)
   }
+
+  /** The production sink pattern the memory sink can't show: `foreachBatch`
+    * with an idempotent overwrite per micro-batch. Complete-mode state is
+    * re-emitted whole every trigger, so overwriting the target with each
+    * batch is exactly-once BY CONSTRUCTION — a replayed batch (failure,
+    * speculative retry) rewrites the same content instead of duplicating
+    * it. At scale the same shape targets a transactional table (Delta /
+    * Iceberg MERGE keyed on the group columns); parquet-overwrite is the
+    * dependency-free stand-in with identical semantics here. Returns the
+    * final sink contents. */
+  def runForeachBatchOverwrite(spark: SparkSession, aggregated: DataFrame,
+      outDir: String): DataFrame = {
+    val q = aggregated.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.coalesce(1).write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
 }

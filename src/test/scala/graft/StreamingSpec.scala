@@ -74,4 +74,20 @@ class StreamingSpec extends SparkSpec {
       .filter($"n" > $"nb")
     assert(joined.count() == 0)
   }
+
+  test("foreachBatch overwrite sink is idempotent and matches the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_test").toString
+    def run() = EventStreams.runForeachBatchOverwrite(spark,
+      EventStreams.readEventStream(spark, sf)
+        .groupBy($"event_type").agg(count(lit(1)).as("n")),
+      out).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = run()
+    val second = run()   // replay: overwrite must leave identical content
+    assert(first == second)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == batch)
+  }
 }
