@@ -164,7 +164,10 @@ object TextOps {
       .groupBy("doc_id").agg(
         round((sum(col("c")) - count(lit(1))).cast(DoubleType) / sum(col("c")), 4)
           .as("dup_bigram_frac"))
-    words.join(dupBg, "doc_id")
+    // left join: a one-token doc has no bigrams at all — report 0.0
+    // repetition rather than silently dropping the doc
+    words.join(dupBg, Seq("doc_id"), "left")
+      .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
   }
 
   // ---- PII redaction ------------------------------------------------------

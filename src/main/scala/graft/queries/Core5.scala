@@ -56,8 +56,9 @@ object Core5 {
       bgc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
       dup AS (SELECT doc_id, round((sum(c) - count(*)) * 1.0 / sum(c), 4) AS dup_bigram_frac
             FROM bgc GROUP BY 1)
-      SELECT words.doc_id, n_words, mean_word_len, top_word_frac, dup_bigram_frac
-      FROM words JOIN dup USING (doc_id) ORDER BY doc_id""")),
+      SELECT words.doc_id, n_words, mean_word_len, top_word_frac,
+             coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac
+      FROM words LEFT JOIN dup USING (doc_id) ORDER BY doc_id""")),
 
     // Benchmark-contamination check (Dedup.contamination): which training
     // docs (source <> 'src0') share 5-word grams with the held-out
