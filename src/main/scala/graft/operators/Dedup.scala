@@ -396,6 +396,52 @@ object Dedup {
     labels
   }
 
+  // ---- incremental (batch-vs-corpus) near-dup -----------------------------
+
+  /** Incremental exact n-gram Jaccard: pairs with jaccard ≥ threshold
+    * where AT LEAST ONE side is in `batch` — corpus-internal pairs are
+    * never generated. The production dedup shape for an append-only
+    * corpus: each ingest batch is checked against everything already
+    * accepted (plus itself) without re-pairing the existing corpus.
+    *
+    * Scale notes: the inverted index over corpus∪batch is the structure a
+    * real pipeline PERSISTS between batches (it only ever grows by the
+    * batch's grams); candidate generation is the same single co-occurrence
+    * shuffle as [[ngramJaccardPairs]]' low-threshold path with the
+    * new-pair restriction applied BEFORE the count aggregation, so
+    * corpus×corpus co-occurrences are dropped at the join, not counted
+    * and discarded. Output is (id1, id2, jaccard) with id1 < id2. */
+  def ngramJaccardIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
+    val tagged = corpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
+      .unionByName(batch.select(col(idCol), col(textCol)).withColumn("__new", lit(true)))
+    val withShingles = tagged
+      .select(col(idCol), col("__new"), shingles(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = withShingles
+      .select(col(idCol), col("__new"), explode(col("sh")).as("__s"))
+      .select(col(idCol), col("__new"), xxhash64(col("__s")).as("shingle"))
+    val sizes = sizesFromShingles(withShingles, idCol)
+    val dfCounts = inv.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
+    val capped = inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+    val inter = capped.select(col("shingle"), col(idCol).as("id1"), col("__new").as("__n1"))
+      .join(capped.select(col("shingle"), col(idCol).as("id2"), col("__new").as("__n2")),
+        Seq("shingle"))
+      .filter(col("id1") < col("id2") && (col("__n1") || col("__n2")))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
+      .withColumn("jaccard", round(
+        col("__inter").cast(DoubleType) /
+        (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /** Train/benchmark contamination check: which training documents share

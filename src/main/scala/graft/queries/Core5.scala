@@ -276,6 +276,33 @@ object Core5 {
       }.orderBy($"event_type")
     }, Some("""
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Incremental dedup: the ingest batch (doc_id >= 400) checked for
+    // near-dups against the already-accepted corpus (doc_id < 400) and
+    // itself — corpus-internal pairs never generated (the append-only
+    // production shape; d04 is the from-scratch equivalent). The oracle
+    // recomputes the O(corpus × batch) restriction from scratch; with
+    // monotone batch ids, "at least one side new" ≡ id2 >= 400.
+    QueryDef("d09_dedup_incremental", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccardIncremental(
+          docs.filter($"doc_id" < 400), docs.filter($"doc_id" >= 400),
+          "doc_id", "text", k = 3, threshold = 0.1)
+        .orderBy($"id1", $"id2")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id AND b.doc_id >= 400)
+      SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.1 ORDER BY id1, id2"""))
   )
 }

@@ -324,6 +324,19 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L))
   }
 
+  test("ngramJaccardIncremental equals the full pair set restricted to batch-touching pairs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cut = 30L
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.1)
+      .filter($"id2" >= cut)   // ids are monotone: id1 < id2, so "touches batch" = id2 >= cut
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.ngramJaccardIncremental(
+        docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut),
+        "doc_id", "text", k = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("clusterMedoids: picks the member nearest the label mean") {
     val df = Seq(
       (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)), (3L, 0, Array(1.1f, 0f)),
