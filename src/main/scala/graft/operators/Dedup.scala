@@ -414,7 +414,13 @@ object Dedup {
   def ngramJaccardIncremental(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
-    val tagged = corpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
+    // Re-delivered ids (present in both sides — the normal at-least-once
+    // ingest case) must not double their shingles in the index: the batch
+    // copy supersedes the corpus copy (anti-join, broadcast-able batch
+    // key set). Without this, a duplicated id doubles every co-occurrence
+    // count and inflates jaccard past 1.0.
+    val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+    val tagged = freshCorpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
       .unionByName(batch.select(col(idCol), col(textCol)).withColumn("__new", lit(true)))
     val withShingles = tagged
       .select(col(idCol), col("__new"), shingles(col(textCol), k).as("sh"))

@@ -225,11 +225,16 @@ object Relational {
     // acc every round: O(total) copy work per round, and the dominant
     // cost of the whole loop at bench scale).
     var frontiers = List((if (distinctUnion) base.distinct() else base).localCheckpoint())
+    // except() is positional: re-align every step result to the base
+    // column order so a step that returns the same names in a different
+    // order can't silently dedup against the wrong columns (a missing
+    // column fails loudly here instead).
+    val baseCols = base.columns.toSeq
     def acc: DataFrame = frontiers.reduceLeft(_ unionByName _)
     var rounds = 0
     var done = frontiers.head.isEmpty
     while (!done && rounds < maxIter) {
-      val stepped = step(frontiers.head)
+      val stepped = step(frontiers.head).select(baseCols.map(col): _*)
       val next =
         (if (distinctUnion) stepped.distinct().except(acc) else stepped)
           .localCheckpoint()

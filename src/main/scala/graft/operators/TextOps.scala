@@ -110,6 +110,7 @@ object TextOps {
         explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "))
           .as("term"))
       .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -144,10 +145,15 @@ object TextOps {
     * shared with [[tfidfTopTerms]] so oracles can recompute identically. */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // two aggregation branches consume the tokenize: persist it once
+    // (same pattern as Dedup's shared shingle frame) — without this the
+    // regex tokenize + posexplode, the dominant narrow-map cost, runs
+    // twice over the corpus
     val toks = docs.select(col(idCol).as("doc_id"),
         split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " ").as("w"))
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termCounts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val words = termCounts.groupBy("doc_id").agg(
       sum(col("c")).as("n_words"),

@@ -267,7 +267,10 @@ object Core5 {
     QueryDef("e07_foreach_batch", (s, dir) => {
       import s.implicits._
       import graft.streaming.EventStreams
-      val out = java.nio.file.Files.createTempDirectory("graft_e07").toString
+      // fixed path + overwrite: repeated bench/verify runs reuse one
+      // directory instead of littering a fresh temp dir per invocation
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_e07_out").getAbsolutePath
       val agg = EventStreams.readEventStream(s, dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))

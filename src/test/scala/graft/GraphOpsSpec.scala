@@ -66,6 +66,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(comp.size === 12 && comp.values.forall(_ == 1L))
   }
 
+  test("recursiveFixpoint: step returning columns in a different order is re-aligned") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val base = Seq((1L, 0)).toDF("node", "depth")
+    def walk(reorder: Boolean) = Relational.recursiveFixpoint(
+      base,
+      f => {
+        val s = f.join(edges, f("node") === edges("src"))
+        if (reorder) s.select((f("depth") + 1).as("depth"), edges("dst").as("node"))
+        else s.select(edges("dst").as("node"), (f("depth") + 1).as("depth"))
+      },
+      maxIter = 10, distinctUnion = true)
+      .as[(Long, Int)].collect().toSet
+    assert(walk(reorder = false) == Set((1L, 0), (2L, 1), (3L, 2)))
+    assert(walk(reorder = true) == walk(reorder = false))
+  }
+
   test("connectedComponents: random graphs match a brute-force union-find") {
     val rnd = new scala.util.Random(2024)
     for (trial <- 1 to 3) {

@@ -337,6 +337,18 @@ class Round4OpsSpec extends SparkSpec {
     assert(inc == full && inc.nonEmpty)
   }
 
+  test("ngramJaccardIncremental: a re-delivered id does not double-count") {
+    val corpus = Seq((1L, "aa bb cc dd"), (2L, "zz yy xx ww")).toDF("doc_id", "text")
+    // doc 1 re-delivered in the batch (at-least-once ingest)
+    val batch = Seq((1L, "aa bb cc dd"), (3L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardIncremental(corpus, batch, "doc_id", "text",
+        k = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // 1: {aa bb cc, bb cc dd}; 3: + {cc dd ee}  ->  2/3; no inflated or
+    // duplicated pairs from the doubled id
+    assert(got == Set((1L, 3L, 0.6667)))
+  }
+
   test("clusterMedoids: picks the member nearest the label mean") {
     val df = Seq(
       (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)), (3L, 0, Array(1.1f, 0f)),

@@ -77,7 +77,8 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch overwrite sink is idempotent and matches the batch aggregation") {
     import org.apache.spark.sql.functions._
-    val out = java.nio.file.Files.createTempDirectory("graft_fb_test").toString
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fb_test_out").getAbsolutePath
     def run() = EventStreams.runForeachBatchOverwrite(spark,
       EventStreams.readEventStream(spark, sf)
         .groupBy($"event_type").agg(count(lit(1)).as("n")),
