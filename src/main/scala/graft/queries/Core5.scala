@@ -306,6 +306,26 @@ object Core5 {
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
             FROM sh a, sh b
             WHERE a.doc_id < b.doc_id AND b.doc_id >= 400)
-      SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.1 ORDER BY id1, id2"""))
+      SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.1 ORDER BY id1, id2""")),
+
+    // SQLite arithmetic semantics over signed operands (§2.8): integer
+    // division truncates toward zero (SDF delegates to SQLite's VDBE,
+    // which is C semantics), `%` takes the dividend's sign, `/` on a
+    // cast is true division. Spark `div`/`%` and DuckDB `//`/`%` share
+    // exactly these rules — the query pins that three-way agreement on
+    // negative operands, where floor-division dialects would diverge.
+    QueryDef("q65_int_div", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .select(($"n_nationkey" - 12).as("a"), ($"n_regionkey" - 2).as("b"))
+        .filter($"b" =!= 0)
+        .selectExpr("a", "b", "a div b AS idiv", "a % b AS imod",
+          "round(CAST(a AS DOUBLE) / b, 4) AS fdiv")
+        .orderBy($"a", $"b")
+    }, Some("""
+      SELECT a, b, a // b AS idiv, a % b AS imod,
+             round(CAST(a AS DOUBLE) / b, 4) AS fdiv
+      FROM (SELECT n_nationkey - 12 AS a, n_regionkey - 2 AS b FROM nation)
+      WHERE b <> 0 ORDER BY a, b"""))
   )
 }
