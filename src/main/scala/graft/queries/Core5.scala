@@ -326,6 +326,26 @@ object Core5 {
       SELECT a, b, a // b AS idiv, a % b AS imod,
              round(CAST(a AS DOUBLE) / b, 4) AS fdiv
       FROM (SELECT n_nationkey - 12 AS a, n_regionkey - 2 AS b FROM nation)
-      WHERE b <> 0 ORDER BY a, b"""))
+      WHERE b <> 0 ORDER BY a, b""")),
+
+    // Spark 4's transformWithState (the successor to flatMapGroupsWithState:
+    // typed ValueState handles, TTL, timers, RocksDB-backed store): per-user
+    // cumulative totals folded into state per micro-batch. The finite
+    // single-batch replay emits exactly one cumulative row per user, which
+    // the batch aggregation oracle hash-matches.
+    QueryDef("e08_transform_with_state", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val name = "e08_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+      EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.runningTotals(s, stream, name)
+      }.select($"user_id", $"n", round($"total_value", 2).as("total_value"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -166,6 +166,58 @@ object EventStreams {
     spark.table(name)
   }
 
+  // ---- transformWithState (Spark 4 arbitrary-state API) -------------------
+
+  case class UserTotals(user_id: Long, n: Long, total_value: Double)
+  private case class TotalsState(n: Long, total: Double)
+
+  /** Per-user cumulative totals via `transformWithState` — Spark 4's
+    * successor to [flat]MapGroupsWithState (typed ValueState handles,
+    * TTL support, timers, RocksDB-backed). Each micro-batch folds the
+    * key's rows into a ValueState and emits the running cumulative row;
+    * over a finite single-batch replay that is exactly one row per user,
+    * which the batch oracle can hash-match. */
+  private class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[TotalsState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TotalsState]("totals",
+        org.apache.spark.sql.Encoders.product[TotalsState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var s = if (state.exists()) state.get() else TotalsState(0L, 0.0)
+      rows.foreach(e => s = TotalsState(s.n + 1, s.total + e.value))
+      state.update(s)
+      Iterator.single(UserTotals(key, s.n, s.total))
+    }
+  }
+
+  /** transformWithState needs the RocksDB state store provider; scope it
+    * (plus any other conf) to one query and restore after. */
+  def withConf[T](spark: SparkSession, key: String, value: String)(f: => T): T = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Per-user running totals as a stream (see [[RunningTotalsProcessor]]).
+    * Returns the materialized Append-mode output. */
+  def runningTotals(spark: SparkSession, events: Dataset[Event], name: String): DataFrame = {
+    import spark.implicits._
+    val out = events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runToMemory(spark, out.toDF(), name, OutputMode.Append())
+    }
+  }
+
   /** The production sink pattern the memory sink can't show: `foreachBatch`
     * with an idempotent overwrite per micro-batch. Complete-mode state is
     * re-emitted whole every trigger, so overwriting the target with each
