@@ -75,6 +75,42 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("transformWithState accumulates across micro-batches (cumulative per-key rows)") {
+    import org.apache.spark.sql.functions._
+    // split events into two files and trigger one file per batch: each
+    // batch must emit the RUNNING cumulative row per user, not per-batch
+    // deltas — the stateful semantics the single-batch oracle can't pin
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_e08_two_batches")
+    val batchEvents = Tables.load(spark, sf, "events")
+    // eventSchema expects raw nano-longs (as the driver's parquet has):
+    // write ts back as nanos so the stream-side decode path is identical
+    val asNanos = batchEvents.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    asNanos.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f0")
+    asNanos.filter($"event_id" % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f1")
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val got = EventStreams.withShufflePartitions(spark, 4) {
+      EventStreams.runningTotals(spark, stream, "e08_two_batches")
+    }
+    // final (max-n) row per user must equal the full batch aggregation
+    val last = got.groupBy($"user_id").agg(max($"n").as("n"))
+    val batch = batchEvents.groupBy($"user_id").agg(count(lit(1)).as("nb"))
+    assert(last.join(batch, "user_id").filter($"n" =!= $"nb").count() == 0)
+    // and at least one user must have emitted two increasing cumulative rows
+    val twoRows = got.groupBy($"user_id").agg(count(lit(1)).as("emissions"),
+      max($"n").as("mx"), min($"n").as("mn"))
+    assert(twoRows.filter($"emissions" === 2 && $"mx" > $"mn").count() > 0)
+  }
+
   test("foreachBatch overwrite sink is idempotent and matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     val out = new java.io.File(
