@@ -196,6 +196,34 @@ object SQLiteExprs {
     * (SURVEY.md §7.4). */
   def narrow(c: Column, to: DataType): Column = c.cast(to)
 
+  /** SQLite `CAST(text AS INTEGER)` (reachable through the reference's SQL
+    * entry points, SDF.swift:295-304): the longest integer prefix after
+    * optional leading spaces; no prefix → 0; out-of-int64-range clamps to
+    * the boundary. NEVER errors — the opposite of Spark's ANSI cast, which
+    * is why this is an explicit emulation, not `cast`. Leading zeros are
+    * stripped before the length-based clamp so '000…0005' stays 5. */
+  def sqliteCastInt(c: Column): Column = {
+    val t = ltrim(c)
+    val sign = regexp_extract(t, "^([+-])", 1)
+    val digits = regexp_extract(t, "^[+-]?0*([0-9]+)", 1)
+    when(digits === "", lit(0L))
+      .when(length(digits) > 19,
+        when(sign === "-", lit(Long.MinValue)).otherwise(lit(Long.MaxValue)))
+      .otherwise(
+        least(greatest(concat(sign, digits).cast(DecimalType(20, 0)),
+          lit(Long.MinValue).cast(DecimalType(20, 0))),
+          lit(Long.MaxValue).cast(DecimalType(20, 0))).cast(LongType))
+  }
+
+  /** SQLite `CAST(text AS REAL)`: the longest real-number prefix
+    * (optional sign, digits with optional fraction, optional exponent);
+    * no prefix → 0.0. Never errors. */
+  def sqliteCastReal(c: Column): Column = {
+    val p = regexp_extract(ltrim(c),
+      "^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?", 0)
+    when(p === "", lit(0.0)).otherwise(p.cast(DoubleType))
+  }
+
   /** C5 (SDF.swift:513-526): `.any` dynamic cells. Fixed-schema engine →
     * a variant struct carrying the runtime type tag plus one slot per
     * SQLite storage class. Build one from any typed column: */

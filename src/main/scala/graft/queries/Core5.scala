@@ -346,6 +346,46 @@ object Core5 {
         .orderBy($"user_id")
     }, Some("""
       SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // SQLite CAST semantics (SQLiteExprs.sqliteCastInt/Real): longest
+    // numeric prefix, leading spaces ignored, 0 when no prefix, int64
+    // clamp on overflow — CAST never errors in SQLite, the opposite of
+    // Spark's ANSI cast. The oracle re-derives the identical rules in
+    // DuckDB SQL over the same inline value list.
+    QueryDef("q66_sqlite_cast", (s, dir) => {
+      import s.implicits._
+      import graft.functions.SQLiteExprs
+      Seq("12abc", "abc", "  42", "-3.9xyz", "3.9",
+          "99999999999999999999999", "-00099999999999999999999999",
+          "0000000005", "1e3", ".5e1x", "+7", "", "0x1A",
+          "9223372036854775807", "-9223372036854775808")
+        .toDF("sv")
+        .select($"sv", SQLiteExprs.sqliteCastInt($"sv").as("i"),
+          SQLiteExprs.sqliteCastReal($"sv").as("r"))
+        .orderBy($"sv")
+    }, Some("""
+      WITH vals(sv) AS (VALUES ('12abc'), ('abc'), ('  42'), ('-3.9xyz'), ('3.9'),
+        ('99999999999999999999999'), ('-00099999999999999999999999'),
+        ('0000000005'), ('1e3'), ('.5e1x'), ('+7'), (''), ('0x1A'),
+        ('9223372036854775807'), ('-9223372036854775808')),
+      parts AS (SELECT sv, ltrim(sv) AS t FROM vals),
+      pieces AS (SELECT sv,
+          regexp_extract(t, '^([+-])', 1) AS sign,
+          regexp_extract(t, '^[+-]?0*([0-9]+)', 1) AS digits,
+          regexp_extract(t, '^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) AS rp
+        FROM parts)
+      SELECT sv,
+        CASE WHEN digits = '' THEN 0
+             WHEN length(digits) > 19 THEN
+               CASE WHEN sign = '-' THEN (-9223372036854775807 - 1) ELSE 9223372036854775807 END
+             ELSE CAST(CASE
+                    WHEN CAST(sign || digits AS HUGEINT) > 9223372036854775807
+                      THEN CAST(9223372036854775807 AS HUGEINT)
+                    WHEN CAST(sign || digits AS HUGEINT) < -9223372036854775807 - 1
+                      THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
+                    ELSE CAST(sign || digits AS HUGEINT) END AS BIGINT) END AS i,
+        CASE WHEN rp = '' THEN 0.0 ELSE CAST(rp AS DOUBLE) END AS r
+      FROM pieces ORDER BY sv"""))
   )
 }

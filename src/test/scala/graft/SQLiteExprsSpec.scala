@@ -203,4 +203,29 @@ class SQLiteExprsSpec extends SparkSpec {
       dateModifiers($"c", "start of fortnight")
     }
   }
+
+  test("sqliteCastInt/Real: numeric-prefix parse, 0 fallback, int64 clamp, never errors") {
+    import graft.functions.SQLiteExprs._
+    def runI(s: String): Long =
+      Seq(s).toDF("c").select(sqliteCastInt($"c")).as[Long].head()
+    def runR(s: String): Double =
+      Seq(s).toDF("c").select(sqliteCastReal($"c")).as[Double].head()
+    assert(runI("12abc") == 12L)
+    assert(runI("abc") == 0L)         // SQLite: no prefix -> 0, never an error
+    assert(runI("  42") == 42L)       // leading spaces ignored
+    assert(runI("3.9") == 3L)         // integer prefix only, not trunc(3.9) by parse
+    assert(runI("-3.9xyz") == -3L)
+    assert(runI("1e3") == 1L)         // exponent is not part of an integer prefix
+    assert(runI("0000000005") == 5L)  // leading zeros don't defeat the length clamp
+    assert(runI("99999999999999999999999") == Long.MaxValue)   // clamp, not throw
+    assert(runI("-00099999999999999999999999") == Long.MinValue)
+    assert(runI("9223372036854775807") == Long.MaxValue)       // exact boundary
+    assert(runI("-9223372036854775808") == Long.MinValue)
+    assert(runI("") == 0L)
+    assert(runI("0x1A") == 0L)        // SQLite CAST does not parse hex
+    assert(runR(".5e1x") == 5.0)      // real prefix includes fraction + exponent
+    assert(runR("-3.9xyz") == -3.9)
+    assert(runR("1e3") == 1000.0)
+    assert(runR("abc") == 0.0)
+  }
 }
