@@ -224,6 +224,26 @@ object SQLiteExprs {
     when(p === "", lit(0.0)).otherwise(p.cast(DoubleType))
   }
 
+  /** SQLite `substr(X, Y[, Z])` semantics, which Spark's substring does
+    * not share at the edges: position 0 is a virtual character that
+    * CONSUMES length (substr('hello',0,3) = 'he', Spark gives 'hel');
+    * negative Y counts from the right; negative Z takes the |Z|
+    * characters PRECEDING position Y (Spark returns ''). DuckDB's substr
+    * matches SQLite on all of these, so oracles can use it verbatim. */
+  def sqliteSubstr(c: Column, y: Int, z: Option[Int] = None): Column = {
+    val p0: Column = if (y < 0) length(c) + lit(y + 1) else lit(y)
+    z match {
+      case None =>
+        c.substr(greatest(p0, lit(1)), length(c))
+      case Some(zz) if zz >= 0 =>
+        val start = greatest(p0, lit(1))
+        c.substr(start, greatest(lit(zz) - (start - p0), lit(0)))
+      case Some(zz) =>
+        val start = greatest(p0 + lit(zz), lit(1))
+        c.substr(start, greatest(p0 - start, lit(0)))
+    }
+  }
+
   /** C5 (SDF.swift:513-526): `.any` dynamic cells. Fixed-schema engine →
     * a variant struct carrying the runtime type tag plus one slot per
     * SQLite storage class. Build one from any typed column: */

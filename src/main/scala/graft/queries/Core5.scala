@@ -386,6 +386,31 @@ object Core5 {
                       THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
                     ELSE CAST(sign || digits AS HUGEINT) END AS BIGINT) END AS i,
         CASE WHEN rp = '' THEN 0.0 ELSE CAST(rp AS DOUBLE) END AS r
-      FROM pieces ORDER BY sv"""))
+      FROM pieces ORDER BY sv""")),
+
+    // SQLite substr() edge semantics (SQLiteExprs.sqliteSubstr): virtual
+    // position 0 consumes length, negative start counts from the right,
+    // negative length takes the chars PRECEDING the start. Spark's
+    // substring diverges on all three; DuckDB's substr matches SQLite
+    // exactly, so the oracle is the plain function.
+    QueryDef("q67_substr_sqlite", (s, dir) => {
+      import s.implicits._
+      import graft.functions.SQLiteExprs.sqliteSubstr
+      t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name",
+          sqliteSubstr($"n_name", 2, Some(3)).as("mid"),
+          sqliteSubstr($"n_name", -3, None).as("tail3"),
+          sqliteSubstr($"n_name", 0, Some(3)).as("zero3"),
+          sqliteSubstr($"n_name", 3, Some(-2)).as("before3"),
+          sqliteSubstr($"n_name", -1, Some(-2)).as("beforelast"))
+        .orderBy($"n_nationkey")
+    }, Some("""
+      SELECT n_nationkey, n_name,
+             substr(n_name, 2, 3) AS mid,
+             substr(n_name, -3) AS tail3,
+             substr(n_name, 0, 3) AS zero3,
+             substr(n_name, 3, -2) AS before3,
+             substr(n_name, -1, -2) AS beforelast
+      FROM nation ORDER BY n_nationkey"""))
   )
 }

@@ -228,4 +228,19 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(runR("1e3") == 1000.0)
     assert(runR("abc") == 0.0)
   }
+
+  test("sqliteSubstr: position-0, negative-start and negative-length edges") {
+    import graft.functions.SQLiteExprs.sqliteSubstr
+    def run(y: Int, z: Option[Int]): String =
+      Seq("hello").toDF("c").select(sqliteSubstr($"c", y, z)).as[String].head()
+    assert(run(2, Some(2)) == "el")
+    assert(run(-2, None) == "lo")      // negative start counts from the right
+    assert(run(0, Some(3)) == "he")    // virtual position 0 consumes length
+    assert(run(-7, Some(3)) == "h")    // start before the string consumes too
+    assert(run(3, Some(-2)) == "he")   // negative length: chars BEFORE position
+    assert(run(-1, Some(-2)) == "ll")
+    assert(run(2, Some(100)) == "ello")
+    assert(run(0, None) == "hello")
+    assert(run(9, Some(3)) == "")      // start past the end
+  }
 }
