@@ -368,8 +368,14 @@ object Dedup {
     // per-round join re-shuffles only the (much smaller) label frame.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("src")).localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint()
+    // seed labels with min(node, min neighbor): the same groupBy-on-src
+    // shuffle the plain distinct() would pay, but it bakes the first
+    // propagation round into initialization — one fewer loop iteration
+    // (checkpoint + convergence job) for any graph
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("node"), least(col("node"), col("__m")).as("component"))
+      .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
