@@ -110,6 +110,32 @@ object Multimodal {
     }
   }
 
+  /** Audio resample step — the audio twin of [[resizeStub]]. Spark-side
+    * semantics are REAL: only audio rows touched, downsample-only (a
+    * higher target rate is a no-op, like resize never upscales),
+    * duration preserved, payload shrunk by the rate ratio, narrow
+    * iterator pass; the sample-rate-conversion kernel is the STUB
+    * (deterministic byte decimation — a real impl low-pass-filters and
+    * interpolates PCM here; codec libs are not in this container).
+    * `fromHz` is carried per-row in `width` (synthesize leaves it as a
+    * free metadata slot for non-images); the new rate lands there. */
+  def resamplePcmStub(media: Dataset[MediaRecord], toHz: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(toHz > 0, s"bad target rate: $toHz")
+    media.mapPartitions { it =>
+      it.map { m =>
+        val fromHz = m.width
+        if (m.kind != "audio" || fromHz <= toHz) m
+        else {
+          val ratio = toHz.toDouble / fromHz
+          val targetLen =
+            math.min(m.bytes.length, math.max(1, (m.bytes.length * ratio).toInt))
+          m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen), width = toHz)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * offset (sequence + explode — pure expressions, no UDF). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =

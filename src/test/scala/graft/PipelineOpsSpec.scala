@@ -287,6 +287,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resamplePcmStub: downsample-only, duration kept, payload scaled") {
+    val media = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
+      .as[Multimodal.MediaRecord]
+    val in = media.collect().map(m => m.media_id -> m).toMap
+    val out = Multimodal.resamplePcmStub(media, 8000).collect()
+    out.foreach { m =>
+      val orig = in(m.media_id)
+      if (orig.kind != "audio" || orig.width <= 8000) {
+        assert(m.width == orig.width && m.bytes.length == orig.bytes.length)
+      } else {
+        assert(m.width == 8000, "rate metadata must update")
+        assert(m.duration_ms == orig.duration_ms, "duration is wall-clock, not samples")
+        assert(m.bytes.length <= orig.bytes.length, "downsample never grows")
+        val expect = math.min(orig.bytes.length,
+          math.max(1, (orig.bytes.length * 8000.0 / orig.width).toInt))
+        assert(m.bytes.length == expect)
+      }
+    }
+    // a higher target rate is a no-op for every row
+    val up = Multimodal.resamplePcmStub(media, 1000000).collect()
+    up.foreach(m => assert(m.bytes.length == in(m.media_id).bytes.length))
+  }
+
   test("sampleFrames: one row per 500ms step") {
     val media = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
     val s = Multimodal.sampleFrames(media, 500L)
