@@ -203,7 +203,10 @@ object SQLiteExprs {
     * is why this is an explicit emulation, not `cast`. Leading zeros are
     * stripped before the length-based clamp so '000…0005' stays 5. */
   def sqliteCastInt(c: Column): Column = {
-    val t = ltrim(c)
+    // SQLite skips ALL C whitespace (sqlite3Isspace: space \t \n \v \f
+    // \r); ltrim trims spaces only, hence the explicit class (identical
+    // in Java regex and RE2, so oracles reuse the pattern verbatim)
+    val t = regexp_replace(c, lit("^[ \\t\\n\\u000B\\f\\r]+"), lit(""))
     val sign = regexp_extract(t, "^([+-])", 1)
     val digits = regexp_extract(t, "^[+-]?0*([0-9]+)", 1)
     when(digits === "", lit(0L))
@@ -219,7 +222,7 @@ object SQLiteExprs {
     * (optional sign, digits with optional fraction, optional exponent);
     * no prefix → 0.0. Never errors. */
   def sqliteCastReal(c: Column): Column = {
-    val p = regexp_extract(ltrim(c),
+    val p = regexp_extract(regexp_replace(c, lit("^[ \\t\\n\\u000B\\f\\r]+"), lit("")),
       "^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?", 0)
     when(p === "", lit(0.0)).otherwise(p.cast(DoubleType))
   }

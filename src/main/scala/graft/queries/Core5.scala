@@ -356,7 +356,7 @@ object Core5 {
     QueryDef("q66_sqlite_cast", (s, dir) => {
       import s.implicits._
       import graft.functions.SQLiteExprs
-      Seq("12abc", "abc", "  42", "-3.9xyz", "3.9",
+      Seq("12abc", "abc", "  42", "\t42", "-3.9xyz", "3.9",
           "99999999999999999999999", "-00099999999999999999999999",
           "0000000005", "1e3", ".5e1x", "+7", "", "0x1A",
           "9223372036854775807", "-9223372036854775808")
@@ -365,11 +365,11 @@ object Core5 {
           SQLiteExprs.sqliteCastReal($"sv").as("r"))
         .orderBy($"sv")
     }, Some("""
-      WITH vals(sv) AS (VALUES ('12abc'), ('abc'), ('  42'), ('-3.9xyz'), ('3.9'),
+      WITH vals(sv) AS (VALUES ('12abc'), ('abc'), ('  42'), (chr(9) || '42'), ('-3.9xyz'), ('3.9'),
         ('99999999999999999999999'), ('-00099999999999999999999999'),
         ('0000000005'), ('1e3'), ('.5e1x'), ('+7'), (''), ('0x1A'),
         ('9223372036854775807'), ('-9223372036854775808')),
-      parts AS (SELECT sv, ltrim(sv) AS t FROM vals),
+      parts AS (SELECT sv, regexp_replace(sv, '^[ \t\n\x0B\f\r]+', '') AS t FROM vals),
       pieces AS (SELECT sv,
           regexp_extract(t, '^([+-])', 1) AS sign,
           regexp_extract(t, '^[+-]?0*([0-9]+)', 1) AS digits,

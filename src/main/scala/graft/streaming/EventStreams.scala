@@ -143,12 +143,8 @@ object EventStreams {
     * streaming jobs therefore size this explicitly to expected state
     * volume (keys x throughput), independent of the batch setting. This
     * scopes that sizing to one query and restores the session after. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
-  }
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T =
+    withConf(spark, "spark.sql.shuffle.partitions", n.toString)(f)
 
   /** Run a streaming query to completion against the (finite) file source
     * and return the materialized result — the test/verify harness.

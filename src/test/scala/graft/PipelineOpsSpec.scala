@@ -291,20 +291,25 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.synthesize(Tables.load(spark, sf, "documents"))
       .as[Multimodal.MediaRecord]
     val in = media.collect().map(m => m.media_id -> m).toMap
-    val out = Multimodal.resamplePcmStub(media, 8000).collect()
+    // synthesize() rates span 32..671, so toHz=16 forces every audio row
+    // through the downsample branch (a larger target would be all no-ops)
+    val out = Multimodal.resamplePcmStub(media, 16).collect()
+    var downsampled = 0
     out.foreach { m =>
       val orig = in(m.media_id)
-      if (orig.kind != "audio" || orig.width <= 8000) {
+      if (orig.kind != "audio" || orig.width <= 16) {
         assert(m.width == orig.width && m.bytes.length == orig.bytes.length)
       } else {
-        assert(m.width == 8000, "rate metadata must update")
+        downsampled += 1
+        assert(m.width == 16, "rate metadata must update")
         assert(m.duration_ms == orig.duration_ms, "duration is wall-clock, not samples")
         assert(m.bytes.length <= orig.bytes.length, "downsample never grows")
         val expect = math.min(orig.bytes.length,
-          math.max(1, (orig.bytes.length * 8000.0 / orig.width).toInt))
+          math.max(1, (orig.bytes.length * 16.0 / orig.width).toInt))
         assert(m.bytes.length == expect)
       }
     }
+    assert(downsampled > 0, "the downsample branch must actually run")
     // a higher target rate is a no-op for every row
     val up = Multimodal.resamplePcmStub(media, 1000000).collect()
     up.foreach(m => assert(m.bytes.length == in(m.media_id).bytes.length))

@@ -213,6 +213,8 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(runI("12abc") == 12L)
     assert(runI("abc") == 0L)         // SQLite: no prefix -> 0, never an error
     assert(runI("  42") == 42L)       // leading spaces ignored
+    assert(runI("\t42") == 42L)       // SQLite skips ALL C whitespace, not just spaces
+    assert(runI("\n\r 42") == 42L)
     assert(runI("3.9") == 3L)         // integer prefix only, not trunc(3.9) by parse
     assert(runI("-3.9xyz") == -3L)
     assert(runI("1e3") == 1L)         // exponent is not part of an integer prefix
