@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Core, Core2, Core3, Core4, Core5, Pipeline, QueryDef, SQLiteSemantics}
+import graft.queries.{Core, Core2, Core3, Core4, Core5, Core6, Pipeline, QueryDef, SQLiteSemantics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,7 +8,7 @@ object SparkEntry {
     * implementation and (when SQL-expressible) its DuckDB oracle. */
   private def allDefs: Seq[QueryDef] =
     Core.defs ++ Core2.defs ++ Core3.defs ++ Core4.defs ++ Core5.defs ++
-      SQLiteSemantics.defs ++ Pipeline.defs
+      Core6.defs ++ SQLiteSemantics.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -166,6 +166,33 @@ object SQLiteExprs {
     * pragma and unicode extension change this anyway). */
   def sqliteLike(c: Column, pattern: String): Column = c.ilike(pattern)
 
+  /** SQLite `LIKE pattern ESCAPE esc` (sqlite.org/lang_expr.html#like):
+    * the escape character makes the following `%`/`_` (or itself) literal.
+    * Same case-insensitive default as [[sqliteLike]], hence the
+    * three-argument `ilike`. */
+  def sqliteLikeEscape(c: Column, pattern: String, esc: Char): Column =
+    ilike(c, lit(pattern), lit(esc.toString))
+
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
+
+  /** SQLite NOCASE collation key: folds A–Z only (sqlite3StrICmp — the
+    * built-in NOCASE is explicitly ASCII-scoped, unlike Unicode-aware
+    * `lower()`). `ORDER BY … COLLATE NOCASE`, `GROUP BY`, `=` and DISTINCT
+    * under NOCASE all lower to sorting/grouping on this key. `translate`
+    * is a codegen'd built-in, and the identical call exists in DuckDB so
+    * oracles replicate the fold exactly. */
+  def nocaseKey(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+
+  /** SQLite scalar `max(X,Y,…)` / `min(X,Y,…)` return NULL when ANY
+    * argument is NULL (sqlite.org/lang_corefunc.html) — the opposite of
+    * Spark/ANSI `greatest`/`least`, which skip NULLs. q52 pins the
+    * skip-NULLs surface; these pin SQLite's. */
+  def sqliteMaxScalar(cols: Column*): Column =
+    when(cols.map(_.isNull).reduce(_ || _), lit(null)).otherwise(greatest(cols: _*))
+  def sqliteMinScalar(cols: Column*): Column =
+    when(cols.map(_.isNull).reduce(_ || _), lit(null)).otherwise(least(cols: _*))
+
   /** GLOB as a Column predicate. The four shapes that dominate real
     * predicates — exact, `lit*`, `*lit`, `*lit*` — compile to string
     * predicates instead of a regex: those push down to the parquet scan
@@ -261,6 +288,20 @@ object SQLiteExprs {
     when(v.getField("t") === "int",  v.getField("i").cast(StringType))
       .when(v.getField("t") === "real", v.getField("r").cast(StringType))
       .otherwise(v.getField("s"))
+
+  /** SQLite `quote()` over a variant cell (sqlite.org/lang_corefunc
+    * .html#quote): renders the value as an SQL literal — text wrapped in
+    * single quotes with embedded quotes doubled, numbers as their default
+    * rendering, NULL as the bare keyword. The read-side counterpart of
+    * the reference's statement-text binding (SDF.swift:578-623 binds
+    * typed values; quote() is how SQLite shows them back). */
+  def quoteVariant(v: Column): Column =
+    when(v.getField("t") === "int", v.getField("i").cast(StringType))
+      .when(v.getField("t") === "real", v.getField("r").cast(StringType))
+      .when(v.getField("t") === "text",
+        concat(lit("'"),
+          regexp_replace(v.getField("s"), lit("'"), lit("''")), lit("'")))
+      .otherwise(lit("NULL"))
 
   /** SQLite `typeof()` over a variant cell: the storage class as text
     * ('integer' | 'real' | 'text' | 'null'; 'blob' lives in binary

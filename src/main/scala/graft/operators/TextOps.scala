@@ -176,6 +176,40 @@ object TextOps {
       .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
   }
 
+  // ---- corpus vocabulary ---------------------------------------------------
+
+  /** Corpus vocabulary table: every term with its global count, frequency
+    * rank, and cumulative corpus-coverage fraction — the Zipf table that
+    * feeds tokenizer/BPE vocab selection and stopword discovery.
+    *
+    * Distributed shape: one narrow tokenize feeds ONE partial+final
+    * aggregation keyed by term (map-side combine collapses each partition
+    * to its local vocabulary before the shuffle — the only full-corpus
+    * pass). Rank and cumulative sum are a single-partition window over the
+    * AGGREGATED vocabulary, which is ≪ corpus (Heaps' law) and bounded
+    * further by `topK`; the corpus token total joins in as a broadcast
+    * 1-row frame, never a driver-side literal. Tokenizer shared with
+    * [[tfidfTopTerms]]/[[repetitionSignals]] so oracles recompute it
+    * identically. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(
+        explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .filter(col("rnk") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("term"), col("cnt"),
+        round(col("cum").cast(DoubleType) / col("total"), 4).as("cum_frac"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** Patterns kept RE2-compatible (no backrefs/lookaround) so the same

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.SQLiteExprs
+import graft.operators.{Dedup, TextOps}
+
+/** Round-4 (cont.) additions: SQLite collation/NULL-semantics fidelity
+  * (NOCASE, scalar min/max NULL propagation, IS NOT DISTINCT FROM, LIKE
+  * ESCAPE, quote()), correlated scalar subqueries through the SQL entry
+  * point, and two more corpus-pipeline staples (vocabulary/Zipf table,
+  * per-source duplication report) plus the stream-stream LEFT OUTER join. */
+object Core6 {
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SQLite NOCASE collation (sqlite.org/datatype3.html#collation):
+    // ASCII-only case folding — 'É' and 'é' stay DISTINCT under NOCASE
+    // while plain-ASCII case variants merge. Grouping on the translate
+    // key is the faithful lowering (lower() would over-merge the accented
+    // pair); the oracle replicates the A–Z fold with DuckDB's translate.
+    QueryDef("q68_collate_nocase", (s, dir) => {
+      import s.implicits._
+      val nation = t(s, dir, "nation")
+      val a = nation.select(concat(upper($"n_name"),
+        when($"n_nationkey" % 5 === 0, lit("É")).otherwise(lit(""))).as("name"))
+      val b = nation.select(concat(lower($"n_name"),
+        when($"n_nationkey" % 5 === 0, lit("é")).otherwise(lit(""))).as("name"))
+      a.unionByName(b)
+        .groupBy(SQLiteExprs.nocaseKey($"name").as("nk"))
+        .agg(count(lit(1)).as("n"), min($"name").as("mn"), max($"name").as("mx"))
+        .orderBy($"nk")
+    }, Some("""
+      WITH u AS (
+        SELECT upper(n_name) || CASE WHEN n_nationkey % 5 = 0 THEN 'É' ELSE '' END AS name
+        FROM nation
+        UNION ALL
+        SELECT lower(n_name) || CASE WHEN n_nationkey % 5 = 0 THEN 'é' ELSE '' END AS name
+        FROM nation)
+      SELECT translate(name, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS nk,
+             count(*) AS n, min(name) AS mn, max(name) AS mx
+      FROM u GROUP BY 1 ORDER BY nk""")),
+
+    // SQLite scalar max(X,Y)/min(X,Y) return NULL when ANY argument is
+    // NULL (sqlite.org/lang_corefunc.html) — q52 pinned the skip-NULLs
+    // greatest/least surface; this pins SQLite's propagate-NULL rule.
+    QueryDef("q69_minmax_null", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").filter($"event_id" < 3000)
+        .select($"event_id",
+          round($"value", 2).as("a"),
+          when($"event_type" === "error", lit(null).cast(DoubleType))
+            .otherwise(lit(50.0) - round($"value", 2)).as("b"))
+        .select($"event_id", $"a", $"b",
+          SQLiteExprs.sqliteMaxScalar($"a", $"b").as("mx"),
+          SQLiteExprs.sqliteMinScalar($"a", $"b").as("mn"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id, a, b,
+             CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE greatest(a, b) END AS mx,
+             CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE least(a, b) END AS mn
+      FROM (SELECT event_id, round(value, 2) AS a,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE 50.0 - round(value, 2) END AS b
+            FROM events WHERE event_id < 3000) x
+      ORDER BY event_id""")),
+
+    // SQLite `IS` / `IS NOT` (null-safe equality, sqlite.org/lang_expr
+    // .html#isisnot) as a JOIN key: Spark's <=> (EqualNullSafe) is a
+    // valid equi-join key, so the plan is a hash join, not a nested loop
+    // — NULL keys match each other instead of dropping out.
+    QueryDef("q70_nullsafe_join", (s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "customer").select($"c_custkey",
+        when($"c_nationkey" % 7 === 0, lit(null).cast(LongType))
+          .otherwise($"c_nationkey").as("lk"))
+      val r = t(s, dir, "nation").select($"n_name",
+        when($"n_nationkey" % 7 === 0, lit(null).cast(LongType))
+          .otherwise($"n_nationkey").as("rk"))
+      l.join(r, $"lk" <=> $"rk", "inner")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy($"n_name")
+    }, Some("""
+      WITH l AS (SELECT c_custkey,
+              CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS lk
+            FROM customer),
+      r AS (SELECT n_name,
+              CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS rk
+            FROM nation)
+      SELECT n_name, count(*) AS n_cust
+      FROM l JOIN r ON l.lk IS NOT DISTINCT FROM r.rk
+      GROUP BY 1 ORDER BY 1""")),
+
+    // SQLite `LIKE pattern ESCAPE esc`: the escaped `_` is literal, so
+    // 'id!_1%' (escape '!') matches only the '_'-separated tags while the
+    // unescaped 'id_1%' also accepts the 'x' separator — the two match
+    // columns differ exactly where escaping matters. Case-insensitive
+    // default throughout ('ID' rows match the lowercase pattern).
+    QueryDef("q71_like_escape", (s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "customer").filter($"c_custkey" <= 300)
+        .select($"c_custkey",
+          concat(
+            when($"c_custkey" % 2 === 0, lit("ID")).otherwise(lit("id")),
+            when($"c_custkey" % 3 === 0, lit("_")).otherwise(lit("x")),
+            $"c_custkey".cast(StringType), lit("%"), lower($"c_name")).as("tag"))
+      rows.select($"c_custkey", $"tag",
+          SQLiteExprs.sqliteLikeEscape($"tag", "id!_1%", '!').as("m_esc"),
+          SQLiteExprs.sqliteLike($"tag", "id_1%").as("m_raw"))
+        .filter($"m_esc" || $"m_raw")
+        .orderBy($"c_custkey")
+    }, Some("""
+      WITH r AS (SELECT c_custkey,
+              (CASE WHEN c_custkey % 2 = 0 THEN 'ID' ELSE 'id' END) ||
+              (CASE WHEN c_custkey % 3 = 0 THEN '_' ELSE 'x' END) ||
+              CAST(c_custkey AS VARCHAR) || '%' || lower(c_name) AS tag
+            FROM customer WHERE c_custkey <= 300)
+      SELECT c_custkey, tag,
+             tag ILIKE 'id!_1%' ESCAPE '!' AS m_esc,
+             tag ILIKE 'id_1%' AS m_raw
+      FROM r WHERE (tag ILIKE 'id!_1%' ESCAPE '!') OR (tag ILIKE 'id_1%')
+      ORDER BY c_custkey""")),
+
+    // Correlated scalar subqueries in the SELECT list, through the SQL
+    // entry point (SDF.swift:295-304) — Catalyst rewrites each into a
+    // left outer aggregate join, so the plan stays hash-join shaped
+    // instead of re-executing the subquery per row.
+    QueryDef("q72_scalar_subquery", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name,
+               (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+               (SELECT round(avg(c_acctbal), 2) FROM customer
+                 WHERE c_nationkey = n_nationkey) AS avg_bal
+        FROM nation ORDER BY n_name""")
+    }, Some("""
+      SELECT n_name,
+             (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+             (SELECT round(avg(c_acctbal), 2) FROM customer
+               WHERE c_nationkey = n_nationkey) AS avg_bal
+      FROM nation ORDER BY n_name""")),
+
+    // SQLite quote() over variant cells: text wrapped in single quotes
+    // with embedded quotes doubled, numbers as their rendering, NULL as
+    // the keyword — the read-back form of the reference's typed binds
+    // (SDF.swift:578-623).
+    QueryDef("c06_quote", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").filter($"event_id" < 1000)
+        .select($"event_id",
+          when($"event_id" % 4 === 0, lit("int"))
+            .when($"event_id" % 4 === 1, lit("real"))
+            .when($"event_id" % 4 === 2, lit("text"))
+            .otherwise(lit(null).cast(StringType)).as("ty"),
+          when($"event_id" % 4 === 0, floor($"value").cast(LongType).cast(StringType))
+            .when($"event_id" % 4 === 1, round($"value", 2).cast(StringType))
+            .otherwise(concat($"event_type", lit("'"), $"props")).as("raw"))
+        .select($"event_id",
+          SQLiteExprs.quoteVariant(SQLiteExprs.toVariant($"raw", $"ty")).as("q"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0 THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                  WHEN event_id % 4 = 1 THEN CAST(round(value, 2) AS VARCHAR)
+                  WHEN event_id % 4 = 2 THEN
+                    '''' || replace(event_type || '''' || props, '''', '''''') || ''''
+                  ELSE 'NULL' END AS q
+      FROM events WHERE event_id < 1000 ORDER BY event_id""")),
+
+    // Corpus vocabulary / Zipf table (TextOps.vocabulary): global term
+    // counts, frequency rank, cumulative coverage — the tokenizer/BPE
+    // vocab-selection input. One partial+final agg over the corpus; the
+    // rank window runs over the aggregated vocabulary only.
+    QueryDef("t08_vocabulary", (s, dir) => {
+      import s.implicits._
+      TextOps.vocabulary(t(s, dir, "documents"), "text", topK = 30)
+        .orderBy($"rnk")
+    }, Some("""
+      WITH t AS (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS w
+            FROM documents),
+      tok AS (SELECT unnest(w) AS term FROM t),
+      tc AS (SELECT term, count(*) AS cnt FROM tok WHERE term <> '' GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS total FROM tc),
+      r AS (SELECT term, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rnk,
+              sum(cnt) OVER (ORDER BY cnt DESC, term) AS cum
+            FROM tc)
+      SELECT rnk, term, cnt, round(cum * 1.0 / total, 4) AS cum_frac
+      FROM r, tot WHERE rnk <= 30 ORDER BY rnk""")),
+
+    // Per-source duplication report: for each source, its doc count,
+    // within-source near-dup pairs (d04's exact-jaccard pairs restricted
+    // to same-source endpoints), distinct docs involved, and the dup
+    // fraction — the data-quality dashboard over the dedup operator's
+    // output. The pair frame is tiny next to the corpus, so both
+    // source-tag joins broadcast.
+    QueryDef("d10_dup_by_source", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.1)
+      val src = docs.select($"doc_id", $"source")
+      val within = pairs
+        .join(src.toDF("id1", "s1"), "id1")
+        .join(src.toDF("id2", "s2"), "id2")
+        .filter($"s1" === $"s2")
+        .select($"s1".as("source"), $"id1", $"id2")
+      val dupDocs = within.select($"source", $"id1".as("doc_id"))
+        .unionByName(within.select($"source", $"id2".as("doc_id")))
+        .distinct()
+      t(s, dir, "documents").groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(within.groupBy($"source").agg(count(lit(1)).as("n_pairs")),
+          Seq("source"), "left")
+        .join(dupDocs.groupBy($"source").agg(count(lit(1)).as("n_dup_docs")),
+          Seq("source"), "left")
+        .select($"source", $"n_docs",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"),
+          round(coalesce($"n_dup_docs", lit(0L)).cast(DoubleType) / $"n_docs", 4)
+            .as("dup_frac"))
+        .orderBy($"source")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+      pr AS MATERIALIZED (SELECT id1, id2 FROM p WHERE jaccard >= 0.1),
+      d AS (SELECT doc_id, source FROM documents),
+      w2 AS (SELECT d1.source, id1, id2 FROM pr
+             JOIN d d1 ON pr.id1 = d1.doc_id JOIN d d2 ON pr.id2 = d2.doc_id
+             WHERE d1.source = d2.source),
+      dd AS (SELECT DISTINCT source, doc_id FROM
+              (SELECT source, id1 AS doc_id FROM w2
+               UNION ALL SELECT source, id2 FROM w2) u),
+      ns AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT ns.source, n_docs,
+             CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+             round(coalesce(nd.n_dup_docs, 0) * 1.0 / n_docs, 4) AS dup_frac
+      FROM ns
+      LEFT JOIN (SELECT source, count(*) AS n_pairs FROM w2 GROUP BY 1) np USING (source)
+      LEFT JOIN (SELECT source, count(*) AS n_dup_docs FROM dd GROUP BY 1) nd USING (source)
+      ORDER BY source""")),
+
+    // Stream-stream LEFT OUTER interval join (e04 is the inner form):
+    // every click resolved to its following-hour purchase count — zero
+    // included, which only an outer join can state. Unmatched clicks are
+    // held in join state until the watermark proves no match can arrive,
+    // so the query restricts to the watermark-complete region (clicks
+    // whose whole match window is safely behind the final watermark);
+    // the oracle applies the identical cutoff to the batch left join.
+    QueryDef("e09_stream_outer_join", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.OutputMode
+      val name = "e09_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+      val joined = EventStreams.clickFollowedByPurchase(stream, windowSec = 3600)
+      val mat = EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.runToMemory(s, joined, name, OutputMode.Append())
+      }
+      val cutoff = broadcast(t(s, dir, "events")
+        .agg((max($"ts") - expr("INTERVAL 4 HOURS")).as("cutoff")))
+      mat.crossJoin(cutoff).filter($"c_ts" <= $"cutoff")
+        .groupBy($"click_id", $"user_id")
+        .agg(count($"purchase_id").as("n_purchases"))
+        .orderBy($"click_id")
+    }, Some("""
+      WITH c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT max(ts) - INTERVAL 4 HOURS AS cutoff FROM events)
+      SELECT click_id, user_id, count(purchase_id) AS n_purchases
+      FROM c CROSS JOIN m
+      LEFT JOIN p ON c.user_id = p.p_user AND p.p_ts > c.c_ts
+                 AND p.p_ts <= c.c_ts + INTERVAL 3600 SECONDS
+      WHERE c.c_ts <= cutoff
+      GROUP BY 1, 2 ORDER BY 1"""))
+  )
+}

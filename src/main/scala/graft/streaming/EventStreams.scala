@@ -66,6 +66,35 @@ object EventStreams {
         col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click, matched to the
+    * same-user purchases that follow it within `windowSec` — or to NULL
+    * once the watermark proves no match can still arrive. Outer
+    * stream-stream joins are the shape inner joins can't express (did the
+    * click convert or not?): matched rows emit within their batch, but an
+    * unmatched click is held in the join state until the watermark passes
+    * `c_ts + windowSec` (only then is "no purchase followed" final), so
+    * null-extended rows emit one watermark-advance later. Callers must
+    * restrict to the watermark-complete region — clicks near the end of a
+    * finite replay are never resolved (see the e09 query). */
+  def clickFollowedByPurchase(events: DataFrame, windowSec: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"), col("c_ts"),
+        col("purchase_id"))
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (state is bounded by the watermark — the streaming
     * twin of Dedup.dedupExact). */

@@ -377,6 +377,29 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 0.6667)))
   }
 
+  test("vocabulary: Zipf table with rank and cumulative coverage") {
+    val docs = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "the dog")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(docs, "text", topK = 10)
+      .select($"rnk", $"term", $"cnt", $"cum_frac")
+      .as[(Int, String, Long, Double)].collect().toSeq.sortBy(_._1)
+    // counts: the=3, dog=2, and=1, cat=1 (total 7); ties rank by term
+    assert(got == Seq(
+      (1, "the", 3L, 0.4286),
+      (2, "dog", 2L, 0.7143),
+      (3, "and", 1L, 0.8571),
+      (4, "cat", 1L, 1.0)))
+  }
+
+  test("vocabulary: topK bounds output, cum_frac still against full total") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(docs, "text", topK = 2)
+      .select($"rnk", $"term", $"cum_frac")
+      .as[(Int, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a", 0.5), (2, "b", 0.8333)))
+  }
+
   test("clusterMedoids: picks the member nearest the label mean") {
     val df = Seq(
       (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)), (3L, 0, Array(1.1f, 0f)),

@@ -245,4 +245,49 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(run(0, None) == "hello")
     assert(run(9, Some(3)) == "")      // start past the end
   }
+
+  test("nocaseKey folds ASCII A-Z only (SQLite NOCASE is not Unicode lower)") {
+    def run(s: String): String =
+      Seq(s).toDF("c").select(nocaseKey($"c")).as[String].head()
+    assert(run("HeLLo") == "hello")
+    assert(run("ÉCOLE") == "École")   // É untouched: NOCASE is ASCII-scoped
+    assert(run("Ab-Z9é") == "ab-z9é")
+    // and the over-merge lower() would cause: these two differ under NOCASE
+    assert(run("XÉ") != run("xé"))
+  }
+
+  test("sqliteMin/MaxScalar: NULL in any argument propagates (SQLite rule)") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(1.0), None), (None, None))
+      .toDF("a", "b")
+    val got = df.select(
+        sqliteMaxScalar($"a", $"b").as("mx"),
+        sqliteMinScalar($"a", $"b").as("mn"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(got == Seq((Some(2.0), Some(1.0)), (None, None), (None, None)))
+  }
+
+  test("sqliteLikeEscape: escaped wildcard is literal, case-insensitive default") {
+    def run(s: String, pat: String): Boolean =
+      Seq(s).toDF("c").select(sqliteLikeEscape($"c", pat, '!')).as[Boolean].head()
+    assert(run("id_1x", "id!_1%"))      // escaped _ matches literal _
+    assert(!run("idx1x", "id!_1%"))     // ...and nothing else
+    assert(run("ID_1x", "id!_1%"))      // LIKE's case-insensitive default
+    assert(run("50%", "50!%"))          // escaped % is literal %
+    assert(!run("500", "50!%"))
+    assert(run("a!b", "a!!b"))          // escape escapes itself
+  }
+
+  test("quoteVariant renders SQL literals: quote doubling, numbers, NULL") {
+    def run(raw: String, ty: String): String =
+      Seq((raw, ty)).toDF("raw", "ty")
+        .select(quoteVariant(toVariant($"raw",
+          when(lit(ty) === "null", lit(null).cast(StringType)).otherwise($"ty"))))
+        .as[String].head()
+    assert(run("it's", "text") == "'it''s'")
+    assert(run("plain", "text") == "'plain'")
+    assert(run("''", "text") == "''''''")
+    assert(run("42", "int") == "42")
+    assert(run("3.25", "real") == "3.25")
+    assert(run("anything", "null") == "NULL")
+  }
 }

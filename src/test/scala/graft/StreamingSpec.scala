@@ -54,6 +54,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got > 0)
   }
 
+  test("stream-stream LEFT OUTER join: null-extended clicks match the batch join in the watermark-complete region") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = EventStreams.readEventStream(spark, sf)
+    val joined = EventStreams.clickFollowedByPurchase(stream, windowSec = 3600)
+    val got = EventStreams.withShufflePartitions(spark, 4) {
+      EventStreams.runToMemory(spark, joined, "outer_click_join", OutputMode.Append())
+    }
+    val ev = Tables.load(spark, sf, "events")
+    // clicks whose whole match window is behind the final watermark
+    // (max ts - 2h delay) are fully resolved; 4h leaves safe margin
+    val cutoff = ev.agg(max($"ts").cast("long")).head().getLong(0) - 4 * 3600
+    val inRegion = got.filter($"c_ts".cast("long") <= cutoff)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val batch = c.join(p,
+        $"c_user" === $"p_user" && $"p_ts" > $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("INTERVAL 3600 SECONDS"), "left_outer")
+      .filter($"c_ts".cast("long") <= cutoff)
+    assert(inRegion.count() == batch.count())
+    val gotNulls = inRegion.filter($"purchase_id".isNull).count()
+    // unconverted clicks exist and only the outer join can report them
+    assert(gotNulls > 0)
+    assert(gotNulls == batch.filter($"purchase_id".isNull).count())
+  }
+
   test("stateful sessionization emits closed sessions incrementally") {
     val stream = EventStreams.readEventStream(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
