@@ -173,6 +173,11 @@ object SQLiteExprs {
   def sqliteLikeEscape(c: Column, pattern: String, esc: Char): Column =
     ilike(c, lit(pattern), lit(esc.toString))
 
+  /** SQLite `zeroblob(N)` (sqlite.org/lang_corefunc.html#zeroblob): a
+    * BLOB of N 0x00 bytes. Composed as unhex(repeat('00', N)) — both
+    * codegen'd built-ins. */
+  def zeroblob(n: Column): Column = unhex(call_function("repeat", lit("00"), n))
+
   private val AsciiUpper = ('A' to 'Z').mkString
   private val AsciiLower = ('a' to 'z').mkString
 

@@ -106,6 +106,41 @@ object Relational {
       .select(col("__l.*") +: Seq(col("__match").as(asofCol)): _*)
   }
 
+  /** J9 via the custom physical operator ([[graft.plans.AsofJoinExec]] —
+    * the §7.3 ladder's whole-operator rung): same semantics and argument
+    * shape as [[asofJoin]], but planned as a sort-merge as-of join (hash
+    * co-partition on the key, per-partition (key, ts) sort, single
+    * forward merge with one buffered right payload). Output carries the
+    * right payload as flat nullable columns rather than a struct.
+    * Requires the session to have graft strategies enabled
+    * (`Graft.enableOptimizations` / `GraftExtensions`) — this method
+    * ensures it. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.glue
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    graft.Graft.enableOptimizations(spark)
+    val lPlan = glue.analyzed(left)
+    val rPlan0 = glue.analyzed(right)
+    // self-join hygiene: if the two sides share attribute ids (same source
+    // scan), re-alias the right side so references stay unambiguous — the
+    // same dedup the analyzer does for Join nodes
+    val rPlan =
+      if (rPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    glue.ofRows(spark, graft.plans.AsofJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      rightPayload.map(attr(rPlan, _)), strict))
+  }
+
   /** W4 dialect-gap recipe: SQLite (≥3.28) window `GROUPS BETWEEN n
     * PRECEDING AND CURRENT ROW` frames with `EXCLUDE` variants, which
     * Spark's Window API lacks, by composition:

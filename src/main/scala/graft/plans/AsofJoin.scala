@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The §7.3 custom-Catalyst ladder, top rung: a whole-operator extension —
+  * custom `LogicalPlan` node + planner `Strategy` + physical `SparkPlan` —
+  * for the as-of join (reference surface J9; `Relational.asofJoin` is the
+  * composed union+window form of the same semantics, kept as the
+  * pure-built-in alternative and as this operator's differential oracle).
+  *
+  * Semantics: for each left row, the single most recent right row of the
+  * same key with `rightTs < leftTs` (strict) or `<= leftTs` (inclusive);
+  * left rows without one get NULL payload (left-outer as-of).
+  *
+  * Why a physical operator instead of the window form: the union+window
+  * plan shuffles AND window-sorts |L|+|R| rows through one partition
+  * stream per key, carrying the full left row payload through the sort.
+  * This node asks EnsureRequirements for hash co-partitioning on the key
+  * and per-partition (key, ts) sort — the SortMergeJoin shape — then
+  * streams BOTH sides through a single forward merge pass: O(1) state
+  * (one buffered right payload), no pair explosion for dense right
+  * streams, no window frame machinery. At 100 TB both sides shuffle once
+  * (exactly like SMJ) and nothing else is materialized.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute], strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]. Registered per-session by
+  * `Graft.enableOptimizations` (live) or `GraftExtensions` (config). */
+class AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, payload, strict) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+        payload, strict) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: children arrive hash-clustered on the key and
+  * sorted by (key, ts) — guaranteed by `requiredChildDistribution` /
+  * `requiredChildOrdering`, so EnsureRequirements inserts the exchanges
+  * and sorts exactly as it would for a SortMergeJoin — and each partition
+  * pair merges in one forward pass holding a single buffered right
+  * payload. Output preserves the left side's partitioning and ordering,
+  * so a downstream per-key operation reuses the exchange. */
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute], strict: Boolean) extends BinaryExecNode {
+
+  private def payloadOut: Seq[Attribute] = payload.map(_.withNullability(true))
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB  = BindReferences.bindReference(leftKey: Expression, left.output)
+    val ltsB = BindReferences.bindReference(leftTs: Expression, left.output)
+    val rkB  = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rtsB = BindReferences.bindReference(rightTs: Expression, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd  = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val strictL = strict
+    val payloadL = payload
+    val rightOut = right.output
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val payProj = UnsafeProjection.create(payloadL.map(a => a: Expression), rightOut)
+      val outProj = UnsafeProjection.create(outAttrs.map(a => a: Expression), outAttrs)
+      val joined  = new JoinedRow
+      val nullPay = new GenericInternalRow(payloadL.size)
+      // one buffered candidate: the latest usable right row's key + payload
+      // (copied — sorter iterators reuse row buffers across next() calls)
+      var candKey: Any = null
+      var candPay: InternalRow = null
+      var nextR: InternalRow = if (rIter.hasNext) rIter.next() else null
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val k  = lkB.eval(l)
+          val ts = ltsB.eval(l)
+          if (k == null || ts == null) {
+            // SQL comparison semantics: a NULL key or ts matches nothing.
+            // Don't advance the right side — NULLS FIRST ordering means
+            // these rows lead the partition and later rows still need it.
+            joined(l, nullPay)
+          } else {
+            var continue = nextR != null
+            while (continue) {
+              val rkv = rkB.eval(nextR)
+              // consume = this right row is at-or-before the current left
+              // position; record = it is additionally a valid match
+              // candidate (same key, non-null usable ts). NULL-keyed and
+              // NULL-ts rows sort first (NULLS FIRST) and can never match:
+              // consumed, never recorded. Rows of an already-passed key
+              // can't match any current-or-future left row: same.
+              var record = false
+              val consume =
+                if (rkv == null) true
+                else {
+                  val kc = keyOrd.compare(rkv, k)
+                  if (kc < 0) true
+                  else if (kc > 0) false
+                  else {
+                    val rtv = rtsB.eval(nextR)
+                    if (rtv == null) true
+                    else {
+                      val tc = tsOrd.compare(rtv, ts)
+                      record = if (strictL) tc < 0 else tc <= 0
+                      record
+                    }
+                  }
+                }
+              if (consume) {
+                if (record) {
+                  candKey = InternalRow.copyValue(rkv)
+                  candPay = payProj(nextR).copy()
+                }
+                nextR = if (rIter.hasNext) rIter.next() else null
+                continue = nextR != null
+              } else continue = false
+            }
+            val matched = candKey != null && keyOrd.compare(candKey, k) == 0
+            joined(l, if (matched) candPay else nullPay)
+          }
+          outProj(joined)
+        }
+      }
+    }
+  }
+}

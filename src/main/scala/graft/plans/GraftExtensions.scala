@@ -10,12 +10,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions …
   * }}}
   *
-  * Injects the graft optimizer rules into every session built with the
-  * extension. For a session that already exists (tests, notebooks), use
-  * [[graft.Graft.enableOptimizations]] instead — same rules, live
-  * session. */
+  * Injects the graft optimizer rules and planner strategies into every
+  * session built with the extension. For a session that already exists
+  * (tests, notebooks), use [[graft.Graft.enableOptimizations]] instead —
+  * same rules, live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RegexPrefixPushdown)
+    ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
   }
 }

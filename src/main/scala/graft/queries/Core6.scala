@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.SQLiteExprs
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Relational, TextOps}
 
 /** Round-4 (cont.) additions: SQLite collation/NULL-semantics fidelity
   * (NOCASE, scalar min/max NULL propagation, IS NOT DISTINCT FROM, LIKE
@@ -251,6 +251,50 @@ object Core6 {
       LEFT JOIN (SELECT source, count(*) AS n_pairs FROM w2 GROUP BY 1) np USING (source)
       LEFT JOIN (SELECT source, count(*) AS n_dup_docs FROM dd GROUP BY 1) nd USING (source)
       ORDER BY source""")),
+
+    // Blob scalar surface: zeroblob / hex / unhex round-trip and binary
+    // length (SQLite's blob core functions; 'blob' is the storage class
+    // the variant of c04/c05 doesn't carry — it lives in binary columns,
+    // see operators.Multimodal). Rendered as hex text so both engines
+    // compare portable values.
+    QueryDef("q74_blob_funcs", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .select($"n_nationkey",
+          hex(SQLiteExprs.zeroblob($"n_nationkey" % 4)).as("zb"),
+          hex($"n_name".cast(BinaryType)).as("hx"),
+          length(unhex(hex($"n_name".cast(BinaryType)))).cast(LongType).as("rt_len"))
+        .orderBy($"n_nationkey")
+    }, Some("""
+      SELECT n_nationkey,
+             repeat('00', CAST(n_nationkey % 4 AS INT)) AS zb,
+             hex(n_name) AS hx,
+             CAST(octet_length(from_hex(hex(n_name))) AS BIGINT) AS rt_len
+      FROM nation ORDER BY n_nationkey""")),
+
+    // The custom physical as-of join (graft.plans.AsofJoinExec — the
+    // whole-operator rung of the §7.3 extension ladder: LogicalPlan +
+    // Strategy + SparkPlan, planned like a SortMergeJoin and merged in
+    // one forward pass). Same query shape and oracle as q44, which runs
+    // the composed union+window form — the two implementations are each
+    // other's differential check, and DuckDB's native ASOF JOIN arbitrates.
+    QueryDef("q73_asof_native", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_event"), $"user_id", $"ts")
+      Relational.asofJoinNative(purchases, clicks, "user_id", "ts", "ts",
+          rightPayload = Seq("click_event"), strict = true)
+        .select($"event_id", $"user_id", $"click_event".as("click_id"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, c.event_id AS click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts > c.ts
+      ORDER BY p.event_id""")),
 
     // Stream-stream LEFT OUTER interval join (e04 is the inner form):
     // every click resolved to its following-hour purchase count — zero

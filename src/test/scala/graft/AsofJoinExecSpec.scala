@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** The custom sort-merge as-of join operator (graft.plans.AsofJoinExec):
+  * hand-computed semantics, differential equivalence against the
+  * union+window form, and physical-plan shape. */
+class AsofJoinExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 5L, "l5"),
+    (2L, 10L, "m10"), (3L, 10L, "n10")).toDF("k", "ts", "lv")
+  private def right = Seq(
+    (1L, 5L, "r5"), (1L, 15L, "r15"), (2L, 10L, "s10"),
+    (4L, 1L, "t1")).toDF("k", "ts", "rv")
+
+  test("asofJoinNative: strict and inclusive tie semantics, misses are NULL") {
+    val strict = Relational.asofJoinNative(left, right, "k", "ts", "ts", Seq("rv"))
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    // k=1: l5 sees nothing (r5 not < 5); l10 sees r5; l20 sees r15
+    // k=2: m10 does NOT see s10 under strict (ts equal); k=3: no right
+    assert(strict == Map("l5" -> None, "l10" -> Some("r5"), "l20" -> Some("r15"),
+      "m10" -> None, "n10" -> None))
+    val incl = Relational.asofJoinNative(left, right, "k", "ts", "ts", Seq("rv"),
+        strict = false)
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(incl == Map("l5" -> Some("r5"), "l10" -> Some("r5"),
+      "l20" -> Some("r15"), "m10" -> Some("s10"), "n10" -> None))
+  }
+
+  test("asofJoinNative: NULL keys and timestamps match nothing, on either side") {
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c")).toDF("k", "ts", "lv")
+    val r = Seq((Some(1L), Some(5L), "r5"), (Some(1L), None, "rnull"),
+      (None, Some(1L), "rk")).toDF("k", "ts", "rv")
+    val got = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"))
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(got == Map("a" -> Some("r5"), "b" -> None, "c" -> None))
+  }
+
+  test("asofJoinNative: empty right side leaves every left row unmatched") {
+    val got = Relational.asofJoinNative(left, right.filter(lit(false)),
+        "k", "ts", "ts", Seq("rv"))
+      .select($"rv").collect()
+    assert(got.length == left.count() && got.forall(_.isNullAt(0)))
+  }
+
+  test("asofJoinNative ≡ asofJoin (union+window form) on the q44 shape") {
+    val ev = Tables.load(spark, sf, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_event"), $"user_id", $"ts")
+    for (strict <- Seq(true, false)) {
+      val native = Relational.asofJoinNative(purchases, clicks, "user_id",
+          "ts", "ts", Seq("click_event"), strict = strict)
+        .select($"event_id", $"click_event")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val windowed = Relational.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          rightPayload = Seq("click_event"), asofCol = "m", strict = strict)
+        .select($"event_id", $"m.click_event")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(native.size == windowed.size && native == windowed,
+        s"strict=$strict divergence")
+    }
+  }
+
+  test("asofJoinNative: self-join (shared attribute ids) is de-duplicated") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "v")
+    val got = Relational.asofJoinNative(df, df, "k", "ts", "ts", Seq("v"))
+      .toDF("k", "ts", "v", "asof_v") // duplicate names, as after any join
+      .select($"v", $"asof_v")
+      .as[(String, Option[String])].collect().toMap
+    // strict: row "a" (ts 10) sees nothing earlier; "b" (ts 20) sees "a"
+    assert(got == Map("a" -> None, "b" -> Some("a")))
+  }
+
+  test("plan: AsofJoinExec with one exchange + sort per side, ordered output") {
+    val df = Relational.asofJoinNative(left, right, "k", "ts", "ts", Seq("rv"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"expected the custom operator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly one hash exchange per side:\n$p")
+    assert("Sort \\[".r.findAllIn(p).size == 2,
+      s"expected EnsureRequirements to add one sort per side:\n$p")
+    // output ordering is declared: an orderBy on (k, ts) must add no sort
+    val sorted = df.orderBy($"k", $"ts")
+    val p2 = sorted.queryExecution.executedPlan.toString
+    assert("Sort \\[".r.findAllIn(p2).size <= 3,
+      s"downstream per-key sort should reuse the operator's ordering:\n$p2")
+  }
+}

@@ -277,6 +277,15 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(run("a!b", "a!!b"))          // escape escapes itself
   }
 
+  test("zeroblob: N zero bytes, empty at N=0") {
+    val got = Seq(0, 1, 3).toDF("n")
+      .select($"n", zeroblob($"n").as("b"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got(0).length == 0)
+    assert(got(1).toSeq == Seq(0.toByte))
+    assert(got(3).toSeq == Seq(0.toByte, 0.toByte, 0.toByte))
+  }
+
   test("quoteVariant renders SQL literals: quote doubling, numbers, NULL") {
     def run(raw: String, ty: String): String =
       Seq((raw, ty)).toDF("raw", "ty")
