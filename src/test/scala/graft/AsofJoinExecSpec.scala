@@ -69,6 +69,44 @@ class AsofJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNative: string keys take the generic merge path, same semantics") {
+    val l = Seq(("a", 10L, "l10"), ("a", 5L, "l5"), ("b", 7L, "m7"))
+      .toDF("k", "ts", "lv")
+    val r = Seq(("a", 6L, "r6"), ("b", 7L, "s7")).toDF("k", "ts", "rv")
+    val strictGot = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"))
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(strictGot == Map("l10" -> Some("r6"), "l5" -> None, "m7" -> None))
+    val inclGot = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"),
+        strict = false)
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(inclGot == Map("l10" -> Some("r6"), "l5" -> None, "m7" -> Some("s7")))
+  }
+
+  test("asofJoinNative ≡ asofJoin on randomized inputs (seeded)") {
+    val rnd = new scala.util.Random(424242)
+    // duplicate (k, ts) pairs across sides and within the left side are
+    // common; right-side ts ties are kept out (tie winner among equal
+    // right rows is unspecified in BOTH implementations)
+    val lRows = Seq.fill(400)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, rnd.nextInt()))
+    val rAll = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, rnd.nextInt()))
+    val rRows = rAll.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = lRows.toDF("k", "ts", "lv").repartition(5)
+    val r = rRows.toDF("k", "ts", "rv").repartition(3)
+    for (strict <- Seq(true, false)) {
+      val native = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"), strict)
+        .toDF("k", "ts", "lv", "rv")
+        .select($"k", $"ts", $"lv", $"rv")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+          if (x.isNullAt(3)) None else Some(x.getInt(3)))).sorted.toSeq
+      val windowed = Relational.asofJoin(l, r, "k", "ts", "ts",
+          rightPayload = Seq("rv"), asofCol = "m", strict = strict)
+        .select($"k", $"ts", $"lv", $"m.rv")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+          if (x.isNullAt(3)) None else Some(x.getInt(3)))).sorted.toSeq
+      assert(native == windowed, s"strict=$strict divergence")
+    }
+  }
+
   test("asofJoinNative: self-join (shared attribute ids) is de-duplicated") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "v")
     val got = Relational.asofJoinNative(df, df, "k", "ts", "ts", Seq("v"))
