@@ -296,6 +296,50 @@ object Core6 {
         ON p.user_id = c.user_id AND p.ts > c.ts
       ORDER BY p.event_id""")),
 
+    // group_concat(DISTINCT x) — the dedup variant q34 doesn't cover
+    // (SQLite supports DISTINCT with the default ',' separator only):
+    // collect_set + sort for a deterministic rendering on both engines.
+    QueryDef("q75_group_concat_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(array_join(array_sort(collect_set($"o_orderstatus")), ",")
+            .as("statuses"),
+          countDistinct($"o_orderstatus").cast(LongType).as("n_distinct"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // transformWithState ListState (e08 covers ValueState): each user's
+    // most recent 3 events kept in a bounded per-key buffer, re-bounded
+    // every micro-batch — state is n×keys regardless of throughput, the
+    // "last N actions" feature shape. The single-batch replay emits one
+    // buffer summary per user, which the batch window-top-3 oracle pins
+    // (count, sum, and the max event-time in the buffer).
+    QueryDef("e10_list_state", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val name = "e10_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+      EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.lastNValues(s, stream, name, n = 3)
+      }.select($"user_id", $"n_last", round($"lastn_sum", 2).as("lastn_sum"),
+          $"last_ts")
+        .orderBy($"user_id")
+    }, Some("""
+      WITH r AS (SELECT user_id, value, ts, event_id,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events)
+      SELECT user_id, count(*) AS n_last, round(sum(value), 2) AS lastn_sum,
+             max(epoch_us(ts)) AS last_ts
+      FROM r WHERE rk <= 3 GROUP BY 1 ORDER BY 1""")),
+
     // Stream-stream LEFT OUTER interval join (e04 is the inner form):
     // every click resolved to its following-hour purchase count — zero
     // included, which only an outer join can state. Unmatched clicks are

@@ -218,6 +218,54 @@ object EventStreams {
     }
   }
 
+  // ---- transformWithState: ListState (bounded per-key buffer) -------------
+
+  case class UserLastN(user_id: Long, n_last: Long, lastn_sum: Double,
+      last_ts: Long)
+  private case class Seen(tsMicros: Long, id: Long, v: Double)
+
+  /** Keeps each user's most recent `n` events in a ListState — the
+    * bounded-buffer state shape (sliding features, "last N actions"
+    * models) that ValueState (e08) can't express without packing. The
+    * buffer is re-bounded on every batch, so state size is n×keys
+    * regardless of throughput. Emits the running (count, sum, max-ts)
+    * over the buffer each micro-batch. */
+  private class LastNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserLastN] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig}
+    @transient private var state: ListState[Seen] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getListState[Seen]("lastn",
+        org.apache.spark.sql.Encoders.product[Seen], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserLastN] = {
+      val incoming = rows.map { e =>
+        val i = e.ts.toInstant // full micro precision (getTime floors to ms)
+        Seen(i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id, e.value)
+      }
+      val merged = (state.get().toSeq ++ incoming)
+        .sortBy(s => (-s.tsMicros, -s.id)).take(n)
+      state.put(merged.toArray)
+      Iterator.single(UserLastN(key, merged.size.toLong,
+        merged.map(_.v).sum, merged.head.tsMicros))
+    }
+  }
+
+  /** Per-user last-N buffer as a stream (see [[LastNProcessor]]). */
+  def lastNValues(spark: SparkSession, events: Dataset[Event], name: String,
+      n: Int): DataFrame = {
+    import spark.implicits._
+    val out = events.groupByKey(_.user_id)
+      .transformWithState(new LastNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runToMemory(spark, out.toDF(), name, OutputMode.Append())
+    }
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * (plus any other conf) to one query and restore after. */
   def withConf[T](spark: SparkSession, key: String, value: String)(f: => T): T = {

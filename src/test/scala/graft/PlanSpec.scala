@@ -138,4 +138,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected a broadcast anti-join for decontamination:\n$p")
   }
+
+  test("q70: null-safe equality (<=>)) is an equi-join key — hash join, never BNLJ") {
+    val p = plan("q70_nullsafe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"EqualNullSafe must plan as a hash-joinable key:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join:\n$p")
+  }
+
+  test("q72: correlated scalar subqueries de-correlate to aggregate joins") {
+    val p = plan("q72_scalar_subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"scalar subqueries must not plan per-row nested loops:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the de-correlated aggregate join:\n$p")
+  }
+
+  test("q73: custom as-of operator survives planning with AQE on") {
+    val p = plan("q73_asof_native")
+    assert(p.contains("AsofJoin"), s"expected AsofJoinExec in the plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the as-of must be the custom operator, not a join fallback:\n$p")
+  }
+
+  test("t08: vocabulary aggregates map-side before the single corpus shuffle") {
+    val p = plan("t08_vocabulary")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected map-side partial aggregation of term counts:\n$p")
+  }
 }

@@ -138,6 +138,54 @@ class StreamingSpec extends SparkSpec {
     assert(twoRows.filter($"emissions" === 2 && $"mx" > $"mn").count() > 0)
   }
 
+  test("ListState last-N buffer re-bounds across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // two files, one per trigger: the second batch must merge with the
+    // FIRST batch's buffered events and re-bound to 3, not start fresh
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_e10_two_batches")
+    val batchEvents = Tables.load(spark, sf, "events")
+    val asNanos = batchEvents.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    // split by TIME (ids are time-ordered in the generator): batch 2 is
+    // strictly newer, so each affected user's final emission is the one
+    // with the strictly largest last_ts — unambiguous below
+    val mid = batchEvents.agg(max($"event_id")).head().getLong(0) / 2
+    asNanos.filter($"event_id" <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f0")
+    asNanos.filter($"event_id" > mid).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f1")
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val got = EventStreams.withShufflePartitions(spark, 4) {
+      EventStreams.lastNValues(spark, stream, "e10_two_batches", n = 3)
+    }
+    // the final emission per user (max last_ts; count ties too) must match
+    // the batch-global top-3 — only possible if batch-2 rows merged with
+    // batch-1 state before re-bounding
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      .orderBy($"last_ts".desc, $"n_last".desc)
+    val finals = got.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"n_last", round($"lastn_sum", 2).as("s"))
+    val batch = {
+      val w2 = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      batchEvents.withColumn("rk", row_number().over(w2)).filter($"rk" <= 3)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_last"), round(sum($"value"), 2).as("s"))
+    }
+    assert(finals.join(batch, Seq("user_id"))
+      .filter(finals("n_last") =!= batch("n_last") || finals("s") =!= batch("s"))
+      .count() == 0)
+    // and users hit in both batches emitted twice
+    assert(got.groupBy($"user_id").count().filter($"count" === 2).count() > 0)
+  }
+
   test("foreachBatch overwrite sink is idempotent and matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     val out = new java.io.File(

@@ -31,6 +31,18 @@ class SurfaceSpec extends SparkSpec {
     Tables.load(spark, sf, "region").show(2) // must not throw
   }
 
+  test("S10b JSONL round-trip preserves data and types") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // default timestampFormat writes millis only — micro-precision event
+    // times need the explicit 6-digit fraction on BOTH sides
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val d = Tables.load(spark, sf, "events").limit(200)
+    d.write.mode("overwrite").option("timestampFormat", tsFmt).json(dir)
+    val back = spark.read.schema(d.schema).option("timestampFormat", tsFmt).json(dir)
+    assert(back.orderBy("event_id").collect().toSeq ==
+           d.orderBy("event_id").collect().toSeq)
+  }
+
   test("A7 TopKAggregator: bounded per-group top-k equals window top-k") {
     val agg = new TopKAggregator(3).toColumn
     val o = Tables.load(spark, sf, "orders")
