@@ -340,6 +340,28 @@ object Core6 {
              max(epoch_us(ts)) AS last_ts
       FROM r WHERE rk <= 3 GROUP BY 1 ORDER BY 1""")),
 
+    // transformWithState MapState (completing the state-type trio with
+    // e08 ValueState / e10 ListState): per-user per-event-type running
+    // totals sub-keyed INSIDE one user's state entry — no composite
+    // grouping key, no second shuffle. Single-batch replay emits each
+    // (user, type) aggregate once; oracle = the two-key batch group-by.
+    QueryDef("e11_map_state", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val name = "e11_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+      EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.perTypeTotals(s, stream, name)
+      }.select($"user_id", $"event_type", $"n",
+          round($"total_value", 2).as("total_value"))
+        .orderBy($"user_id", $"event_type")
+    }, Some("""
+      SELECT user_id, event_type, count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Stream-stream LEFT OUTER interval join (e04 is the inner form):
     // every click resolved to its following-hour purchase count — zero
     // included, which only an outer join can state. Unmatched clicks are

@@ -266,6 +266,57 @@ object EventStreams {
     }
   }
 
+  // ---- transformWithState: MapState (per-key sub-keyed aggregates) --------
+
+  case class UserTypeStat(user_id: Long, event_type: String, n: Long,
+      total_value: Double)
+  private case class TypeAgg(n: Long, total: Double)
+
+  /** Per-user, per-event-type running totals in a MapState — the sub-keyed
+    * state shape (feature counters per category) that would otherwise need
+    * a composite grouping key and a second shuffle. Completes the
+    * transformWithState state-type trio next to e08 (ValueState) and e10
+    * (ListState). Emits each updated (type → agg) entry per micro-batch. */
+  private class PerTypeTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTypeStat] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig}
+    @transient private var state: MapState[String, TypeAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getMapState[String, TypeAgg]("per_type",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[TypeAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeStat] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (state.containsKey(e.event_type)) state.getValue(e.event_type)
+                  else TypeAgg(0L, 0.0)
+        state.updateValue(e.event_type, TypeAgg(cur.n + 1, cur.total + e.value))
+        touched += e.event_type
+      }
+      touched.iterator.map { t =>
+        val agg = state.getValue(t)
+        UserTypeStat(key, t, agg.n, agg.total)
+      }
+    }
+  }
+
+  /** Per-user per-type running totals as a stream (see
+    * [[PerTypeTotalsProcessor]]). */
+  def perTypeTotals(spark: SparkSession, events: Dataset[Event],
+      name: String): DataFrame = {
+    import spark.implicits._
+    val out = events.groupByKey(_.user_id)
+      .transformWithState(new PerTypeTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runToMemory(spark, out.toDF(), name, OutputMode.Append())
+    }
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * (plus any other conf) to one query and restore after. */
   def withConf[T](spark: SparkSession, key: String, value: String)(f: => T): T = {

@@ -186,6 +186,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy($"user_id").count().filter($"count" === 2).count() > 0)
   }
 
+  test("MapState per-type totals accumulate across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_e11_two_batches")
+    val batchEvents = Tables.load(spark, sf, "events")
+    val asNanos = batchEvents.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    asNanos.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f0")
+    asNanos.filter($"event_id" % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f1")
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val got = EventStreams.withShufflePartitions(spark, 4) {
+      EventStreams.perTypeTotals(spark, stream, "e11_two_batches")
+    }
+    // cumulative counts only grow: the max-n emission per (user, type)
+    // is final and must equal the batch group-by
+    val finals = got.groupBy($"user_id", $"event_type").agg(max($"n").as("n"))
+    val batch = batchEvents.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("nb"))
+    assert(finals.join(batch, Seq("user_id", "event_type"))
+      .filter($"n" =!= $"nb").count() == 0)
+    assert(finals.count() == batch.count())
+    // some (user, type) pair must have been updated in both batches
+    assert(got.groupBy($"user_id", $"event_type").count()
+      .filter($"count" === 2).count() > 0)
+  }
+
   test("foreachBatch overwrite sink is idempotent and matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     val out = new java.io.File(
