@@ -117,7 +117,7 @@ object Relational {
     * ensures it. */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPayload: Seq[String],
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.glue
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -138,7 +138,7 @@ object Relational {
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      rightPayload.map(attr(rPlan, _)), strict))
+      rightPayload.map(attr(rPlan, _)), strict, forward))
   }
 
   /** W4 dialect-gap recipe: SQLite (≥3.28) window `GROUPS BETWEEN n

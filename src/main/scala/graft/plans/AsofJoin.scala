@@ -16,7 +16,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics: for each left row, the single most recent right row of the
   * same key with `rightTs < leftTs` (strict) or `<= leftTs` (inclusive);
-  * left rows without one get NULL payload (left-outer as-of).
+  * left rows without one get NULL payload (left-outer as-of). With
+  * `forward = true`, the EARLIEST right row with `rightTs > leftTs`
+  * (strict) / `>= leftTs` (inclusive) instead — both directions DuckDB's
+  * native ASOF JOIN supports, both oracled.
   *
   * Why a physical operator instead of the window form: the union+window
   * plan shuffles AND window-sorts |L|+|R| rows through one partition
@@ -32,7 +35,8 @@ case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute], strict: Boolean) extends BinaryNode {
+    payload: Seq[Attribute], strict: Boolean,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -44,9 +48,9 @@ case class AsofJoinPlan(
   * `Graft.enableOptimizations` (live) or `GraftExtensions` (config). */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, payload, strict) =>
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, payload, strict, forward) =>
       AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
-        payload, strict) :: Nil
+        payload, strict, forward) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +66,8 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute], strict: Boolean) extends BinaryExecNode {
+    payload: Seq[Attribute], strict: Boolean,
+    forward: Boolean = false) extends BinaryExecNode {
 
   private def payloadOut: Seq[Attribute] = payload.map(_.withNullability(true))
   override def output: Seq[Attribute] = left.output ++ payloadOut
@@ -105,6 +110,7 @@ case class AsofJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val strictL = strict
+    val forwardL = forward
     val payloadL = payload
     val rightOut = right.output
     val outAttrs = output
@@ -143,32 +149,60 @@ case class AsofJoinExec(
               } else {
                 val k  = kGet(l, lkOrd)
                 val ts = tGet(l, ltsOrd)
-                var continue = nextR != null
-                while (continue) {
-                  var record = false
-                  val consume =
-                    if (nextR.isNullAt(rkOrd)) true
-                    else {
-                      val rk = kGet(nextR, rkOrd)
-                      if (rk < k) true
-                      else if (rk > k) false
-                      else if (nextR.isNullAt(rtsOrd)) true
+                if (forwardL) {
+                  // forward: skip rights at-or-before the left position
+                  // (never needed again — later lefts are later still);
+                  // the head right row of the same key IS the match
+                  var continue = nextR != null
+                  while (continue) {
+                    val skip =
+                      if (nextR.isNullAt(rkOrd)) true
                       else {
-                        val rt = tGet(nextR, rtsOrd)
-                        record = if (strictL) rt < ts else rt <= ts
-                        record
+                        val rk = kGet(nextR, rkOrd)
+                        if (rk < k) true
+                        else if (rk > k) false
+                        else if (nextR.isNullAt(rtsOrd)) true
+                        else {
+                          val rt = tGet(nextR, rtsOrd)
+                          if (strictL) rt <= ts else rt < ts
+                        }
                       }
-                    }
-                  if (consume) {
-                    if (record) {
-                      candSet = true; candKeyL = kGet(nextR, rkOrd)
-                      candPay = payProj(nextR).copy()
-                    }
-                    nextR = if (rIter.hasNext) rIter.next() else null
-                    continue = nextR != null
-                  } else continue = false
+                    if (skip) {
+                      nextR = if (rIter.hasNext) rIter.next() else null
+                      continue = nextR != null
+                    } else continue = false
+                  }
+                  val m = nextR != null && !nextR.isNullAt(rkOrd) &&
+                    kGet(nextR, rkOrd) == k
+                  joined(l, if (m) payProj(nextR) else nullPay)
+                } else {
+                  var continue = nextR != null
+                  while (continue) {
+                    var record = false
+                    val consume =
+                      if (nextR.isNullAt(rkOrd)) true
+                      else {
+                        val rk = kGet(nextR, rkOrd)
+                        if (rk < k) true
+                        else if (rk > k) false
+                        else if (nextR.isNullAt(rtsOrd)) true
+                        else {
+                          val rt = tGet(nextR, rtsOrd)
+                          record = if (strictL) rt < ts else rt <= ts
+                          record
+                        }
+                      }
+                    if (consume) {
+                      if (record) {
+                        candSet = true; candKeyL = kGet(nextR, rkOrd)
+                        candPay = payProj(nextR).copy()
+                      }
+                      nextR = if (rIter.hasNext) rIter.next() else null
+                      continue = nextR != null
+                    } else continue = false
+                  }
+                  joined(l, if (candSet && candKeyL == k) candPay else nullPay)
                 }
-                joined(l, if (candSet && candKeyL == k) candPay else nullPay)
               }
               outProj(joined)
             }
@@ -187,6 +221,37 @@ case class AsofJoinExec(
               val ts = ltsB.eval(l)
               if (k == null || ts == null) {
                 joined(l, nullPay)
+              } else if (forwardL) {
+                // forward: skip rights at-or-before the left position;
+                // the head right row of the same key is the match
+                var continue = nextR != null
+                while (continue) {
+                  val rkv = rkB.eval(nextR)
+                  val skip =
+                    if (rkv == null) true
+                    else {
+                      val kc = keyOrd.compare(rkv, k)
+                      if (kc < 0) true
+                      else if (kc > 0) false
+                      else {
+                        val rtv = rtsB.eval(nextR)
+                        if (rtv == null) true
+                        else {
+                          val tc = tsOrd.compare(rtv, ts)
+                          if (strictL) tc <= 0 else tc < 0
+                        }
+                      }
+                    }
+                  if (skip) {
+                    nextR = if (rIter.hasNext) rIter.next() else null
+                    continue = nextR != null
+                  } else continue = false
+                }
+                val m = nextR != null && {
+                  val rkv = rkB.eval(nextR)
+                  rkv != null && keyOrd.compare(rkv, k) == 0
+                }
+                joined(l, if (m) payProj(nextR) else nullPay)
               } else {
                 var continue = nextR != null
                 while (continue) {

@@ -362,6 +362,28 @@ object Core6 {
              round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Forward as-of through the same custom operator (q73 is backward):
+    // each purchase matched to the EARLIEST subsequent click of the same
+    // user — "what did the buyer do next". DuckDB's ASOF supports both
+    // directions, so the oracle is again its native form.
+    QueryDef("q76_asof_forward", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_event"), $"user_id", $"ts")
+      Relational.asofJoinNative(purchases, clicks, "user_id", "ts", "ts",
+          rightPayload = Seq("click_event"), strict = true, forward = true)
+        .select($"event_id", $"user_id", $"click_event".as("next_click"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, c.event_id AS next_click
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts > p.ts
+      ORDER BY p.event_id""")),
+
     // Stream-stream LEFT OUTER interval join (e04 is the inner form):
     // every click resolved to its following-hour purchase count — zero
     // included, which only an outer join can state. Unmatched clicks are

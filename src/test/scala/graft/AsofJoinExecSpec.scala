@@ -69,6 +69,50 @@ class AsofJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNative forward: earliest subsequent right row, both merge paths") {
+    // fast path (long keys)
+    val fwd = Relational.asofJoinNative(left, right, "k", "ts", "ts", Seq("rv"),
+        strict = true, forward = true)
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    // k=1: l5 -> r5(ts5>5? strict: no, 5 !> 5... r5 at ts 5, l5 at ts 5: strict -> r15)
+    //       l5 sees r15? earliest > 5 is r15? no — r5 ts=5 not > 5, so r15. Wait r5=ts5.
+    assert(fwd == Map("l5" -> Some("r15"), "l10" -> Some("r15"),
+      "l20" -> None, "m10" -> None, "n10" -> None))
+    val fwdIncl = Relational.asofJoinNative(left, right, "k", "ts", "ts", Seq("rv"),
+        strict = false, forward = true)
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(fwdIncl == Map("l5" -> Some("r5"), "l10" -> Some("r15"),
+      "l20" -> None, "m10" -> Some("s10"), "n10" -> None))
+    // generic path (string keys)
+    val l = Seq(("a", 10L, "x"), ("b", 7L, "y")).toDF("k", "ts", "lv")
+    val r = Seq(("a", 12L, "r12"), ("b", 7L, "s7")).toDF("k", "ts", "rv")
+    val g = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"),
+        strict = true, forward = true)
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(g == Map("x" -> Some("r12"), "y" -> None))
+  }
+
+  test("asofJoinNative forward ≡ min-over-pairs recompute on randomized inputs") {
+    val rnd = new scala.util.Random(77)
+    val lRows = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, rnd.nextInt()))
+    val rRows = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, rnd.nextInt()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // no right (k, ts) ties
+    val l = lRows.toDF("k", "ts", "lv").repartition(4)
+    val r = rRows.toDF("k", "ts", "rv").repartition(3)
+    val got = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"),
+        strict = true, forward = true)
+      .toDF("k", "ts", "lv", "rv")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+        if (x.isNullAt(3)) None else Some(x.getInt(3)))).sorted.toSeq
+    // reference: min-ts right per left over the full pair set
+    val byKey = rRows.groupBy(_._1)
+    val expect = lRows.map { case (k, ts, lv) =>
+      val nxt = byKey.getOrElse(k, Nil).filter(_._2 > ts).sortBy(_._2).headOption
+      (k, ts, lv, nxt.map(_._3))
+    }.sorted.toSeq
+    assert(got == expect)
+  }
+
   test("asofJoinNative: string keys take the generic merge path, same semantics") {
     val l = Seq(("a", 10L, "l10"), ("a", 5L, "l5"), ("b", 7L, "m7"))
       .toDF("k", "ts", "lv")
