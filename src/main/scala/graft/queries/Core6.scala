@@ -384,6 +384,45 @@ object Core6 {
         ON p.user_id = c.user_id AND c.ts > p.ts
       ORDER BY p.event_id""")),
 
+    // transformWithState EVENT-TIME TIMERS (the feature e08/e10/e11 don't
+    // touch): gap-sessionization where an idle session can only be closed
+    // by a registered timer firing once the watermark passes lastSeen+gap.
+    // Emitted sessions = those closed by a later in-batch event (any
+    // user's non-last session) plus last sessions whose timer fired under
+    // the final watermark; the oracle reproduces exactly that emission
+    // rule, in Spark's millisecond watermark arithmetic.
+    QueryDef("e12_timer_sessions", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val name = "e12_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readEventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+      EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.timerSessions(s, stream, name, gapSec = 1800)
+      }.select($"user_id", $"session_start_us", $"n_events", $"duration_us")
+        .orderBy($"user_id", $"session_start_us")
+    }, Some("""
+      WITH a AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      b AS (SELECT user_id, us, event_id,
+              CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                     OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess FROM a),
+      c AS (SELECT user_id, us, CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sess FROM b),
+      sess AS (SELECT user_id, sess, min(us) AS start_us, max(us) AS last_us,
+              count(*) AS n FROM c GROUP BY 1, 2),
+      m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      r AS (SELECT user_id, sess, start_us, last_us, n,
+              row_number() OVER (PARTITION BY user_id ORDER BY sess DESC) AS rk FROM sess)
+      SELECT user_id, start_us AS session_start_us, CAST(n AS BIGINT) AS n_events,
+             (last_us - start_us) AS duration_us
+      FROM r, m
+      WHERE rk > 1 OR (last_us // 1000 + 1800000) < (max_us // 1000 - 3600000)
+      ORDER BY user_id, session_start_us""")),
+
     // Stream-stream LEFT OUTER interval join (e04 is the inner form):
     // every click resolved to its following-hour purchase count — zero
     // included, which only an outer join can state. Unmatched clicks are

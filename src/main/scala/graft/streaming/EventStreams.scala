@@ -317,6 +317,95 @@ object EventStreams {
     }
   }
 
+  // ---- transformWithState: event-time timers -------------------------------
+
+  case class SessionSummary(user_id: Long, session_start_us: Long,
+      n_events: Long, duration_us: Long)
+  private case class SessState(startUs: Long, lastUs: Long, n: Long,
+      timerMs: Long)
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Gap-based sessionization driven by EVENT-TIME TIMERS — the
+    * transformWithState feature the state-type queries (e08/e10/e11)
+    * don't touch: a session closes either when a later event of the same
+    * user arrives past the gap (emitted from handleInputRows), or when
+    * the watermark passes lastSeen+gap with no such event — which only a
+    * registered timer can observe (emitted from handleExpiredTimer).
+    * Each user holds ONE open session and ONE registered timer; a
+    * session-extending batch deletes and re-registers it. The same
+    * semantics as [[sessionize]] (flatMapGroupsWithState) through the
+    * successor API. */
+  private class TimerSessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionSummary] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var state: ValueState[SessState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+    private def summary(key: Long, c: SessState) =
+      SessionSummary(key, c.startUs, c.n, c.lastUs - c.startUs)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummary] = {
+      val gapUs = gapSec * 1000000L
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+      var cur = if (state.exists()) Some(state.get()) else None
+      cur.filter(_.timerMs > 0).foreach(c => getHandle.deleteTimer(c.timerMs))
+      for (e <- sorted) {
+        val us = micros(e.ts)
+        cur match {
+          case Some(c) if us - c.lastUs <= gapUs =>
+            cur = Some(c.copy(lastUs = math.max(c.lastUs, us), n = c.n + 1))
+          case Some(c) =>
+            closed += summary(key, c)
+            cur = Some(SessState(us, us, 1, 0))
+          case None =>
+            cur = Some(SessState(us, us, 1, 0))
+        }
+      }
+      cur.foreach { c =>
+        val timerMs = c.lastUs / 1000L + gapSec * 1000L
+        getHandle.registerTimer(timerMs)
+        state.update(c.copy(timerMs = timerMs))
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSummary] = {
+      if (state.exists()) {
+        val c = state.get()
+        // only the timer of the CURRENT registration closes the session
+        // (stale timers were deleted, but stay defensive)
+        if (expiredTimerInfo.getExpiryTimeInMs() >= c.timerMs) {
+          state.clear()
+          Iterator.single(summary(key, c))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-closed sessions as a stream (see [[TimerSessionProcessor]]).
+    * Requires a watermark on the input for TimeMode.EventTime. */
+  def timerSessions(spark: SparkSession, events: Dataset[Event], name: String,
+      gapSec: Long): DataFrame = {
+    import spark.implicits._
+    val out = events.groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runToMemory(spark, out.toDF(), name, OutputMode.Append())
+    }
+  }
+
   /** transformWithState needs the RocksDB state store provider; scope it
     * (plus any other conf) to one query and restore after. */
   def withConf[T](spark: SparkSession, key: String, value: String)(f: => T): T = {

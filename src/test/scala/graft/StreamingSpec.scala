@@ -220,6 +220,59 @@ class StreamingSpec extends SparkSpec {
       .filter($"count" === 2).count() > 0)
   }
 
+  test("event-time timers: sessions extend across micro-batches (timer delete + re-register)") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_e12_two_batches")
+    val batchEvents = Tables.load(spark, sf, "events")
+    val asNanos = batchEvents.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    val mid = batchEvents.agg(max($"event_id")).head().getLong(0) / 2
+    asNanos.filter($"event_id" <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f0")
+    asNanos.filter($"event_id" > mid).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/f1")
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val got = EventStreams.withShufflePartitions(spark, 4) {
+      EventStreams.timerSessions(spark, stream, "e12_two_batches", gapSec = 1800)
+    }.select($"user_id", $"session_start_us", $"n_events", $"duration_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // expected: the SAME emission rule computed in batch — sessions closed
+    // by a later event, plus last sessions whose timer beat the final
+    // watermark. If batch-1 timers had survived a batch-2 extension, the
+    // extended sessions would have been split/duplicated and this differs.
+    val us = expr("unix_micros(ts)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = batchEvents.select($"user_id", us.as("us"), $"event_id")
+      .withColumn("new_sess",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"us").as("start_us"), max($"us").as("last_us"),
+        count(lit(1)).as("n"))
+    val maxUs = batchEvents.agg(max(us)).head().getLong(0)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sess".desc)
+    val expect = sess.withColumn("rk", row_number().over(w2))
+      .filter($"rk" > 1 ||
+        ($"last_us" / 1000L).cast("long") + 1800000L < maxUs / 1000L - 3600000L)
+      .select($"user_id", $"start_us", $"n", ($"last_us" - $"start_us").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == expect)
+  }
+
   test("foreachBatch overwrite sink is idempotent and matches the batch aggregation") {
     import org.apache.spark.sql.functions._
     val out = new java.io.File(
