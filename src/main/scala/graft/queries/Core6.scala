@@ -384,6 +384,41 @@ object Core6 {
         ON p.user_id = c.user_id AND c.ts > p.ts
       ORDER BY p.event_id""")),
 
+    // The rest of SQLite's math-function surface (3.35+: trig, exp/log2,
+    // degrees/radians, trunc, pi, atan2 — q37 covers abs/ceil/floor/sqrt/
+    // pow/ln/sign/mod). Rounded to 6 places: Spark evaluates via
+    // java.lang.Math, DuckDB via C libm — bit-identical is not guaranteed
+    // in the last ulp, agreement at 1e-6 is the portable contract.
+    QueryDef("q77_math_funcs2", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").filter($"p_partkey" <= 500)
+        .select($"p_partkey",
+          round(sin($"p_retailprice" / 100), 6).as("sn"),
+          round(cos($"p_retailprice" / 100), 6).as("cs"),
+          round(atan2($"p_size".cast(DoubleType), lit(3.0)), 6).as("at2"),
+          round(exp($"p_size" / 10.0), 6).as("ex"),
+          round(log2($"p_retailprice"), 6).as("l2"),
+          round(degrees($"p_size" / 10.0), 6).as("dg"),
+          round(radians($"p_size".cast(DoubleType)), 6).as("rd"),
+          // Spark trunc() is date-only; double→long CAST truncates toward
+          // zero, which IS numeric trunc (DuckDB's cast would round, so
+          // the oracle keeps its native trunc())
+          ($"p_retailprice" / 7).cast(LongType).as("tr"),
+          round(lit(math.Pi), 6).as("pi"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             round(sin(p_retailprice / 100), 6) AS sn,
+             round(cos(p_retailprice / 100), 6) AS cs,
+             round(atan2(CAST(p_size AS DOUBLE), 3.0), 6) AS at2,
+             round(exp(p_size / 10.0), 6) AS ex,
+             round(log2(p_retailprice), 6) AS l2,
+             round(degrees(p_size / 10.0), 6) AS dg,
+             round(radians(CAST(p_size AS DOUBLE)), 6) AS rd,
+             CAST(trunc(p_retailprice / 7) AS BIGINT) AS tr,
+             round(pi(), 6) AS pi
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")),
+
     // transformWithState EVENT-TIME TIMERS (the feature e08/e10/e11 don't
     // touch): gap-sessionization where an idle session can only be closed
     // by a registered timer firing once the watermark passes lastSeen+gap.
