@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""True-reference fidelity check: replay the SQLite-semantics queries
+against ACTUAL SQLite (python's sqlite3 module) and diff cell-for-cell
+against the Spark result dumps produced by `graft.Verify`.
+
+scripts/selfcheck.py (the DuckDB oracle) proves cross-engine agreement on
+an independent re-derivation of each rule; this script proves the rules
+are SQLite's OWN: same inputs, SQLite's native CAST / substr / integer
+division / scalar max-min / quote / LIKE-ESCAPE / NOCASE, executed by
+SQLite itself.
+
+Covered: q65 (signed int div/mod), q66 (never-erroring CAST), q67
+(substr edges), q68 (NOCASE collation), q69 (scalar min/max NULL
+propagation), q71 (case-insensitive LIKE with ESCAPE), c06 (quote()).
+Deliberately excluded: q56 datetime modifier chains — the
+clamp-vs-normalize month-arithmetic divergence is a documented dialect
+gap (SQLite turns Jan 31 + 1 month into Mar 3; Spark/DuckDB clamp).
+
+Usage: python3 scripts/sqlite_fidelity.py <sfDir> <verifyOutDir>
+"""
+import glob
+import sqlite3
+import sys
+
+import pandas as pd
+
+
+def spark_dump(outdir: str, name: str) -> pd.DataFrame:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        raise FileNotFoundError(f"no Spark dump for {name} under {outdir}")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == bool:
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df.astype(str)  # uniform rendering, incl. None/NaN
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    g, w = canon(got), canon(want)
+    ok = list(g.columns) == list(w.columns) and len(g) == len(w) and g.equals(w)
+    if ok:
+        print(f"PASS {name} ({len(g)} rows vs sqlite {sqlite3.sqlite_version})")
+    else:
+        print(f"FAIL {name}: spark {g.shape} vs sqlite {w.shape}")
+        if list(g.columns) == list(w.columns) and len(g) == len(w):
+            diff = (g != w).any(axis=1)
+            print(pd.concat([g[diff].head(5).add_suffix("_spark"),
+                             w[diff].head(5).add_suffix("_sqlite")], axis=1))
+    return ok
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = sqlite3.connect(":memory:")
+    for t in ("nation", "customer"):
+        pd.read_parquet(f"{sf_dir}/{t}.parquet").to_sql(t, con, index=False)
+    pd.read_parquet(f"{sf_dir}/events.parquet") \
+        .drop(columns=["ts"]).to_sql("events", con, index=False)
+
+    def q(sql: str) -> pd.DataFrame:
+        return pd.read_sql_query(sql, con)
+
+    ok = True
+
+    # q65: SQLite's / on integers IS truncating division; % takes the
+    # dividend's sign (C semantics in the VDBE)
+    ok &= compare("q65_int_div", spark_dump(out_dir, "q65_int_div"), q("""
+        SELECT a, b, a / b AS idiv, a % b AS imod,
+               round(CAST(a AS REAL) / b, 4) AS fdiv
+        FROM (SELECT n_nationkey - 12 AS a, n_regionkey - 2 AS b FROM nation)
+        WHERE b <> 0 ORDER BY a, b"""))
+
+    # q66: native never-erroring CAST
+    ok &= compare("q66_sqlite_cast", spark_dump(out_dir, "q66_sqlite_cast"), q("""
+        WITH vals(sv) AS (VALUES ('12abc'), ('abc'), ('  42'),
+          (char(9) || '42'), ('-3.9xyz'), ('3.9'),
+          ('99999999999999999999999'), ('-00099999999999999999999999'),
+          ('0000000005'), ('1e3'), ('.5e1x'), ('+7'), (''), ('0x1A'),
+          ('9223372036854775807'), ('-9223372036854775808'))
+        SELECT sv, CAST(sv AS INTEGER) AS i, CAST(sv AS REAL) AS r
+        FROM vals ORDER BY sv"""))
+
+    # q67: native substr edge semantics
+    ok &= compare("q67_substr_sqlite", spark_dump(out_dir, "q67_substr_sqlite"), q("""
+        SELECT n_nationkey, n_name,
+               substr(n_name, 2, 3) AS mid,
+               substr(n_name, -3) AS tail3,
+               substr(n_name, 0, 3) AS zero3,
+               substr(n_name, 3, -2) AS before3,
+               substr(n_name, -1, -2) AS beforelast
+        FROM nation ORDER BY n_nationkey"""))
+
+    # q68: native NOCASE collation (ASCII-only fold). SQLite groups by a
+    # representative, our engine by the folded key — compare the group
+    # SHAPES (count, min, max), which pin the same equivalence classes.
+    sqlite_groups = q("""
+        WITH u AS (
+          SELECT upper(n_name) || CASE WHEN n_nationkey % 5 = 0 THEN 'É' ELSE '' END AS name
+          FROM nation
+          UNION ALL
+          SELECT lower(n_name) || CASE WHEN n_nationkey % 5 = 0 THEN 'é' ELSE '' END AS name
+          FROM nation)
+        SELECT count(*) AS n, min(name) AS mn, max(name) AS mx
+        FROM u GROUP BY name COLLATE NOCASE""")
+    ok &= compare("q68_collate_nocase",
+                  spark_dump(out_dir, "q68_collate_nocase").drop(columns=["nk"]),
+                  sqlite_groups)
+
+    # q69: native scalar max/min NULL propagation
+    ok &= compare("q69_minmax_null", spark_dump(out_dir, "q69_minmax_null"), q("""
+        SELECT event_id, a, b, max(a, b) AS mx, min(a, b) AS mn
+        FROM (SELECT event_id, round(value, 2) AS a,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE 50.0 - round(value, 2) END AS b
+              FROM events WHERE event_id < 3000) x
+        ORDER BY event_id"""))
+
+    # q71: SQLite LIKE is natively case-insensitive, ESCAPE makes the
+    # wildcard literal — no ilike needed on this side
+    ok &= compare("q71_like_escape", spark_dump(out_dir, "q71_like_escape"), q("""
+        WITH r AS (SELECT c_custkey,
+                (CASE WHEN c_custkey % 2 = 0 THEN 'ID' ELSE 'id' END) ||
+                (CASE WHEN c_custkey % 3 = 0 THEN '_' ELSE 'x' END) ||
+                CAST(c_custkey AS TEXT) || '%' || lower(c_name) AS tag
+              FROM customer WHERE c_custkey <= 300)
+        SELECT c_custkey, tag,
+               tag LIKE 'id!_1%' ESCAPE '!' AS m_esc,
+               tag LIKE 'id_1%' AS m_raw
+        FROM r WHERE (tag LIKE 'id!_1%' ESCAPE '!') OR (tag LIKE 'id_1%')
+        ORDER BY c_custkey"""))
+
+    # c06: native quote() over typed cells
+    ok &= compare("c06_quote", spark_dump(out_dir, "c06_quote"), q("""
+        SELECT event_id,
+               CASE WHEN event_id % 4 = 0 THEN quote(CAST(value AS INTEGER))
+                    WHEN event_id % 4 = 1 THEN quote(round(value, 2))
+                    WHEN event_id % 4 = 2 THEN quote(event_type || '''' || props)
+                    ELSE quote(NULL) END AS q
+        FROM events WHERE event_id < 1000 ORDER BY event_id"""))
+
+    print("sqlite-fidelity:", "ALL PASS" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
