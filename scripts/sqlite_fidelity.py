@@ -60,7 +60,7 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = sqlite3.connect(":memory:")
-    for t in ("nation", "customer"):
+    for t in ("nation", "customer", "part"):
         pd.read_parquet(f"{sf_dir}/{t}.parquet").to_sql(t, con, index=False)
     pd.read_parquet(f"{sf_dir}/events.parquet") \
         .drop(columns=["ts"]).to_sql("events", con, index=False)
@@ -136,6 +136,14 @@ def main() -> int:
                tag LIKE 'id_1%' AS m_raw
         FROM r WHERE (tag LIKE 'id!_1%' ESCAPE '!') OR (tag LIKE 'id_1%')
         ORDER BY c_custkey"""))
+
+    # q59: LIKE's native case-insensitive default (no ILIKE on this side)
+    ok &= compare("q59_sqlite_like", spark_dump(out_dir, "q59_sqlite_like"), q("""
+        SELECT p_partkey, p_name,
+               p_name LIKE '%GRE%' AS ci_hit,
+               p_name NOT LIKE '%A%' AS ci_not_hit
+        FROM part WHERE (p_name LIKE '%GRE%') OR (p_name NOT LIKE '%A%')
+        ORDER BY p_partkey"""))
 
     # c06: native quote() over typed cells
     ok &= compare("c06_quote", spark_dump(out_dir, "c06_quote"), q("""
