@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.SQLiteExprs
 import graft.operators.{Dedup, Relational, TextOps}
@@ -418,6 +419,34 @@ object Core6 {
              CAST(trunc(p_retailprice / 7) AS BIGINT) AS tr,
              round(pi(), 6) AS pi
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")),
+
+    // SQLite window functions accept a FILTER clause (q05 covers FILTER
+    // on plain aggregates); Spark's Window API has no FILTER — the
+    // lowering is conditional aggregation over the same frame:
+    // f(x) FILTER (WHERE c) OVER w  ≡  f(CASE WHEN c THEN x END) OVER w.
+    // Running per-user purchase totals and counts alongside ALL events.
+    QueryDef("q78_window_filter", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events").filter($"event_id" < 3000)
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+        .withColumn("run_purch_n",
+          count(when($"event_type" === "purchase", lit(1))).over(w))
+        .withColumn("run_purch_val",
+          round(coalesce(sum(when($"event_type" === "purchase", $"value"))
+            .over(w), lit(0.0)), 2))
+        .select($"event_id", $"user_id", $"run_purch_n", $"run_purch_val")
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id, user_id,
+             count(*) FILTER (WHERE event_type = 'purchase') OVER w AS run_purch_n,
+             round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase') OVER w, 0.0), 2)
+               AS run_purch_val
+      FROM events WHERE event_id < 3000
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
 
     // transformWithState EVENT-TIME TIMERS (the feature e08/e10/e11 don't
     // touch): gap-sessionization where an idle session can only be closed
