@@ -50,11 +50,12 @@ object TextOps {
       greatest(length(text).cast(DoubleType), lit(1.0))
 
   val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  def stopwordRatio(text: Column): Column = {
-    val pat = "\\b(" + Stopwords.mkString("|") + ")\\b"
+  def stopwordRatioFor(text: Column, words: Seq[String]): Column = {
+    val pat = "\\b(" + words.mkString("|") + ")\\b"
     size(regexp_extract_all(lower(text), lit(pat), lit(0))).cast(DoubleType) /
       greatest(tokenCount(text).cast(DoubleType), lit(1.0))
   }
+  def stopwordRatio(text: Column): Column = stopwordRatioFor(text, Stopwords)
 
   def meanWordLen(text: Column): Column =
     length(regexp_replace(normalize(text), " ", "")).cast(DoubleType) /
@@ -62,13 +63,27 @@ object TextOps {
 
   /** Composite quality score in [0,1]: length sweet-spot + punctuation
     * sanity + stopword presence. Deliberately simple and fully
-    * SQL-expressible so the oracle can recompute it. */
-  def qualityScore(text: Column): Column = {
+    * SQL-expressible so the oracle can recompute it. The stopword list
+    * is a parameter — real pipelines score per language. */
+  def qualityScoreFor(text: Column, words: Seq[String]): Column = {
     val lenScore  = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
     val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(5.0))
-    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatioFor(text, words) * lit(5.0), lit(1.0))
     round((lenScore + punctPen + stopScore) / lit(3.0), 4)
   }
+  def qualityScore(text: Column): Column = qualityScoreFor(text, Stopwords)
+
+  /** Language-aware quality: score each document against ITS language's
+    * function-word profile (the [[LangProfiles]] t03 uses) — an English
+    * stopword list scores every non-English document as low-quality,
+    * which is exactly the mistake corpus-wide filters make. One when-fold
+    * per profile; still a pure narrow map. */
+  def qualityScoreByLang(text: Column, lang: Column): Column =
+    LangProfiles.tail.foldLeft(
+      when(lang === LangProfiles.head._1,
+        qualityScoreFor(text, LangProfiles.head._2))) {
+      case (acc, (l, ws)) => acc.when(lang === l, qualityScoreFor(text, ws))
+    }.otherwise(qualityScoreFor(text, Stopwords))
 
   /** Language-ID: n-gram/stopword profile scoring. Each language has a
     * profile of high-frequency function words; score = count of profile

@@ -7,6 +7,18 @@ import graft.Tables
 import graft.functions.SQLiteExprs
 import graft.operators.{Dedup, Relational, TextOps}
 
+private object Core6Sql {
+  /** t02's quality formula with the stopword profile as a parameter —
+    * the oracle side of TextOps.qualityScoreFor. */
+  def quality(words: Seq[String]): String = s"""round((
+        least(length(text) / 500.0, 1.0)
+        + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+            / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0)
+        + least((len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))
+            / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0)) * 5.0, 1.0)
+      ) / 3.0, 4)"""
+}
+
 /** Round-4 (cont.) additions: SQLite collation/NULL-semantics fidelity
   * (NOCASE, scalar min/max NULL propagation, IS NOT DISTINCT FROM, LIKE
   * ESCAPE, quote()), correlated scalar subqueries through the SQL entry
@@ -419,6 +431,35 @@ object Core6 {
              CAST(trunc(p_retailprice / 7) AS BIGINT) AS tr,
              round(pi(), 6) AS pi
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")),
+
+    // Language-aware quality scoring (TextOps.qualityScoreByLang): each
+    // document scored against ITS language's function-word profile —
+    // t02's English-list score penalizes every non-English document; the
+    // per-language delta column shows exactly where the corpus-wide
+    // filter and the language-aware one disagree. Oracle regenerates the
+    // formula per profile from the same word lists.
+    QueryDef("t09_quality_by_lang", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          TextOps.qualityScoreByLang($"text", $"lang").as("q_lang"),
+          TextOps.qualityScore($"text").as("q_en"))
+        .withColumn("delta", round($"q_lang" - $"q_en", 4))
+        .orderBy($"doc_id")
+    }, Some {
+      val cases = TextOps.LangProfiles.map { case (l, ws) =>
+        s"WHEN lang = '$l' THEN ${Core6Sql.quality(ws)}"
+      }.mkString("\n             ")
+      s"""
+      SELECT doc_id, lang,
+             CASE $cases
+                  ELSE ${Core6Sql.quality(TextOps.Stopwords)} END AS q_lang,
+             ${Core6Sql.quality(TextOps.Stopwords)} AS q_en,
+             round(CASE $cases
+                  ELSE ${Core6Sql.quality(TextOps.Stopwords)} END
+               - ${Core6Sql.quality(TextOps.Stopwords)}, 4) AS delta
+      FROM documents ORDER BY doc_id"""
+    }),
 
     // SQLite window functions accept a FILTER clause (q05 covers FILTER
     // on plain aggregates); Spark's Window API has no FILTER — the

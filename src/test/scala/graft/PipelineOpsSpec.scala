@@ -377,6 +377,26 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 0.6667)))
   }
 
+  test("qualityScoreByLang scores against the document's own profile") {
+    val de = "der hund und die katze das ist ein gutes tier und das haus"
+    val docs = Seq((1L, "de", de), (2L, "en", de)).toDF("id", "lang", "text")
+    val got = docs.select($"id",
+        TextOps.qualityScoreByLang($"text", $"lang").as("q"),
+        TextOps.qualityScore($"text").as("q_en"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // German text under the German profile beats the English-list score…
+    assert(got(1L)._1 > got(1L)._2)
+    // …and under lang='en' the by-lang score IS the English-profile score
+    // (profiles differ from the default Stopwords list only slightly)
+    assert(got(2L)._1 <= got(1L)._1)
+    // unknown lang falls back to the default list = plain qualityScore
+    val fb = Seq((3L, "xx", de)).toDF("id", "lang", "text")
+      .select(TextOps.qualityScoreByLang($"text", $"lang").as("q"),
+        TextOps.qualityScore($"text").as("qe"))
+      .head()
+    assert(fb.getDouble(0) == fb.getDouble(1))
+  }
+
   test("vocabulary: Zipf table with rank and cumulative coverage") {
     val docs = Seq(
       (1L, "the cat and the dog"),
