@@ -9,9 +9,12 @@ are SQLite's OWN: same inputs, SQLite's native CAST / substr / integer
 division / scalar max-min / quote / LIKE-ESCAPE / NOCASE, executed by
 SQLite itself.
 
-Covered: q65 (signed int div/mod), q66 (never-erroring CAST), q67
-(substr edges), q68 (NOCASE collation), q69 (scalar min/max NULL
-propagation), q71 (case-insensitive LIKE with ESCAPE), c06 (quote()).
+Covered: q59 (LIKE case-insensitive default), q65 (signed int div/mod),
+q66 (never-erroring CAST), q67 (substr edges), q68 (NOCASE collation),
+q69 (scalar min/max NULL propagation), q71 (case-insensitive LIKE with
+ESCAPE), q79 (GLOB matrix incl. sqlite3.c edge rules), c06 (quote()).
+Checks whose dump is absent are SKIPped, so the script also works on
+partial Verify output while iterating on one query.
 Deliberately excluded: q56 datetime modifier chains — the
 clamp-vs-normalize month-arithmetic divergence is a documented dialect
 gap (SQLite turns Jan 31 + 1 month into Mar 3; Spark/DuckDB clamp).
@@ -43,6 +46,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.astype(str)  # uniform rendering, incl. None/NaN
 
 
+def compare_dump(name: str, outdir: str, want: pd.DataFrame,
+                 drop: list = None) -> bool:
+    """compare() against the Spark dump; SKIP (not fail) if the dump is
+    absent — lets the script run on partial Verify output during
+    iteration on a single query."""
+    try:
+        got = spark_dump(outdir, name)
+    except FileNotFoundError:
+        print(f"SKIP {name}: no Spark dump")
+        return True
+    if drop:
+        got = got.drop(columns=drop)
+    return compare(name, got, want)
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     g, w = canon(got), canon(want)
     ok = list(g.columns) == list(w.columns) and len(g) == len(w) and g.equals(w)
@@ -72,14 +90,14 @@ def main() -> int:
 
     # q65: SQLite's / on integers IS truncating division; % takes the
     # dividend's sign (C semantics in the VDBE)
-    ok &= compare("q65_int_div", spark_dump(out_dir, "q65_int_div"), q("""
+    ok &= compare_dump("q65_int_div", out_dir, q("""
         SELECT a, b, a / b AS idiv, a % b AS imod,
                round(CAST(a AS REAL) / b, 4) AS fdiv
         FROM (SELECT n_nationkey - 12 AS a, n_regionkey - 2 AS b FROM nation)
         WHERE b <> 0 ORDER BY a, b"""))
 
     # q66: native never-erroring CAST
-    ok &= compare("q66_sqlite_cast", spark_dump(out_dir, "q66_sqlite_cast"), q("""
+    ok &= compare_dump("q66_sqlite_cast", out_dir, q("""
         WITH vals(sv) AS (VALUES ('12abc'), ('abc'), ('  42'),
           (char(9) || '42'), ('-3.9xyz'), ('3.9'),
           ('99999999999999999999999'), ('-00099999999999999999999999'),
@@ -89,7 +107,7 @@ def main() -> int:
         FROM vals ORDER BY sv"""))
 
     # q67: native substr edge semantics
-    ok &= compare("q67_substr_sqlite", spark_dump(out_dir, "q67_substr_sqlite"), q("""
+    ok &= compare_dump("q67_substr_sqlite", out_dir, q("""
         SELECT n_nationkey, n_name,
                substr(n_name, 2, 3) AS mid,
                substr(n_name, -3) AS tail3,
@@ -110,12 +128,11 @@ def main() -> int:
           FROM nation)
         SELECT count(*) AS n, min(name) AS mn, max(name) AS mx
         FROM u GROUP BY name COLLATE NOCASE""")
-    ok &= compare("q68_collate_nocase",
-                  spark_dump(out_dir, "q68_collate_nocase").drop(columns=["nk"]),
-                  sqlite_groups)
+    ok &= compare_dump("q68_collate_nocase", out_dir, sqlite_groups,
+                       drop=["nk"])
 
     # q69: native scalar max/min NULL propagation
-    ok &= compare("q69_minmax_null", spark_dump(out_dir, "q69_minmax_null"), q("""
+    ok &= compare_dump("q69_minmax_null", out_dir, q("""
         SELECT event_id, a, b, max(a, b) AS mx, min(a, b) AS mn
         FROM (SELECT event_id, round(value, 2) AS a,
                      CASE WHEN event_type = 'error' THEN NULL
@@ -125,7 +142,7 @@ def main() -> int:
 
     # q71: SQLite LIKE is natively case-insensitive, ESCAPE makes the
     # wildcard literal — no ilike needed on this side
-    ok &= compare("q71_like_escape", spark_dump(out_dir, "q71_like_escape"), q("""
+    ok &= compare_dump("q71_like_escape", out_dir, q("""
         WITH r AS (SELECT c_custkey,
                 (CASE WHEN c_custkey % 2 = 0 THEN 'ID' ELSE 'id' END) ||
                 (CASE WHEN c_custkey % 3 = 0 THEN '_' ELSE 'x' END) ||
@@ -138,15 +155,25 @@ def main() -> int:
         ORDER BY c_custkey"""))
 
     # q59: LIKE's native case-insensitive default (no ILIKE on this side)
-    ok &= compare("q59_sqlite_like", spark_dump(out_dir, "q59_sqlite_like"), q("""
+    ok &= compare_dump("q59_sqlite_like", out_dir, q("""
         SELECT p_partkey, p_name,
                p_name LIKE '%GRE%' AS ci_hit,
                p_name NOT LIKE '%A%' AS ci_not_hit
         FROM part WHERE (p_name LIKE '%GRE%') OR (p_name NOT LIKE '%A%')
         ORDER BY p_partkey"""))
 
+    # q79: native GLOB over the full pattern matrix, incl. the sqlite3.c
+    # edge rules (empty set, unclosed '[', inverted range) — DuckDB
+    # agrees on these, but THIS check is against SQLite's own strglob
+    ok &= compare_dump("q79_glob_matrix", out_dir, q("""
+        WITH s AS (SELECT n_name AS s FROM nation UNION ALL SELECT 'A[x'),
+        p(p) AS (VALUES ('RUS*'), ('*IA'), ('*AN*'), ('CHINA'), ('?????'),
+          ('C?INA'), ('[A-C]*'), ('*[AI]'), ('IND[IO]*'), ('[]*'), ('A[x'),
+          ('[z-a]*'))
+        SELECT p, s, s GLOB p AS m FROM p CROSS JOIN s ORDER BY p, s"""))
+
     # c06: native quote() over typed cells
-    ok &= compare("c06_quote", spark_dump(out_dir, "c06_quote"), q("""
+    ok &= compare_dump("c06_quote", out_dir, q("""
         SELECT event_id,
                CASE WHEN event_id % 4 = 0 THEN quote(CAST(value AS INTEGER))
                     WHEN event_id % 4 = 1 THEN quote(round(value, 2))

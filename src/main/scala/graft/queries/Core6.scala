@@ -432,6 +432,31 @@ object Core6 {
              round(pi(), 6) AS pi
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")),
 
+    // GLOB pattern matrix: every translation shape (exact, prefix,
+    // suffix, contains, ?, ranges, multi-member sets, and the sqlite3.c
+    // edge rules — empty set, unclosed '[', inverted range) evaluated
+    // over real strings. Oracle = DuckDB's native GLOB, which agrees
+    // with SQLite on all of these ([^...] negation is the one
+    // divergence between the two engines, so it stays pinned by the
+    // golden SQLiteExprsSpec tests and scripts/sqlite_fidelity.py
+    // replays this whole matrix against real SQLite).
+    QueryDef("q79_glob_matrix", (s, dir) => {
+      import s.implicits._
+      val pats = Seq("RUS*", "*IA", "*AN*", "CHINA", "?????", "C?INA",
+        "[A-C]*", "*[AI]", "IND[IO]*", "[]*", "A[x", "[z-a]*")
+      val base = t(s, dir, "nation").select($"n_name".as("s"))
+        .unionByName(Seq("A[x").toDF("s"))
+      pats.map(p => base.select(lit(p).as("p"), $"s",
+          SQLiteExprs.glob($"s", p).as("m")))
+        .reduce(_ unionByName _)
+        .orderBy($"p", $"s")
+    }, Some("""
+      WITH s AS (SELECT n_name AS s FROM nation UNION ALL SELECT 'A[x'),
+      p(p) AS (VALUES ('RUS*'), ('*IA'), ('*AN*'), ('CHINA'), ('?????'),
+        ('C?INA'), ('[A-C]*'), ('*[AI]'), ('IND[IO]*'), ('[]*'), ('A[x'),
+        ('[z-a]*'))
+      SELECT p, s, s GLOB p AS m FROM p CROSS JOIN s ORDER BY p, s""")),
+
     // Language-aware quality scoring (TextOps.qualityScoreByLang): each
     // document scored against ITS language's function-word profile —
     // t02's English-list score penalizes every non-English document; the
