@@ -172,11 +172,19 @@ def main() -> int:
           ('[z-a]*'))
         SELECT p, s, s GLOB p AS m FROM p CROSS JOIN s ORDER BY p, s"""))
 
-    # c06: native quote() over typed cells
+    # c06: native quote() over typed cells. Reals span three magnitude
+    # decades via exponent-suffix PARSING (never float multiplication,
+    # which lands on non-round-trip doubles where SQLite's quote falls
+    # back to its approximate exact-%.20e decode — the documented
+    # sqliteRealString limit)
     ok &= compare_dump("c06_quote", out_dir, q("""
         SELECT event_id,
                CASE WHEN event_id % 4 = 0 THEN quote(CAST(value AS INTEGER))
-                    WHEN event_id % 4 = 1 THEN quote(round(value, 2))
+                    WHEN event_id % 4 = 1 THEN quote(CAST(
+                      CAST(round(value, 2) AS TEXT) ||
+                      CASE WHEN event_id % 3 = 1 THEN 'e8'
+                           WHEN event_id % 3 = 2 THEN 'e16' ELSE '' END
+                      AS REAL))
                     WHEN event_id % 4 = 2 THEN quote(event_type || '''' || props)
                     ELSE quote(NULL) END AS q
         FROM events WHERE event_id < 1000 ORDER BY event_id"""))

@@ -59,10 +59,23 @@ object Bench {
         f => f.filter(lit(false)), maxIter = 2, distinctUnion = false).count()
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // Consume EVERY computed column, not count(): a count() lets
+        // Catalyst prune unevaluated work (window payloads, join payloads
+        // — a windowed-asof count() times an empty plan; PERF.md q73
+        // methodology). Executing the physical plan's own RDD forces each
+        // operator to materialize its full UnsafeRow output — every
+        // column evaluated — and the RDD-level count is invisible to
+        // Catalyst, so nothing can be rewritten away. This is stronger
+        // than agg(count(xxhash64(struct(*)))) and works for all column
+        // types (hash() rejects MapType).
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           failed ::= name; false

@@ -294,15 +294,44 @@ object SQLiteExprs {
       .when(v.getField("t") === "real", v.getField("r").cast(StringType))
       .otherwise(v.getField("s"))
 
+  /** SQLite's REAL rendering as used by `quote()` (sqlite/src/func.c
+    * quoteFunc: `"%!.15g"` — 15 significant digits, trailing zeros
+    * stripped, decimal point FORCED so a real never prints like an int;
+    * negative zero prints "0.0"). Composition of codegen'd built-ins:
+    * Java's `%.15g` keeps the trailing zeros C strips, so the mantissa is
+    * split off, stripped, and re-pointed.
+    * Documented limit: doubles that do not round-trip through 15
+    * significant digits (e.g. 999999999999999.9) keep the 15-digit form,
+    * where real SQLite falls back to a `%!.20e` exact rendering —
+    * everything the shipped queries produce (round()ed values,
+    * power-of-ten scalings) round-trips and matches bit-for-bit. */
+  def sqliteRealString(r: Column): Column = {
+    val g = format_string("%.15g", r)
+    val hasE = g.contains("e")
+    val mant0 = substring_index(g, "e", 1)
+    // strip trailing zeros — only meaningful after a decimal point
+    // (a 15-integer-digit mantissa like "123456789012340" has none)
+    val mant = when(mant0.contains("."), regexp_replace(mant0, "0+$", ""))
+      .otherwise(mant0)
+    val fixed = when(!mant.contains("."), concat(mant, lit(".0")))
+      .when(mant.endsWith("."), concat(mant, lit("0")))
+      .otherwise(mant)
+    val res = when(hasE, concat(fixed, lit("e"), substring_index(g, "e", -1)))
+      .otherwise(fixed)
+    when(r === 0.0, lit("0.0")).otherwise(res)
+  }
+
   /** SQLite `quote()` over a variant cell (sqlite.org/lang_corefunc
     * .html#quote): renders the value as an SQL literal — text wrapped in
-    * single quotes with embedded quotes doubled, numbers as their default
-    * rendering, NULL as the bare keyword. The read-side counterpart of
-    * the reference's statement-text binding (SDF.swift:578-623 binds
-    * typed values; quote() is how SQLite shows them back). */
+    * single quotes with embedded quotes doubled, ints as their digits,
+    * reals via [[sqliteRealString]] (the `%!.15g` form — NOT Java's
+    * cast-to-string, which flips to `1.0E7` scientific at 1e7), NULL as
+    * the bare keyword. The read-side counterpart of the reference's
+    * statement-text binding (SDF.swift:578-623 binds typed values;
+    * quote() is how SQLite shows them back). */
   def quoteVariant(v: Column): Column =
     when(v.getField("t") === "int", v.getField("i").cast(StringType))
-      .when(v.getField("t") === "real", v.getField("r").cast(StringType))
+      .when(v.getField("t") === "real", sqliteRealString(v.getField("r")))
       .when(v.getField("t") === "text",
         concat(lit("'"),
           regexp_replace(v.getField("s"), lit("'"), lit("''")), lit("'")))

@@ -112,6 +112,13 @@ object Relational {
     * co-partition on the key, per-partition (key, ts) sort, single
     * forward merge with one buffered right payload). Output carries the
     * right payload as flat nullable columns rather than a struct.
+    * Key/ts column types must match between the sides (checked at plan
+    * construction — a mismatch is an error, never a silent cast).
+    * Tie contract: when several right rows share a (key, ts), the match
+    * is deterministic — the payload-wise greatest row for backward
+    * as-of, the payload-wise least for forward (the exec sorts the right
+    * side by (key, ts, payload...)); only if every payload column is
+    * unorderable (map type) does the pick remain unspecified.
     * Requires the session to have graft strategies enabled
     * (`Graft.enableOptimizations` / `GraftExtensions`) — this method
     * ensures it. */

@@ -27,23 +27,28 @@ object Scale {
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), how)
 
   /** Salted join for skewed keys: explode the SMALL side `salt` ways,
-    * scatter the big side's hot keys uniformly with a random salt, join
-    * on (key, salt). Turns one straggler partition into `salt` even ones.
-    * AQE's skew-join handles sort-merge skew automatically; salting is
-    * the explicit fallback when AQE can't (e.g. aggregations or when a
-    * single key exceeds one executor). Row counts are preserved exactly;
-    * the salt column never escapes. */
+    * scatter the big side's hot keys uniformly with a content-derived
+    * salt, join on (key, salt). Turns one straggler partition into `salt`
+    * even ones. AQE's skew-join handles sort-merge skew automatically;
+    * salting is the explicit fallback when AQE can't (e.g. aggregations or
+    * when a single key exceeds one executor). Row counts are preserved
+    * exactly; the salt column never escapes.
+    *
+    * The salt hashes the big side's FULL row content (not
+    * monotonically_increasing_id, whose value changes when a task retry
+    * re-reads a lost shuffle block — the SPARK-23207 class of silent
+    * row loss/duplication): identical inputs always land in the same
+    * bucket, so retries and re-runs are bitwise-reproducible. Duplicate
+    * rows share a bucket, which skews nothing unless the hot key's rows
+    * are near-identical — pass a higher-entropy `saltSource` to
+    * [[saltedJoinBy]] in that case. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
-      how: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      (abs(xxhash64(monotonically_increasing_id())) % salt).cast("int"))
-    val saltedSmall = small.withColumn("__salt",
-      explode(array((0 until salt).map(lit): _*)))
-    saltedBig.join(saltedSmall, Seq(key, "__salt"), how).drop("__salt")
-  }
+      how: String = "inner"): DataFrame =
+    saltedJoinBy(big, small, key,
+      struct(big.columns.map(col).toIndexedSeq: _*), salt, how)
 
-  /** Deterministic variant for tests/verification: salt derived from a
-    * stable column instead of row position. */
+  /** Salt derived from stable row content: same input row ⇒ same bucket,
+    * across task retries and across runs. */
   def saltedJoinBy(big: DataFrame, small: DataFrame, key: String,
       saltSource: Column, salt: Int, how: String = "inner"): DataFrame = {
     val saltedBig = big.withColumn("__salt",

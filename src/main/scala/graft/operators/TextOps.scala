@@ -200,10 +200,16 @@ object TextOps {
     * Distributed shape: one narrow tokenize feeds ONE partial+final
     * aggregation keyed by term (map-side combine collapses each partition
     * to its local vocabulary before the shuffle — the only full-corpus
-    * pass). Rank and cumulative sum are a single-partition window over the
-    * AGGREGATED vocabulary, which is ≪ corpus (Heaps' law) and bounded
-    * further by `topK`; the corpus token total joins in as a broadcast
-    * 1-row frame, never a driver-side literal. Tokenizer shared with
+    * pass). The global top-K is then taken with an ordered limit
+    * (`TakeOrderedAndProject`: per-partition top-K heaps, driver merge —
+    * never a full sort), and ONLY those ≤ topK survivors see the
+    * rank/cumulative-sum window. The top-K rows by `(cnt desc, term)` are
+    * by construction a prefix of the global ordering, so rnk/cum computed
+    * within them are identical to ranking the whole vocabulary first —
+    * but the unpartitioned window now touches a constant-bounded row set
+    * instead of the corpus's multi-billion-term distinct vocabulary. The
+    * corpus token total joins in as a broadcast 1-row frame, never a
+    * driver-side literal. Tokenizer shared with
     * [[tfidfTopTerms]]/[[repetitionSignals]] so oracles recompute it
     * identically. */
   def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String,
@@ -214,12 +220,12 @@ object TextOps {
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("term"))
-    counts
+    top
       .withColumn("rnk", row_number().over(w).cast(IntegerType))
       .withColumn("cum", sum(col("cnt")).over(w))
-      .filter(col("rnk") <= topK)
       .crossJoin(broadcast(total))
       .select(col("rnk"), col("term"), col("cnt"),
         round(col("cum").cast(DoubleType) / col("total"), 4).as("cum_frac"))

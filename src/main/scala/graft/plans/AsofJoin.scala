@@ -37,6 +37,16 @@ case class AsofJoinPlan(
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], strict: Boolean,
     forward: Boolean = false) extends BinaryNode {
+  // The exec's merge loop picks its accessors/orderings from the LEFT
+  // side's types and applies them to right rows too — a silent-garbage
+  // hazard if the sides disagree (e.g. TimestampType vs DateType ts, or
+  // Long vs Int keys). Fail at plan construction instead.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match: left ${leftKey.dataType.sql} vs " +
+      s"right ${rightKey.dataType.sql} — cast one side explicitly")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join ts types must match: left ${leftTs.dataType.sql} vs " +
+      s"right ${rightTs.dataType.sql} — cast one side explicitly")
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -75,9 +85,22 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  /** Right-side ordering carries the orderable payload columns as
+    * tiebreakers: when several right rows share a (key, ts), the merge
+    * loop's pick (last-buffered backward, head-match forward) would
+    * otherwise depend on arbitrary partition/sort order. With the
+    * tiebreak the result is a pure function of the data — backward ties
+    * resolve to the payload-wise MAX row, forward ties to the MIN.
+    * Unorderable payload types (map) are skipped; if ALL payloads are
+    * unorderable the tie pick remains unspecified (documented on
+    * `Relational.asofJoinNative`). */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      payload
+        .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
+        .filter(a => RowOrdering.isOrderable(a.dataType))
+        .map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =

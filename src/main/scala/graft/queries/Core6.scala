@@ -161,8 +161,23 @@ object Core6 {
     // with embedded quotes doubled, numbers as their rendering, NULL as
     // the keyword — the read-back form of the reference's typed binds
     // (SDF.swift:578-623).
+    // Real cells span three magnitude decades (×1, ×1e8, ×1e16 via
+    // exponent-suffix parsing — "12.31e8") to pin the SQLite %!.15g
+    // rendering through its regimes: plain decimal, large fixed-notation
+    // (where a naive double cast flips to Java's 1.2E9 scientific), and
+    // forced-point scientific (1.231e+17, never 1231e14). Scaling by
+    // PARSING a short decimal string — not by float multiplication —
+    // guarantees each real is the double nearest a few-digit decimal, so
+    // %!.15g always round-trips and SQLite's exact-%.20e fallback (whose
+    // trailing digits come from SQLite's own approximate float decode,
+    // not a correctly-rounded conversion) never triggers; that fallback
+    // is the documented limit of sqliteRealString. Oracle rebuilds the
+    // rendering from DuckDB's C-style printf('%.15g') by re-pointing the
+    // mantissa.
     QueryDef("c06_quote", (s, dir) => {
       import s.implicits._
+      val sfx = when($"event_id" % 3 === 1, lit("e8"))
+        .when($"event_id" % 3 === 2, lit("e16")).otherwise(lit(""))
       t(s, dir, "events").filter($"event_id" < 1000)
         .select($"event_id",
           when($"event_id" % 4 === 0, lit("int"))
@@ -170,19 +185,32 @@ object Core6 {
             .when($"event_id" % 4 === 2, lit("text"))
             .otherwise(lit(null).cast(StringType)).as("ty"),
           when($"event_id" % 4 === 0, floor($"value").cast(LongType).cast(StringType))
-            .when($"event_id" % 4 === 1, round($"value", 2).cast(StringType))
+            .when($"event_id" % 4 === 1,
+              concat(round($"value", 2).cast(StringType), sfx))
             .otherwise(concat($"event_type", lit("'"), $"props")).as("raw"))
         .select($"event_id",
           SQLiteExprs.quoteVariant(SQLiteExprs.toVariant($"raw", $"ty")).as("q"))
         .orderBy($"event_id")
     }, Some("""
-      SELECT event_id,
-             CASE WHEN event_id % 4 = 0 THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
-                  WHEN event_id % 4 = 1 THEN CAST(round(value, 2) AS VARCHAR)
-                  WHEN event_id % 4 = 2 THEN
-                    '''' || replace(event_type || '''' || props, '''', '''''') || ''''
+      WITH g AS (
+        SELECT event_id,
+               printf('%.15g', CAST(CAST(round(value, 2) AS VARCHAR) ||
+                 CASE WHEN event_id % 3 = 1 THEN 'e8'
+                      WHEN event_id % 3 = 2 THEN 'e16' ELSE '' END
+                 AS DOUBLE)) AS r
+        FROM events)
+      SELECT e.event_id,
+             CASE WHEN e.event_id % 4 = 0 THEN CAST(CAST(floor(e.value) AS BIGINT) AS VARCHAR)
+                  WHEN e.event_id % 4 = 1 THEN
+                    CASE WHEN round(e.value, 2) = 0 THEN '0.0'
+                         WHEN g.r LIKE '%.%' THEN g.r
+                         WHEN g.r LIKE '%e%' THEN replace(g.r, 'e', '.0e')
+                         ELSE g.r || '.0' END
+                  WHEN e.event_id % 4 = 2 THEN
+                    '''' || replace(e.event_type || '''' || e.props, '''', '''''') || ''''
                   ELSE 'NULL' END AS q
-      FROM events WHERE event_id < 1000 ORDER BY event_id""")),
+      FROM events e JOIN g USING (event_id) WHERE e.event_id < 1000
+      ORDER BY e.event_id""")),
 
     // Corpus vocabulary / Zipf table (TextOps.vocabulary): global term
     // counts, frequency rank, cumulative coverage — the tokenizer/BPE

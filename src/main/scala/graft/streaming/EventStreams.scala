@@ -252,7 +252,16 @@ object EventStreams {
     }
   }
 
-  /** Per-user last-N buffer as a stream (see [[LastNProcessor]]). */
+  /** Per-user last-N buffer as a stream (see [[LastNProcessor]]).
+    *
+    * Emission contract: transformWithState only admits OutputMode.Append,
+    * but the processor re-emits a REVISED snapshot for a key whenever a
+    * later micro-batch touches it — update-style semantics riding an
+    * append-mode plan (Spark never retracts transformWithState output).
+    * The memory-sink replay harness this feeds dedupes by taking the
+    * latest row per key; a true append-only sink (files, Kafka) would
+    * accumulate the stale snapshots, so production consumers must either
+    * do the same latest-per-key compaction or write to an upsert sink. */
   def lastNValues(spark: SparkSession, events: Dataset[Event], name: String,
       n: Int): DataFrame = {
     import spark.implicits._
@@ -303,7 +312,10 @@ object EventStreams {
   }
 
   /** Per-user per-type running totals as a stream (see
-    * [[PerTypeTotalsProcessor]]). */
+    * [[PerTypeTotalsProcessor]]). Same emission contract as
+    * [[lastNValues]]: update-style snapshots per (user, type) on an
+    * append-mode plan — consumers compact to the latest row per key or
+    * use an upsert sink. */
   def perTypeTotals(spark: SparkSession, events: Dataset[Event],
       name: String): DataFrame = {
     import spark.implicits._

@@ -47,6 +47,37 @@ class AsofJoinExecSpec extends SparkSpec {
     assert(got.length == left.count() && got.forall(_.isNullAt(0)))
   }
 
+  test("asofJoinNative: mismatched key/ts types fail at plan construction") {
+    // the merge loop picks primitive accessors from the LEFT side's types
+    // and applies them to right rows — a type mismatch must be an error at
+    // plan construction, never silent garbage matches
+    val intRight = right.withColumn("ts", $"ts".cast("int"))
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.asofJoinNative(left, intRight, "k", "ts", "ts", Seq("rv"))
+    }
+    assert(e1.getMessage.contains("ts types must match"))
+    val intKeyRight = right.withColumn("k", $"k".cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.asofJoinNative(left, intKeyRight, "k", "ts", "ts", Seq("rv"))
+    }
+    assert(e2.getMessage.contains("key types must match"))
+  }
+
+  test("asofJoinNative: right-side (key, ts) ties resolve deterministically") {
+    // tie contract: backward picks the payload-wise MAX row, forward the
+    // MIN — a pure function of the data, not of partition/sort order
+    val l = Seq((1L, 10L, "l")).toDF("k", "ts", "lv")
+    val r = Seq((1L, 5L, "a"), (1L, 5L, "z"), (1L, 5L, "m"),
+      (1L, 20L, "fa"), (1L, 20L, "fz")).toDF("k", "ts", "rv")
+    val back = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"))
+      .select($"rv").as[String].head()
+    assert(back == "z", s"backward tie must pick payload-wise max, got $back")
+    val fwd = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"),
+        forward = true)
+      .select($"rv").as[String].head()
+    assert(fwd == "fa", s"forward tie must pick payload-wise min, got $fwd")
+  }
+
   test("asofJoinNative ≡ asofJoin (union+window form) on the q44 shape") {
     val ev = Tables.load(spark, sf, "events")
     val purchases = ev.filter($"event_type" === "purchase")

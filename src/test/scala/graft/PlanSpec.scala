@@ -166,4 +166,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"expected map-side partial aggregation of term counts:\n$p")
   }
+
+  test("t08: rank window runs over the ordered-limit top-K, not the full vocabulary") {
+    // the unpartitioned row_number/cum-sum window is only safe because it
+    // sees ≤ topK rows: the global top-K must be taken by
+    // TakeOrderedAndProject (per-partition heaps) BEFORE the window — a
+    // Window whose child is the un-truncated aggregate is the 100 TB
+    // single-task sort the verdict flagged
+    val p = graft.operators.TextOps
+      .vocabulary(Tables.load(spark, sf, "documents"), "text", topK = 30)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected ordered-limit top-K before ranking:\n$p")
+    // the Window must sit strictly above the limit: no HashAggregate may
+    // appear as a descendant-side sibling between Window and the limit
+    val windowIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      s"window must consume the limited top-K, not feed it:\n$p")
+  }
 }

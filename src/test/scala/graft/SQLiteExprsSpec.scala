@@ -299,4 +299,30 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(run("3.25", "real") == "3.25")
     assert(run("anything", "null") == "NULL")
   }
+
+  test("quoteVariant reals match SQLite %!.15g across magnitude regimes") {
+    // expectations verified against real sqlite3 (python 3.40): quote()
+    // forces a decimal point, strips trailing zeros, drops -0.0's sign,
+    // and switches to forced-point scientific outside [1e-4, 1e15)
+    val cases = Seq(
+      12.25    -> "12.25",
+      12.0     -> "12.0",
+      0.0      -> "0.0",
+      -0.0     -> "0.0",
+      1e7      -> "10000000.0",        // Java cast would render 1.0E7
+      1.225e10 -> "12250000000.0",
+      1e15     -> "1.0e+15",
+      1.225e21 -> "1.225e+21",
+      1e30     -> "1.0e+30",
+      1.5e-5   -> "1.5e-05",
+      0.1      -> "0.1",
+      -42.5    -> "-42.5",
+      0.000123 -> "0.000123")
+    val got = cases.map(_._1).toDF("r")
+      .select(graft.functions.SQLiteExprs.sqliteRealString($"r"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"sqliteRealString($in): got $have, want $want")
+    }
+  }
 }

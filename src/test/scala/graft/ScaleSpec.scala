@@ -54,6 +54,24 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("salted join is retry-deterministic: identical results across runs") {
+    // the default saltedJoin hashes full row content (never
+    // monotonically_increasing_id, which changes value when a task retry
+    // re-reads a lost shuffle block — SPARK-23207-class row loss): two
+    // independent runs must produce bitwise-identical row sets
+    val big = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey".as("k"), $"l_quantity", $"l_extendedprice")
+    val small = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    def runOnce() = Scale.saltedJoin(big, small, "k", 8)
+      .orderBy($"k", $"l_quantity", $"l_extendedprice", $"o_orderpriority")
+      .collect().toSeq
+    val (a, b) = (runOnce(), runOnce())
+    assert(a == b, "salted join must be deterministic across runs")
+    assert(a.size == big.join(small, Seq("k")).count(),
+      "salting must preserve exact join cardinality")
+  }
+
   test("partitioned write prunes directories at plan time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val li = Tables.load(spark, sf, "lineitem")
