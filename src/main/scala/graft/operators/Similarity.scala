@@ -58,17 +58,41 @@ object Similarity {
     }: _*)
   }
 
-  /** IVF-style ANN: coarse centroids = a deterministic sample of the
-    * corpus (first `nCells` by id — stands in for k-means cells; the
-    * assignment/probe machinery is identical). Corpus rows are assigned to
-    * their nearest centroid cell (one broadcast join); each query probes
-    * its `nprobe` nearest cells and searches only those rows. */
+  /** IVF-style ANN with k-means-fitted coarse cells: centroids come from
+    * [[kmeansFit]] (spherical Lloyd, deterministic init), so cells carve
+    * the corpus along its actual density — a sorted-id sample has no
+    * geometric meaning and its recall is luck. Corpus rows are assigned
+    * to their nearest centroid cell (one broadcast join); each query
+    * probes its `nprobe` nearest cells and searches only those rows.
+    * `fitIters` tunes the Lloyd loop (each iteration is one broadcast
+    * scan + one K×dim aggregate; the corpus stays persisted across
+    * iterations inside kmeansFit). Explicit `centroids` skip the fit —
+    * the production shape, where cells are trained once on a sample and
+    * reused by every batch. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      fitIters: Int = 5, centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Seq[Array[Float]] = centroids.getOrElse(
+      kmeansFit(corpus, nCells, fitIters, corpusId, corpusVec)._1)
+    val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell_id", "cell_vec")
+    ivfTopKWithCells(corpus, queries, centFrame, k, nprobe,
+      corpusId, corpusVec, queryId, queryVec)
+  }
+
+  /** IVF search against an explicit centroid frame (cell_id, cell_vec) —
+    * the assign/probe/search machinery shared by [[ivfTopK]]. */
+  def ivfTopKWithCells(
+      corpus: DataFrame, queries: DataFrame, centroidFrame: DataFrame,
+      k: Int, nprobe: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val centroids = corpus.orderBy(col(corpusId)).limit(nCells)
-      .select(col(corpusId).as("cell_id"), col(corpusVec).as("cell_vec"))
+    val centroids = centroidFrame
+      .select(col("cell_id"), col("cell_vec"))
     // assign corpus rows to nearest cell (scores rounded before the
     // arg-max so float summation order can't flip a near-tie — keeps the
     // assignment engine-stable and oracle-reproducible)

@@ -98,21 +98,91 @@ object Pipeline {
       FROM (SELECT md5($duckNorm) AS fp, count(*) AS cnt
             FROM documents GROUP BY 1) g""")),
 
+    // MinHash-LSH under a REAL oracle gate: the query emits a
+    // deterministic metric row set — `exact_pairs` is recomputed from
+    // scratch by DuckDB (the d04 shingle machinery at this threshold),
+    // while `false_positives`/`recall_ge_90pct` are invariants the LSH
+    // pipeline must hold (verified pairs are exact-jaccard checked so FP
+    // must be 0; the corpus's near-dup pairs all have j ≥ 0.9, where
+    // 16-band/4-row MinHash miss probability is (1-0.9⁴)¹⁶ ≈ 4e-8). A
+    // recall drop or a bogus pair changes the emitted rows → hash
+    // mismatch at the driver. The pair list itself stays available via
+    // Dedup.dedupMinHashPairs.
     QueryDef("d02_dedup_minhash", (s, dir) => {
       import s.implicits._
-      // LSH candidates (64 hashes, 16 bands) + exact-jaccard verify.
-      // No SQL oracle (LSH recall < 1 by construction) -> rows-only gate.
-      Dedup.dedupMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          k = 3, numHashes = 64, bands = 16, threshold = 0.2)
-        .orderBy($"id1", $"id2")
-    }, None),
+      val docs = t(s, dir, "documents")
+      val lsh = Dedup.dedupMinHashPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.2)
+        .select($"id1", $"id2")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.2).select($"id1", $"id2")
+      val nExact = exact.agg(count(lit(1)).as("value"))
+        .select(lit("exact_pairs").as("metric"), $"value")
+      val fps = lsh.join(exact, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("false_positives").as("metric"), $"value")
+      val recall = lsh.join(exact, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("nf"))
+        .crossJoin(exact.agg(count(lit(1)).as("ne")))
+        .select(lit("recall_ge_90pct").as("metric"),
+          when($"ne" === 0 || $"nf" * 100 >= $"ne" * 90, 1L).otherwise(0L)
+            .as("value"))
+      nExact.unionByName(fps).unionByName(recall).orderBy($"metric")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array($duckNorm, ' ') AS w FROM documents),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      p AS (SELECT round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT metric, value FROM (
+        SELECT 'exact_pairs' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM p WHERE jaccard >= 0.2
+        UNION ALL SELECT 'false_positives', 0
+        UNION ALL SELECT 'recall_ge_90pct', 1) m
+      ORDER BY metric""")),
 
+    // SimHash under the oracle gate, same metric-row pattern. DuckDB
+    // can't recompute the fused 64-bit fingerprint, so the anchor row is
+    // the corpus size; the invariants are recomputed IN Spark from an
+    // independent brute-force pass over all pairs: `false_positives`
+    // anti-joins the banding output against the exact hamming≤8 set
+    // (also catching wrong hamming values), and `missed_guaranteed_le3`
+    // checks the pigeonhole guarantee — 4 bands of 16 bits mean any pair
+    // within hamming 3 shares a full band and MUST be found. The brute
+    // pass is O(n²) on 1-long fingerprints (narrow BNLJ, no payload) —
+    // affordable for a correctness gate, never the production path.
     QueryDef("d03_dedup_simhash", (s, dir) => {
       import s.implicits._
-      Dedup.dedupSimHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 8)
-        .orderBy($"id1", $"id2")
-    }, None),
+      val docs = t(s, dir, "documents")
+      val found = Dedup.dedupSimHashPairs(docs, "doc_id", "text",
+        maxHamming = 8).select($"id1", $"id2", $"hamming")
+      val sigs = docs.select($"doc_id",
+        graft.functions.SimHash64.simhash64(
+          graft.functions.TokenizeWords.tokenizeWords($"text")).as("sig"))
+      val brute = sigs.select($"doc_id".as("id1"), $"sig".as("s1"))
+        .join(sigs.select($"doc_id".as("id2"), $"sig".as("s2")),
+          col("id1") < col("id2"))
+        .select($"id1", $"id2",
+          bit_count($"s1".bitwiseXOR($"s2")).as("hamming"))
+      val exact8 = brute.filter($"hamming" <= 8)
+      val nDocs = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      val fps = found.join(exact8, Seq("id1", "id2", "hamming"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("false_positives").as("metric"), $"value")
+      val missed = exact8.filter($"hamming" <= 3)
+        .join(found, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("missed_guaranteed_le3").as("metric"), $"value")
+      nDocs.unionByName(fps).unionByName(missed).orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'false_positives', 0
+        UNION ALL SELECT 'missed_guaranteed_le3', 0) m
+      ORDER BY metric""")),
 
     QueryDef("d04_ngram_jaccard", (s, dir) => {
       import s.implicits._
@@ -168,44 +238,60 @@ object Pipeline {
       SELECT query_id, neighbor_id, cosine, rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // IVF ANN with k-means-FITTED cells under the oracle gate, metric-row
+    // pattern (DuckDB cannot replay the Lloyd loop): `brute_topk_rows`
+    // is recomputed from scratch by DuckDB (the s01 exact top-k), so the
+    // anchor proves the exact reference ran; `ivf_recall_ge_40pct`
+    // compares the IVF hits against that exact top-5 set IN Spark
+    // (nprobe 4 of 16 fitted cells — the 40% floor leaves margin for
+    // float-summation wobble in centroid averages), and `fit_multi_cell`
+    // pins the quantizer as non-degenerate: the fitted assignment must
+    // spread the corpus over ≥ 4 cells, which is what makes probing 4 of
+    // 16 an actual pruning of the search (a collapsed fit would make IVF
+    // a slow brute force — the failure mode a sorted-id placeholder
+    // can't even detect). Raw IVF results remain via Similarity.ivfTopK.
     QueryDef("s02_ann_ivf", (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
-      Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nprobe = 4)
-        .orderBy($"query_id", $"rank")
+      val (cents, assign) = Similarity.kmeansFit(emb, k = 16, iters = 5)
+      val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cell_id", "cell_vec")
+      val ivf = Similarity.ivfTopKWithCells(emb, queries, centFrame,
+        k = 5, nprobe = 4)
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val nBrute = brute.agg(count(lit(1)).as("value"))
+        .select(lit("brute_topk_rows").as("metric"), $"value")
+      val recall = ivf
+        .join(brute.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+        .crossJoin(brute.agg(count(lit(1)).as("nb")))
+        .select(lit("ivf_recall_ge_40pct").as("metric"),
+          when($"nh" * 100 >= $"nb" * 40, 1L).otherwise(0L).as("value"))
+      val spread = assign.agg(countDistinct($"cid").as("ncells"))
+        .select(lit("fit_multi_cell").as("metric"),
+          when($"ncells" >= 4, 1L).otherwise(0L).as("value"))
+      nBrute.unionByName(recall).unionByName(spread).orderBy($"metric")
     }, Some("""
-      WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
-                    FROM embeddings ORDER BY vec_id LIMIT 16),
-      assign AS (
-        SELECT vec_id AS neighbor_id, cv, cell_id FROM (
-          SELECT e.vec_id, e.embedding AS cv, c.cell_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                    CAST(c.cvec AS DOUBLE[])), 6) DESC,
-                       c.cell_id) AS rn
-          FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
-      probes AS (
-        SELECT query_id, qv, cell_id FROM (
-          SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell_id,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                    CAST(c.cvec AS DOUBLE[])), 6) DESC,
-                       c.cell_id) AS rn
-          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) t WHERE rn <= 4),
-      scored AS (
-        SELECT p.query_id, a.neighbor_id,
-          round(list_cosine_similarity(CAST(a.cv AS DOUBLE[]),
-                                       CAST(p.qv AS DOUBLE[])), 6) AS cosine
-        FROM assign a JOIN probes p USING (cell_id)
-        WHERE a.neighbor_id <> p.query_id),
-      ranked AS (SELECT query_id, neighbor_id, cosine,
-          CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+      ranked AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
         FROM scored)
-      SELECT query_id, neighbor_id, cosine, rank FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank""")),
+      SELECT metric, value FROM (
+        SELECT 'brute_topk_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM ranked WHERE rank <= 5
+        UNION ALL SELECT 'ivf_recall_ge_40pct', 1
+        UNION ALL SELECT 'fit_multi_cell', 1) m
+      ORDER BY metric""")),
 
     QueryDef("s03_topk_agg", (s, dir) => {
       import s.implicits._
@@ -262,17 +348,55 @@ object Pipeline {
       SELECT cid, count(*) AS n, round(avg(cosine), 4) AS avg_cos
       FROM assigned WHERE rn = 1 GROUP BY cid ORDER BY cid""")),
 
+    // Hyperplane-LSH cosine near-dup under the oracle gate (the 100 TB
+    // path for d05), metric-row pattern: `exact_pairs` is recomputed by
+    // DuckDB (d05's O(n²) cosine), `false_positives` anti-joins the LSH
+    // output against the exact set on (id1, id2, cosine) — the verify
+    // step computes exact cosine, so any emitted pair must appear there
+    // bit-for-bit — and `missed_band_matches` checks the LSH contract
+    // itself IN Spark: an exact pair whose hyperplane signatures agree
+    // on ≥1 full band generates a candidate by construction and must be
+    // emitted. (An absolute recall bound vs the 0.4 tail would be
+    // meaningless: this corpus's pairs top out at cos≈0.55, where
+    // 8-bit-band collision odds are structurally low — recall here is
+    // tuned for true near-dups at cos ≥ 0.9; see operator docs.)
     QueryDef("d06_cosine_lsh", (s, dir) => {
       import s.implicits._
-      // hyperplane-LSH candidates + exact verify: the 100 TB path for
-      // d05; approximate recall -> rows-only gate. 8 bits per band keeps
-      // buckets small (2-bit bands put ~25% of the corpus in each bucket
-      // = quadratic candidate blowup); recall is tuned for true near-dups
-      // (cos >= 0.9), not this corpus's 0.4 tail — see operator docs
-      Dedup.cosineNearDupLSH(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, dim = 64, planes = 32, bands = 4)
-        .orderBy($"id1", $"id2")
-    }, None),
+      val emb = t(s, dir, "embeddings")
+      val found = Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 32, bands = 4)
+      val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      val sigs = emb.select($"vec_id",
+        graft.functions.HyperplaneSig.sig($"embedding", 64, 32, 7L).as("hsig"))
+      val mask = (1L << 8) - 1
+      val bandMatch = (0 until 4).map { b =>
+        shiftright($"h1", b * 8).bitwiseAND(lit(mask)) ===
+          shiftright($"h2", b * 8).bitwiseAND(lit(mask))
+      }.reduce(_ || _)
+      val nExact = exact.agg(count(lit(1)).as("value"))
+        .select(lit("exact_pairs").as("metric"), $"value")
+      val fps = found.join(exact, Seq("id1", "id2", "cosine"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("false_positives").as("metric"), $"value")
+      val missed = exact
+        .join(sigs.select($"vec_id".as("id1"), $"hsig".as("h1")), "id1")
+        .join(sigs.select($"vec_id".as("id2"), $"hsig".as("h2")), "id2")
+        .filter(bandMatch)
+        .join(found, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("missed_band_matches").as("metric"), $"value")
+      nExact.unionByName(fps).unionByName(missed).orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'exact_pairs' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        UNION ALL SELECT 'false_positives', 0
+        UNION ALL SELECT 'missed_band_matches', 0) m
+      ORDER BY metric""")),
 
     QueryDef("e01_stream_window", (s, dir) => {
       import s.implicits._

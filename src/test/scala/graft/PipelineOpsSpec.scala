@@ -217,6 +217,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("ivfTopK: fitted cells are non-degenerate; explicit-centroid path matches") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val (cents, assign) = Similarity.kmeansFit(emb, k = 8, iters = 3)
+    assert(assign.select(countDistinct($"cid")).head().getLong(0) >= 4,
+      "fitted quantizer must spread the corpus over multiple cells")
+    // passing fitted centroids explicitly (the production shape: train
+    // once, reuse per batch) must agree with the frame-based entry point
+    val a = Similarity.ivfTopK(emb, q, 5, nCells = 8, nprobe = 4,
+      centroids = Some(cents)).collect().toSet
+    val b = Similarity.ivfTopKWithCells(emb, q,
+      cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell_id", "cell_vec"),
+      5, nprobe = 4).collect().toSet
+    assert(a == b, "explicit-centroid paths must produce identical results")
+  }
+
   test("kmeansFit: Lloyd iterations improve the spherical objective monotonically") {
     val emb = Tables.load(spark, sf, "embeddings")
     def objective(iters: Int): Double = {
