@@ -189,8 +189,76 @@ def main() -> int:
                     ELSE quote(NULL) END AS q
         FROM events WHERE event_id < 1000 ORDER BY event_id"""))
 
+    ok &= check_writepath(out_dir)
+
     print("sqlite-fidelity:", "ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
+
+
+def check_writepath(out_dir: str) -> bool:
+    """S6/S7/C6 write-path replay: execute the repo-generated CREATE
+    TABLE DDL and codec-encoded INSERT binds (writepath.json, produced by
+    graft.Verify via WritePathDump) against REAL SQLite, then diff the
+    actual storage class (typeof) and rendering (CAST AS TEXT / hex) of
+    every cell against the repo's predictions — plus the SDF.swift:578
+    lenient-arity truncation case."""
+    import json
+    import os
+    path = f"{out_dir}/writepath.json"
+    if not os.path.exists(path):
+        print("SKIP writepath: no dump")
+        return True
+    spec = json.load(open(path))
+    con = sqlite3.connect(":memory:")
+    con.execute(spec["ddl"])
+
+    def to_param(cell):
+        if cell is None:
+            return None
+        if "i" in cell:
+            return cell["i"]
+        if "r" in cell:
+            return cell["r"]
+        if "s" in cell:
+            return cell["s"]
+        return sqlite3.Binary(bytes.fromhex(cell["b"]))
+
+    con.executemany(spec["insert"],
+                    [tuple(to_param(c) for c in row) for row in spec["rows"]])
+    sel = ", ".join(
+        f'typeof("{c}"), CASE WHEN typeof("{c}") = \'blob\' THEN hex("{c}") '
+        f'ELSE CAST("{c}" AS TEXT) END'
+        for c in spec["cols"])
+    got = con.execute(
+        f'SELECT {sel} FROM {spec["table"]} ORDER BY rowid').fetchall()
+    ok = True
+    for ri, (grow, erow) in enumerate(zip(got, spec["expected"])):
+        for ci, (etype, etext) in enumerate(erow):
+            gtype, gtext = grow[2 * ci], grow[2 * ci + 1]
+            gtext = "" if gtext is None else gtext
+            if (gtype, gtext) != (etype, etext):
+                print(f"FAIL writepath cell[{ri}][{spec['cols'][ci]}]: "
+                      f"sqlite ({gtype!r}, {gtext!r}) vs predicted "
+                      f"({etype!r}, {etext!r})")
+                ok = False
+    if len(got) != len(spec["expected"]):
+        print(f"FAIL writepath: {len(got)} rows vs {len(spec['expected'])}")
+        ok = False
+    # lenient-arity truncation: bind only the statement's parameter count
+    tr = spec["trunc"]
+    con.execute(tr["ddl"])
+    w = tr["bind_width"]
+    con.executemany(tr["insert"],
+                    [tuple(to_param(c) for c in row[:w]) for row in tr["rows"]])
+    tgot = [tuple(str(v) for v in r) for r in con.execute(
+        'SELECT "a", "b" FROM graft_wp_trunc ORDER BY rowid').fetchall()]
+    if tgot != [tuple(r) for r in tr["expect"]]:
+        print(f"FAIL writepath trunc: {tgot} vs {tr['expect']}")
+        ok = False
+    if ok:
+        print(f"PASS writepath ({len(got)} rows x {len(spec['cols'])} cols "
+              f"+ trunc, vs sqlite {sqlite3.sqlite_version})")
+    return ok
 
 
 if __name__ == "__main__":

@@ -46,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // write-path fidelity artifact: DDL + codec-encoded binds + predicted
+    // storage classes, replayed against real SQLite by
+    // scripts/sqlite_fidelity.py (S6/S7/C6 true-reference check)
+    try sources.WritePathDump.dump(spark, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] writepath dump failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
