@@ -236,8 +236,11 @@ object Dedup {
       verifyFromInv(cands, inv, sizes, idCol, threshold)
     } else {
       // low threshold: one shuffle — co-occurrence counts ARE the
-      // intersection sizes; no distinct pass, no second verification join
+      // intersection sizes; no distinct pass, no second verification join.
+      // Persisted: both sides of the self-join read it (see the
+      // incremental variant)
       val capped = inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val inter = capped.select(col("shingle"), col(idCol).as("id1"))
         .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
         .filter(col("id1") < col("id2"))
@@ -437,7 +440,11 @@ object Dedup {
     val sizes = sizesFromShingles(withShingles, idCol)
     val dfCounts = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
+    // both sides of the co-occurrence self-join read this frame: persist
+    // it once or the shingle explode + df-cap join runs twice (measured
+    // ~25% of d09's wall time at sf0.1)
     val capped = inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inter = capped.select(col("shingle"), col(idCol).as("id1"), col("__new").as("__n1"))
       .join(capped.select(col("shingle"), col(idCol).as("id2"), col("__new").as("__n2")),
         Seq("shingle"))

@@ -43,6 +43,61 @@ class SurfaceSpec extends SparkSpec {
            d.orderBy("event_id").collect().toSeq)
   }
 
+  test("README demo golden: tasks table S7-write → S1-read → rowid select") {
+    // the reference's front-page demo (README.md:9-46): create `tasks`
+    // (description TEXT, done BOOL default false, date DATE default
+    // CURRENT_TIMESTAMP), insert three tasks, then
+    //   select rowid, description, done, date from tasks order by rowid
+    // Replayed end-to-end through this library's surface: codec ENCODE
+    // to storage cells (bool→0/1 int, timestamp→"yyyy-MM-dd HH:mm:ss"
+    // text — what the write path binds, SDF.swift:741-771), S7 table
+    // sink + S8 existence probe (ParquetStore policy engine), S1 read
+    // back, affinity-driven DECODE (SQLiteType.fromDeclared on the
+    // demo's decls → boolFromInt / dateTriFromString), P4 rowid, and the
+    // demo's projection — landing on exactly the README's table.
+    import graft.functions.SQLiteExprs
+    import graft.sources.ParquetStore
+    import graft.types.{SQLiteCodec, SQLiteType}
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+    val now = java.sql.Timestamp.valueOf("2022-01-04 15:30:12") // demo's clock
+    val tasks = Seq("Walk dog", "Drink milk", "Write code")
+      .map(d => (d, false, now)).toDF("description", "done", "date")
+    // encode → write (S7 create) → probe (S8)
+    val store = new ParquetStore(
+      java.nio.file.Files.createTempDirectory("graft-readme").toString)
+    val storage = tasks.select(
+      $"description",
+      SQLiteCodec.boolCodec.encode($"done").as("done"),
+      SQLiteCodec.timestampCodec.encode($"date").as("date"))
+    store.write(storage, "tasks", SQLiteIO.IfExists.Fail)
+    assert(store.exists(spark, "tasks"), "S8 probe after create")
+    // read (S1) → decode via the demo's declared types → rowid → select
+    val decls = Map("description" -> "text", "done" -> "bool", "date" -> "DATE")
+    assert(SQLiteType.fromDeclared(decls("done")) == SQLiteType.Bool &&
+      SQLiteType.fromDeclared(decls("date")) == SQLiteType.Date &&
+      SQLiteType.fromDeclared(decls("description")) == SQLiteType.Text)
+    val back = store.read(spark, "tasks")
+    val decoded = back
+      .select(
+        $"description",
+        SQLiteExprs.boolFromInt($"done".cast(LongType)).as("done"),
+        SQLiteExprs.dateTriFromString($"date".cast(StringType)).as("date"))
+    val ordered = Relational.withRowId(decoded,
+      Seq(when($"description" === "Walk dog", 1)
+        .when($"description" === "Drink milk", 2).otherwise(3)))
+      .select($"rowid", $"description", $"done", $"date")
+      .orderBy($"rowid")
+    assert(ordered.schema("done").dataType ==
+      org.apache.spark.sql.types.BooleanType)
+    assert(ordered.schema("date").dataType == TimestampType)
+    assert(ordered.as[(Int, String, Boolean, java.sql.Timestamp)]
+      .collect().toSeq == Seq(
+        (1, "Walk dog", false, now),
+        (2, "Drink milk", false, now),
+        (3, "Write code", false, now)))
+    store.drop("tasks")
+  }
+
   test("A7 TopKAggregator: bounded per-group top-k equals window top-k") {
     val agg = new TopKAggregator(3).toColumn
     val o = Tables.load(spark, sf, "orders")
