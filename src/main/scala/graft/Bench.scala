@@ -88,6 +88,14 @@ object Bench {
       // after the dedup block with its caches still resident).
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // ...and force the ContextCleaner's hand: broadcast blocks and
+      // shuffle state are only reclaimed when the DRIVER GC collects
+      // their references. On an 8g driver heap a 124-query sweep
+      // accumulates enough uncollected refs that mid-sweep queries hit
+      // multi-second GC stalls (d08 measured 17.4s mid-sweep vs 1.3s in
+      // a block run; d09 32.5s vs 4.7s). One explicit GC per query is
+      // ~100ms and keeps every measurement a measurement of the query.
+      System.gc()
       name -> (if (ok) dt else -1.0)
     }
     val total = results.map(_._2).filter(_ >= 0).sum

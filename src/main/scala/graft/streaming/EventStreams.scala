@@ -194,7 +194,7 @@ object EventStreams {
   // ---- transformWithState (Spark 4 arbitrary-state API) -------------------
 
   case class UserTotals(user_id: Long, n: Long, total_value: Double)
-  private case class TotalsState(n: Long, total: Double)
+  case class TotalsState(n: Long, total: Double)
 
   /** Per-user cumulative totals via `transformWithState` — Spark 4's
     * successor to [flat]MapGroupsWithState (typed ValueState handles,
@@ -222,7 +222,7 @@ object EventStreams {
 
   case class UserLastN(user_id: Long, n_last: Long, lastn_sum: Double,
       last_ts: Long)
-  private case class Seen(tsMicros: Long, id: Long, v: Double)
+  case class Seen(tsMicros: Long, id: Long, v: Double)
 
   /** Keeps each user's most recent `n` events in a ListState — the
     * bounded-buffer state shape (sliding features, "last N actions"
@@ -279,7 +279,7 @@ object EventStreams {
 
   case class UserTypeStat(user_id: Long, event_type: String, n: Long,
       total_value: Double)
-  private case class TypeAgg(n: Long, total: Double)
+  case class TypeAgg(n: Long, total: Double)
 
   /** Per-user, per-event-type running totals in a MapState — the sub-keyed
     * state shape (feature counters per category) that would otherwise need
@@ -333,7 +333,7 @@ object EventStreams {
 
   case class SessionSummary(user_id: Long, session_start_us: Long,
       n_events: Long, duration_us: Long)
-  private case class SessState(startUs: Long, lastUs: Long, n: Long,
+  case class SessState(startUs: Long, lastUs: Long, n: Long,
       timerMs: Long)
 
   private def micros(ts: java.sql.Timestamp): Long = {
