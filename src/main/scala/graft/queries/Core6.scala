@@ -615,6 +615,31 @@ object Core6 {
       LEFT JOIN p ON c.user_id = p.p_user AND p.p_ts > c.c_ts
                  AND p.p_ts <= c.c_ts + INTERVAL 3600 SECONDS
       WHERE c.c_ts <= cutoff
-      GROUP BY 1, 2 ORDER BY 1"""))
+      GROUP BY 1, 2 ORDER BY 1""")),
+
+    // S3 prepared-statement scan (SDF.swift:346-397): a parameterized
+    // statement bound positionally and read like any S2 scan — the
+    // placeholder `?` inside the LIKE string literal is NOT a parameter
+    // (quote-state tracking, like sqlite3_prepare's tokenizer). Binds
+    // exercise the reference's bind classes: int64, double, text with
+    // an embedded quote, and a NULL (which, per SQL three-valued logic,
+    // the IS NULL arm has to catch — bound NULLs never equal anything).
+    QueryDef("q80_prepared", (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sources.SQLiteIO.preparedScan(s,
+        """SELECT c_custkey, c_name, c_acctbal
+           FROM customer
+           WHERE c_acctbal > ? AND c_mktsegment <> ?
+             AND c_name NOT LIKE '%?%'
+             AND (c_nationkey = ? OR ? IS NULL)
+           ORDER BY c_custkey LIMIT ?""",
+        Seq(9000.0, "it's", null, null, 50L))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE c_acctbal > 9000.0 AND c_mktsegment <> 'it''s'
+        AND c_name NOT LIKE '%?%'
+        AND (c_nationkey = NULL OR NULL IS NULL)
+      ORDER BY c_custkey LIMIT 50"""))
   )
 }

@@ -88,6 +88,67 @@ object SQLiteIO {
     r2.load()
   }
 
+  /** S3 (SDF.swift:346-397): prepared-statement scan. The reference's
+    * third entry point is `DataFrame(statement:)` — a prepared handle
+    * with already-bound parameters, column types from the statement's
+    * decltypes. JDBC hides statement handles from Spark's planner, so
+    * the Spark-shape analogue is (sql-with-?, params) → positional
+    * literal substitution → the S2 scan path; affinity/type-override
+    * resolution is identical to S2.
+    *
+    * Literal rendering follows the reference's bind classes
+    * (SDF.swift:741-771): Boolean→1/0 (bind_int), integrals→digits
+    * (bind_int64), floating→shortest round-trip decimal (bind_double is
+    * exact; the shortest decimal re-parses to the identical double),
+    * String→'…' with '' doubling, Array[Byte]→X'hex' (bind_blob),
+    * java.sql.Timestamp/Date→typed TIMESTAMP/DATE literals carrying the
+    * reference's "yyyy-MM-dd HH:mm:ss" text form, BigDecimal→plain
+    * digits (the UInt64 escape, SDF.swift:617-623), null→NULL.
+    * `?` inside string literals or quoted identifiers is never a
+    * placeholder — the substitution walks the SQL with quote-state
+    * tracking, exactly like sqlite3_prepare's tokenizer. Arity is
+    * strict, like [[StatementSink.writeStatement]]. */
+  def bindParameters(sql: String, params: Seq[Any]): String = {
+    def lit(p: Any): String = p match {
+      case null                => "NULL"
+      case None                => "NULL"
+      case Some(x)             => lit(x)
+      case b: Boolean          => if (b) "1" else "0"
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+      case f: Float            => java.lang.Float.toString(f)
+      case d: Double           => java.lang.Double.toString(d)
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: BigDecimal       => d.bigDecimal.toPlainString
+      case s: String           => "'" + s.replace("'", "''") + "'"
+      case b: Array[Byte]      => "X'" + b.map(x => f"${x & 0xff}%02x").mkString + "'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
+      case d: java.sql.Date    => s"DATE '$d'"
+      case other => throw new IllegalArgumentException(
+        s"unbindable parameter type ${other.getClass.getName}")
+    }
+    val out = new StringBuilder
+    var inSingle = false
+    var inDouble = false
+    var next = 0
+    sql.foreach {
+      case '\'' if !inDouble => inSingle = !inSingle; out += '\''
+      case '"'  if !inSingle => inDouble = !inDouble; out += '"'
+      case '?'  if !inSingle && !inDouble =>
+        if (next >= params.length) throw new IllegalArgumentException(
+          s"statement has more than ${params.length} parameters")
+        out ++= lit(params(next)); next += 1
+      case c => out += c
+    }
+    if (next != params.length) throw new IllegalArgumentException(
+      s"statement has $next parameters but ${params.length} values were bound")
+    out.toString
+  }
+
+  /** S3: run a parameterized statement against the session catalog
+    * (registered views / tables) — `prepare` + bind + read in one step. */
+  def preparedScan(spark: SparkSession, sql: String, params: Seq[Any]): DataFrame =
+    spark.sql(bindParameters(sql, params))
+
   /** Eager-compat read (SURVEY.md §7.4 hard part 2): the reference fully
     * materializes at init, so later table mutations don't affect an
     * already-read frame. Spark frames are lazy views — opt into snapshot

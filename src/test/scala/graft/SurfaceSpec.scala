@@ -43,6 +43,38 @@ class SurfaceSpec extends SparkSpec {
            d.orderBy("event_id").collect().toSeq)
   }
 
+  test("S3 bindParameters: positional literals, quote-state, strict arity") {
+    import SQLiteIO.bindParameters
+    // rendering follows the reference's bind classes (SDF.swift:741-771)
+    assert(bindParameters("SELECT ? a, ? b, ? c, ? d, ? e, ? f",
+      Seq(42L, true, 12.25, "it's", Array[Byte](0x0a, -1),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56"))) ==
+      "SELECT 42 a, 1 b, 12.25 c, 'it''s' d, X'0aff' e, " +
+        "TIMESTAMP '2024-02-29 12:34:56' f")
+    assert(bindParameters("SELECT ?", Seq(null)) == "SELECT NULL")
+    assert(bindParameters("SELECT ?",
+      Seq(new java.math.BigDecimal("18446744073709551615"))) ==
+      "SELECT 18446744073709551615")
+    // '?' inside string literals and quoted identifiers is never a
+    // parameter — including after a doubled quote
+    assert(bindParameters("SELECT '?', 'a''?', \"col?\", ? FROM t", Seq(7)) ==
+      "SELECT '?', 'a''?', \"col?\", 7 FROM t")
+    // strict arity both ways, like StatementSink
+    intercept[IllegalArgumentException](bindParameters("SELECT ?", Seq(1, 2)))
+    intercept[IllegalArgumentException](bindParameters("SELECT ?, ?", Seq(1)))
+  }
+
+  test("S3 preparedScan: bound statement equals the hand-inlined query") {
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("customer")
+    val got = SQLiteIO.preparedScan(spark,
+      "SELECT c_custkey FROM customer WHERE c_acctbal > ? AND c_mktsegment <> ? ORDER BY c_custkey",
+      Seq(9000.0, "BUILDING")).as[Long].collect().toSeq
+    val want = spark.sql(
+      "SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0 AND c_mktsegment <> 'BUILDING' ORDER BY c_custkey")
+      .as[Long].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("README demo golden: tasks table S7-write → S1-read → rowid select") {
     // the reference's front-page demo (README.md:9-46): create `tasks`
     // (description TEXT, done BOOL default false, date DATE default
