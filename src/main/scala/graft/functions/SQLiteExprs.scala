@@ -26,7 +26,15 @@ object SQLiteExprs {
     * string column we decode by shape: text timestamps parse, pure
     * integers are epoch seconds, decimals are Julian days.
     */
-  def dateTriFromString(c: Column): Column = {
+  def dateTriFromString(c: Column): Column =
+    graft.functions.DateTriDecode.dateTri(c)
+
+  /** The pure-built-in composition of the same decode — two rlike
+    * classifiers + per-shape dispatch. Kept as [[dateTriFromString]]'s
+    * differential oracle (SQLiteExprsSpec) and as the form that needs no
+    * custom expression; the fused `DateTriDecode` classifies in one byte
+    * walk (~4 regex machines per row saved on every date read). */
+  def dateTriFromStringComposed(c: Column): Column = {
     val asText   = try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))
     val isInt    = c.rlike("^-?\\d+$")
     val isReal   = c.rlike("^-?\\d+\\.\\d+([eE][+-]?\\d+)?$")

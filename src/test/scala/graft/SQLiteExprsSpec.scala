@@ -16,6 +16,38 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(got == Seq(false, true, true, true))
   }
 
+  test("C4 fused DateTriDecode ≡ composed form on adversarial + randomized cells") {
+    // the fused one-pass classifier must agree with the rlike-dispatch
+    // composition cell-for-cell: every representation, every malformed
+    // near-miss the regexes reject, and a seeded random mix
+    val edge = Seq(
+      "2022-01-02 03:04:05", "1641092645", "-12345", "0",
+      "2459581.627835648148", "2459581.5", "-1.5", "5.5e+2", "5.5E-2",
+      "1.25e3",
+      // near-misses: each falls through to the text parse → NULL
+      "", " 5", "5 ", "+5", "-", "5.", ".5", "-.5", "5..5", "1e5",
+      "5.5e", "5.5e+", "5.5e+x", "5.5.5", "abc", "2022-13-40 99:99:99",
+      "2022-01-02T03:04:05", "2022-1-2 3:4:5", "0x1A", "NaN", "Infinity")
+    val rnd = new scala.util.Random(1234)
+    val fuzz = Seq.fill(300) {
+      rnd.nextInt(6) match {
+        case 0 => rnd.nextInt(2000000000).toString
+        case 1 => s"${2440000 + rnd.nextInt(2000)}.${rnd.nextInt(999999)}"
+        case 2 => f"20${rnd.nextInt(40)}%02d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+        case 3 => rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString
+        case 4 => s"${rnd.nextInt(100)}.${rnd.nextInt(100)}e${rnd.nextInt(3)}"
+        case _ => s"-${rnd.nextInt(1000000)}"
+      }
+    }
+    val df = (edge ++ fuzz).toDF("c").select($"c",
+      dateTriFromString($"c").as("fused"),
+      dateTriFromStringComposed($"c").as("composed"))
+    val diff = df.filter(!($"fused" <=> $"composed")).collect()
+    assert(diff.isEmpty,
+      s"fused/composed divergence on: ${diff.map(_.getString(0)).mkString(", ")}")
+  }
+
   test("C4 date tri-format: TEXT / unix seconds / julian day all decode") {
     val rows = Seq(
       "2022-01-02 03:04:05",   // TEXT, reference format
