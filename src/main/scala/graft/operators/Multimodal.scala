@@ -136,6 +136,30 @@ object Multimodal {
     }
   }
 
+  /** Kernel validation: [[featuresStub]] routes every payload byte into
+    * exactly one feature slot, so Σ feature == Σ bytes/255 per record up
+    * to float32 accumulation error. Returns (media_id, ok) — a correct
+    * kernel has zero `ok = false` rows; the m01 gate counts them. The
+    * check is the template for validating a REAL decode kernel too
+    * (energy/checksum conservation per record, computed in the same
+    * partition pass as the decode — no second data movement). */
+  def featureConservation(media: Dataset[MediaRecord],
+      tol: Double = 1e-2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val f = featuresStub(m.bytes)
+        var bs = 0.0
+        var i = 0
+        while (i < m.bytes.length) { bs += (m.bytes(i) & 0xff) / 255.0; i += 1 }
+        var fs = 0.0
+        var j = 0
+        while (j < f.length) { fs += f(j); j += 1 }
+        (m.media_id, math.abs(fs - bs) <= tol * math.max(1.0, bs))
+      }
+    }.toDF("media_id", "ok")
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * offset (sequence + explode — pure expressions, no UDF). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =

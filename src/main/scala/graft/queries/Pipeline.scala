@@ -494,16 +494,64 @@ object Pipeline {
       GROUP BY 1 ORDER BY 1""")),
 
     // ---- multimodal ------------------------------------------------------
+    // The media pipeline under a REAL oracle gate (the last no_oracle row
+    // closed): kind counts, payload bytes, and frame counts are
+    // closed-form over the documents table (synthesize + the frame rule
+    // are deterministic), so DuckDB recomputes them from scratch —
+    // octet_length(encode(text)) is the UTF-8 payload size, frames =
+    // max(1, n_chars*10 // 1000) for video. The decode kernel itself is
+    // pinned by two Spark-side invariants: every feature vector has the
+    // declared dim, and per-record energy conservation (every byte lands
+    // in exactly one slot ⇒ Σ feature == Σ bytes/255 within float32
+    // tolerance) — the same checksum-per-record shape a real JNI decode
+    // kernel would validate with, computed in the decode's own partition
+    // pass.
     QueryDef("m01_media_features", (s, dir) => {
       import s.implicits._
-      Multimodal.featurePipeline(s, t(s, dir, "documents"))
-        .groupBy($"kind")
-        .agg(count(lit(1)).as("n"),
-             sum($"n_bytes").as("total_bytes"),
-             sum($"frame_count").as("total_frames"),
-             round(sum(element_at($"feature", 1)), 2).as("f0_sum"))
-        .orderBy($"kind")
-    }, None),
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.synthesize(docs).as[Multimodal.MediaRecord]
+      val feats = Multimodal.extractFeatures(media).toDF()
+      val totals = feats.agg(
+        count(when($"kind" === "image", 1)).as("n_image"),
+        count(when($"kind" === "audio", 1)).as("n_audio"),
+        count(when($"kind" === "video", 1)).as("n_video"),
+        sum($"n_bytes").cast(LongType).as("bytes_total"),
+        sum($"frame_count").cast(LongType).as("frames_total"))
+      val metricRows = totals.select(explode(array(
+          struct(lit("n_image").as("metric"), $"n_image".as("value")),
+          struct(lit("n_audio").as("metric"), $"n_audio".as("value")),
+          struct(lit("n_video").as("metric"), $"n_video".as("value")),
+          struct(lit("bytes_total").as("metric"), $"bytes_total".as("value")),
+          struct(lit("frames_total").as("metric"), $"frames_total".as("value"))))
+          .as("kv"))
+        .select($"kv.metric", $"kv.value")
+      val dimViol = feats.filter(size($"feature") =!= 8)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("feature_dim_violations").as("metric"), $"value")
+      val consViol = Multimodal.featureConservation(media)
+        .filter(!$"ok").agg(count(lit(1)).as("value"))
+        .select(lit("f0_conservation_violations").as("metric"), $"value")
+      metricRows.unionByName(dimViol).unionByName(consViol).orderBy($"metric")
+    }, Some("""
+      WITH m AS (SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS nb, n_chars
+             FROM documents)
+      SELECT metric, value FROM (
+        SELECT 'n_image' AS metric,
+               CAST(count(*) FILTER (kind = 'image') AS BIGINT) AS value FROM m
+        UNION ALL SELECT 'n_audio',
+               CAST(count(*) FILTER (kind = 'audio') AS BIGINT) FROM m
+        UNION ALL SELECT 'n_video',
+               CAST(count(*) FILTER (kind = 'video') AS BIGINT) FROM m
+        UNION ALL SELECT 'bytes_total', CAST(sum(nb) AS BIGINT) FROM m
+        UNION ALL SELECT 'frames_total',
+               CAST(sum(CASE WHEN kind = 'video'
+                 THEN greatest(1, (n_chars * 10) // 1000) ELSE 1 END) AS BIGINT) FROM m
+        UNION ALL SELECT 'feature_dim_violations', 0
+        UNION ALL SELECT 'f0_conservation_violations', 0) x
+      ORDER BY metric""")),
 
     QueryDef("m02_frame_sample", (s, dir) => {
       import s.implicits._
