@@ -147,6 +147,15 @@ object Dedup {
   private def sizesFromShingles(withShingles: DataFrame, idCol: String): DataFrame =
     withShingles.select(col(idCol), size(col("sh")).cast(LongType).as("sz"))
 
+  /** (id, shingle-array) frame — the object a multi-pass dedup pipeline
+    * computes ONCE and feeds to every pass (MinHash, exact Jaccard,
+    * incremental): shingling is the dominant narrow-map cost, and at
+    * 100 TB re-tokenizing the corpus per pass is pure waste. Caller owns
+    * persistence (persist before fanning out to several passes). */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Returns (id1, id2, jaccard) for pairs ≥ threshold. */
   def dedupMinHashPairs(
@@ -156,8 +165,17 @@ object Dedup {
     // shingle arrays persist once; signatures are a pure narrow map over
     // them (fused MinHashSig — no explode/shuffle), the inverted index is
     // derived only for the verification joins
-    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val withShingles = shingleFrame(df, idCol, textCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    dedupMinHashPairsFrom(withShingles, idCol, numHashes, bands,
+      threshold, maxBucket)
+  }
+
+  /** [[dedupMinHashPairs]] over a prepared [[shingleFrame]]. */
+  def dedupMinHashPairsFrom(
+      withShingles: DataFrame, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val sigs = withShingles.select(col(idCol),
         graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
       .select(col(idCol),
@@ -207,8 +225,15 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
-    val withShingles = df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val withShingles = shingleFrame(df, idCol, textCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
+  }
+
+  /** [[ngramJaccardPairs]] over a prepared [[shingleFrame]]. */
+  def ngramJaccardPairsFrom(
+      withShingles: DataFrame, idCol: String,
+      threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
     val inv = invFromShingles(withShingles, idCol)
     val sizes = sizesFromShingles(withShingles, idCol)
     val dfCounts = inv.groupBy(col("shingle"))

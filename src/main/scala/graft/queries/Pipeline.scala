@@ -111,11 +111,16 @@ object Pipeline {
     QueryDef("d02_dedup_minhash", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val lsh = Dedup.dedupMinHashPairs(docs, "doc_id", "text",
-        k = 3, numHashes = 64, bands = 16, threshold = 0.2)
+      // one shingle pass feeds BOTH the LSH operator and the exact
+      // reference recompute — the multi-pass pipeline shape
+      // (shingleFrame is the object to compute once at 100 TB)
+      val sh = Dedup.shingleFrame(docs, "doc_id", "text", k = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = Dedup.dedupMinHashPairsFrom(sh, "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.2)
         .select($"id1", $"id2")
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        k = 3, threshold = 0.2).select($"id1", $"id2")
+      val exact = Dedup.ngramJaccardPairsFrom(sh, "doc_id",
+        threshold = 0.2).select($"id1", $"id2")
       val nExact = exact.agg(count(lit(1)).as("value"))
         .select(lit("exact_pairs").as("metric"), $"value")
       val fps = lsh.join(exact, Seq("id1", "id2"), "left_anti")
