@@ -15,9 +15,10 @@ q69 (scalar min/max NULL propagation), q71 (case-insensitive LIKE with
 ESCAPE), q79 (GLOB matrix incl. sqlite3.c edge rules), c06 (quote()).
 Checks whose dump is absent are SKIPped, so the script also works on
 partial Verify output while iterating on one query.
-Deliberately excluded: q56 datetime modifier chains — the
-clamp-vs-normalize month-arithmetic divergence is a documented dialect
-gap (SQLite turns Jan 31 + 1 month into Mar 3; Spark/DuckDB clamp).
+q56 datetime modifier chains are replayed natively since round 5:
+dateModifiers now NORMALIZES month arithmetic like SQLite's date.c
+(Jan 31 + 1 month = Mar 2/3) instead of clamping, so the whole chain
+diffs against datetime(ts, modifier...) directly.
 
 Usage: python3 scripts/sqlite_fidelity.py <sfDir> <verifyOutDir>
 """
@@ -80,8 +81,12 @@ def main() -> int:
     con = sqlite3.connect(":memory:")
     for t in ("nation", "customer", "part"):
         pd.read_parquet(f"{sf_dir}/{t}.parquet").to_sql(t, con, index=False)
-    pd.read_parquet(f"{sf_dir}/events.parquet") \
-        .drop(columns=["ts"]).to_sql("events", con, index=False)
+    # TIMESTAMP(NANOS) won't survive to_sql — carry ts as the text form
+    # SQLite's date functions accept (seconds precision: q56's outputs
+    # are formatted to seconds on both sides)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["ts_s"] = ev["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    ev.drop(columns=["ts"]).to_sql("events", con, index=False)
 
     def q(sql: str) -> pd.DataFrame:
         return pd.read_sql_query(sql, con)
@@ -188,6 +193,17 @@ def main() -> int:
                     WHEN event_id % 4 = 2 THEN quote(event_type || '''' || props)
                     ELSE quote(NULL) END AS q
         FROM events WHERE event_id < 1000 ORDER BY event_id"""))
+
+    # q56: the full datetime-modifier chains against SQLite's own
+    # lang_datefunc — incl. the normalize-not-clamp month arithmetic the
+    # '+1 month' column exercises on raw day-of-month values
+    ok &= compare_dump("q56_date_modifiers", out_dir, q("""
+        SELECT event_id,
+               datetime(ts_s, 'start of month', '+1 month', '-1 day') AS month_end,
+               datetime(ts_s, 'weekday 1') AS next_monday,
+               datetime(ts_s, 'start of year', '+9 hours') AS year_start_9am,
+               datetime(ts_s, '+1 month') AS month_plus
+        FROM events WHERE event_id <= 50 ORDER BY event_id"""))
 
     ok &= check_writepath(out_dir)
 

@@ -76,6 +76,18 @@ object SQLiteExprs {
         case "start of day"   => date_trunc("day", acc)
         case "start of month" => date_trunc("month", acc)
         case "start of year"  => date_trunc("year", acc)
+        case SignedUnit(n, unit) if unit == "month" || unit == "year" =>
+          // SQLite NORMALIZES month arithmetic (date.c: M is shifted, D
+          // kept, and the day-count formula lets an out-of-range D spill
+          // into the next month — Jan 31 + 1 month = Mar 2/3), where
+          // Spark's add_months and DuckDB's INTERVAL clamp to month end.
+          // Faithful lowering: shift the FIRST of the month (day 1 can't
+          // clamp), then re-add (day-1) as plain day arithmetic, then the
+          // time of day.
+          val months = if (unit == "year") n.toInt * 12 else n.toInt
+          val shifted = add_months(date_trunc("month", acc).cast(DateType), months)
+          date_add(shifted, dayofmonth(acc) - lit(1)).cast(TimestampType) +
+            (acc - date_trunc("day", acc))
         case SignedUnit(n, unit) =>
           acc + expr(s"INTERVAL '$n' ${unit.toUpperCase}")
         case WeekdayN(n) =>

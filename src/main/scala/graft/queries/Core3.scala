@@ -82,7 +82,12 @@ object Core3 {
             .as("month_end"),
           f(SQLiteExprs.dateModifiers($"ts", "weekday 1")).as("next_monday"),
           f(SQLiteExprs.dateModifiers($"ts", "start of year", "+9 hours"))
-            .as("year_start_9am"))
+            .as("year_start_9am"),
+          // direct +1 month on the raw ts exercises SQLite's NORMALIZE
+          // semantics (day-of-month kept, overflow spills into the next
+          // month) — the oracle rebuilds it from first-of-month + day
+          // arithmetic since DuckDB's own INTERVAL clamps
+          f(SQLiteExprs.dateModifiers($"ts", "+1 month")).as("month_plus"))
         .orderBy($"event_id")
     }, Some("""
       SELECT event_id,
@@ -91,7 +96,11 @@ object Core3 {
              strftime(ts + to_days(CAST((7 + 1 - dayofweek(ts)) % 7 AS INT)),
                       '%Y-%m-%d %H:%M:%S') AS next_monday,
              strftime(date_trunc('year', ts) + INTERVAL 9 HOUR,
-                      '%Y-%m-%d %H:%M:%S') AS year_start_9am
+                      '%Y-%m-%d %H:%M:%S') AS year_start_9am,
+             strftime(CAST(date_trunc('month', ts) + INTERVAL 1 MONTH AS DATE)
+                        + to_days(CAST(day(ts) - 1 AS INT))
+                        + (ts - date_trunc('day', ts)),
+                      '%Y-%m-%d %H:%M:%S') AS month_plus
       FROM events WHERE event_id <= 50 ORDER BY event_id""")),
 
     // Batch interval join via time binning (Relational.intervalJoin) —

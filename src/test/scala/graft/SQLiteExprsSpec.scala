@@ -236,6 +236,22 @@ class SQLiteExprsSpec extends SparkSpec {
     }
   }
 
+  test("dateModifiers: month arithmetic NORMALIZES like SQLite, never clamps") {
+    // golden values from real sqlite3 datetime(ts, mod): out-of-range
+    // days spill into the next month (date.c computeJD), where Spark's
+    // add_months / DuckDB INTERVAL clamp to month end
+    def run(ts: String, mods: String*): String =
+      Seq(ts).toDF("c")
+        .select(dateModifiers(to_timestamp($"c"), mods: _*).as("t"))
+        .select(date_format($"t", "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    assert(run("2024-01-31 10:00:00", "+1 month")  == "2024-03-02 10:00:00")
+    assert(run("2024-03-31 10:00:00", "-1 month")  == "2024-03-02 10:00:00")
+    assert(run("2024-02-29 05:06:07", "+1 year")   == "2025-03-01 05:06:07")
+    assert(run("2023-01-31 00:00:00", "+1 month")  == "2023-03-03 00:00:00")
+    assert(run("2024-05-31 23:59:59", "+13 months") == "2025-07-01 23:59:59")
+    assert(run("2024-01-15 08:00:00", "+1 month")  == "2024-02-15 08:00:00")
+  }
+
   test("sqliteCastInt/Real: numeric-prefix parse, 0 fallback, int64 clamp, never errors") {
     import graft.functions.SQLiteExprs._
     def runI(s: String): Long =
