@@ -12,7 +12,9 @@ SQLite itself.
 Covered: q59 (LIKE case-insensitive default), q65 (signed int div/mod),
 q66 (never-erroring CAST), q67 (substr edges), q68 (NOCASE collation),
 q69 (scalar min/max NULL propagation), q71 (case-insensitive LIKE with
-ESCAPE), q79 (GLOB matrix incl. sqlite3.c edge rules), c06 (quote()).
+ESCAPE), q79 (GLOB matrix incl. sqlite3.c edge rules), c06 (quote()),
+q42 (strftime surface), q56 (datetime modifier chains), and the write
+path (writepath.json: DDL + codec binds + affinity + truncation).
 Checks whose dump is absent are SKIPped, so the script also works on
 partial Verify output while iterating on one query.
 q56 datetime modifier chains are replayed natively since round 5:
@@ -87,6 +89,9 @@ def main() -> int:
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     ev["ts_s"] = ev["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
     ev.drop(columns=["ts"]).to_sql("events", con, index=False)
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_orderdate"]]
+    od["o_orderdate"] = pd.to_datetime(od["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    od.to_sql("orders", con, index=False)
 
     def q(sql: str) -> pd.DataFrame:
         return pd.read_sql_query(sql, con)
@@ -193,6 +198,18 @@ def main() -> int:
                     WHEN event_id % 4 = 2 THEN quote(event_type || '''' || props)
                     ELSE quote(NULL) END AS q
         FROM events WHERE event_id < 1000 ORDER BY event_id"""))
+
+    # q42: the strftime/date/time surface against SQLite's own
+    # lang_datefunc formats (%w is 0=Sunday; the Spark side's dow is
+    # dayofweek = %w + 1)
+    ok &= compare_dump("q42_strftime", out_dir, q("""
+        SELECT o_orderkey,
+               strftime('%Y-%m-%d', o_orderdate) AS d,
+               strftime('%Y-%m-%d %H:%M:%S', o_orderdate) AS dt,
+               strftime('%Y', o_orderdate) AS y4,
+               CAST(strftime('%j', o_orderdate) AS INT) AS doy,
+               CAST(strftime('%w', o_orderdate) AS INT) + 1 AS dow
+        FROM orders ORDER BY o_orderkey"""))
 
     # q56: the full datetime-modifier chains against SQLite's own
     # lang_datefunc — incl. the normalize-not-clamp month arithmetic the
