@@ -13,7 +13,8 @@ Covered: q59 (LIKE case-insensitive default), q65 (signed int div/mod),
 q66 (never-erroring CAST), q67 (substr edges), q68 (NOCASE collation),
 q69 (scalar min/max NULL propagation), q71 (case-insensitive LIKE with
 ESCAPE), q79 (GLOB matrix incl. sqlite3.c edge rules), c06 (quote()),
-q42 (strftime surface), q56 (datetime modifier chains), and the write
+q42 (strftime surface), q56 (datetime modifier chains), q81
+(julianday/unixepoch as exact integer-ms day numbers), and the write
 path (writepath.json: DDL + codec binds + affinity + truncation).
 Checks whose dump is absent are SKIPped, so the script also works on
 partial Verify output while iterating on one query.
@@ -210,6 +211,16 @@ def main() -> int:
                CAST(strftime('%j', o_orderdate) AS INT) AS doy,
                CAST(strftime('%w', o_orderdate) AS INT) + 1 AS dow
         FROM orders ORDER BY o_orderkey"""))
+
+    # q81: julianday()/unixepoch() against SQLite's own lang_datefunc —
+    # the julian day compared as SQLite's internal integer-ms iJD
+    # (julianday * 86400000 is exact there; every engine's nearest-int
+    # of its own double recovers the same value)
+    ok &= compare_dump("q81_julianday", out_dir, q("""
+        SELECT event_id,
+               CAST(round(julianday(ts_s) * 86400000.0) AS INTEGER) AS jd_ms,
+               unixepoch(ts_s) AS ue
+        FROM events ORDER BY event_id"""))
 
     # q56: the full datetime-modifier chains against SQLite's own
     # lang_datefunc — incl. the normalize-not-clamp month arithmetic the

@@ -49,6 +49,18 @@ object SQLiteExprs {
   def dateFromJulian(c: Column): Column =
     timestamp_seconds((c - lit(JulianUnixEpoch)) * lit(SecondsPerDay))
 
+  /** SQLite `julianday(X)` (lang_datefunc): the fractional Julian day
+    * number — inverse of [[dateFromJulian]], same epoch constant. */
+  def julianDay(c: Column): Column =
+    c.cast(DoubleType) / lit(SecondsPerDay) + lit(JulianUnixEpoch)
+
+  /** SQLite `unixepoch(X)` (3.38+): whole epoch seconds, floored toward
+    * -∞ like SQLite's integer conversion of the internal day number
+    * (pre-1970 instants with fractional seconds round DOWN, so
+    * 1969-12-31 23:59:59 → -1). */
+  def unixEpoch(c: Column): Column =
+    floor(c.cast(DoubleType)).cast(LongType)
+
   /** C6 write-side (SDF.swift:636-640): dates encode as TEXT with the
     * same fixed format. */
   def dateToText(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -118,6 +118,31 @@ object SQLiteSemantics {
                   WHEN event_id % 3 = 0 THEN 'integer'
                   WHEN event_id % 3 = 1 THEN 'real'
                   ELSE 'text' END AS storage_class
+      FROM events ORDER BY event_id""")),
+
+    // julianday()/unixepoch() — the write-side twins of the C4 tri-format
+    // decode (same 2440587.5 epoch constant, lang_datefunc). The julian
+    // day is compared as its EXACT integer-millisecond day number
+    // (jd × 86400000, SQLite's internal iJD): the raw double's last ulp
+    // depends on each engine's operation order, but every engine's
+    // nearest-integer of it recovers the same iJD (accumulated error
+    // ~4e-5 ms ≪ 0.5 ms). Inputs truncate to whole seconds so the
+    // sqlite_fidelity replay (which carries seconds-precision text) can
+    // diff the same cells.
+    QueryDef("q81_julianday", (s, dir) => {
+      import s.implicits._
+      val tsSec = date_trunc("second", $"ts")
+      t(s, dir, "events")
+        .select($"event_id",
+          round(SQLiteExprs.julianDay(tsSec) * 86400000.0)
+            .cast(LongType).as("jd_ms"),
+          SQLiteExprs.unixEpoch($"ts").as("ue"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id,
+             CAST(round((epoch_us(date_trunc('second', ts)) / 1000000.0 / 86400.0
+                         + 2440587.5) * 86400000.0) AS BIGINT) AS jd_ms,
+             CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS ue
       FROM events ORDER BY event_id"""))
   )
 }
