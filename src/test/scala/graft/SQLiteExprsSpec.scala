@@ -252,6 +252,29 @@ class SQLiteExprsSpec extends SparkSpec {
     assert(run("2024-01-15 08:00:00", "+1 month")  == "2024-02-15 08:00:00")
   }
 
+  test("julianDay/unixEpoch: epoch constant round-trip, pre-1970 floor") {
+    // julianday is dateFromJulian's inverse; unixepoch floors toward -∞
+    // (1969-12-31 23:59:59 → -1, pinned against real sqlite3)
+    val got = Seq("2024-01-31 10:00:00", "1970-01-01 00:00:00",
+        "1969-12-31 23:59:59")
+      .toDF("c")
+      .select(
+        round(julianDay(to_timestamp($"c")) * 86400000.0).cast(LongType).as("jd_ms"),
+        unixEpoch(to_timestamp($"c")).as("ue"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got(0) == (212573455200000L, 1706695200L)) // julianday=2460340.9166666665
+    assert(got(1)._1 == math.round(2440587.5 * 86400000.0) && got(1)._2 == 0L)
+    assert(got(2)._2 == -1L)
+    // inverse property: dateFromJulian(julianDay(ts)) == ts at second
+    // granularity (rounded — the double round-trip can land 1µs short,
+    // same as c01's julian arm)
+    val rt = Seq("2024-01-31 10:00:00").toDF("c")
+      .select(round(dateFromJulian(julianDay(to_timestamp($"c"))).cast(DoubleType))
+        .cast(LongType))
+      .as[Long].head()
+    assert(rt == 1706695200L)
+  }
+
   test("sqliteCastInt/Real: numeric-prefix parse, 0 fallback, int64 clamp, never errors") {
     import graft.functions.SQLiteExprs._
     def runI(s: String): Long =
