@@ -231,6 +231,39 @@ object TextOps {
         round(col("cum").cast(DoubleType) / col("total"), 4).as("cum_frac"))
   }
 
+  // ---- sequence packing ---------------------------------------------------
+
+  /** Concat-and-chunk sequence packing — the bookkeeping behind packed
+    * pretraining batches: documents are laid head-to-tail into `streams`
+    * independent token streams (deterministic `id % streams` routing, id
+    * order within a stream), and each stream is cut into fixed
+    * `capacity`-token chunks. Emits one row per document with its stream,
+    * absolute token offset, and the first/last chunk its tokens land in
+    * (`chunk_first != chunk_last` ⇔ the doc straddles a boundary) — all a
+    * trainer needs to build attention-reset masks per chunk.
+    *
+    * Distributed shape: ONE window (cumulative token sum) partitioned by
+    * stream — never a global single-partition ordering; `streams` is the
+    * parallelism knob and each stream's window is an O(n) running sum.
+    * Fully expression-based, so the DuckDB oracle recomputes it
+    * independently (t10). Zero-token docs occupy no tokens: they attach
+    * to `chunk_first` with `chunk_last = chunk_first`. */
+  def packByBudget(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, capacity: Long, streams: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol),
+        tokenCount(col(textCol)).cast(LongType).as("n_tok"),
+        pmod(col(idCol), lit(streams.toLong)).cast(IntegerType).as("stream"))
+      .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk_first", floor(col("tok_start") / lit(capacity.toDouble)).cast(LongType))
+      .withColumn("chunk_last",
+        when(col("n_tok") === 0, floor(col("tok_start") / lit(capacity.toDouble)))
+          .otherwise(floor((col("tok_start") + col("n_tok") - 1) / lit(capacity.toDouble)))
+          .cast(LongType))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** Patterns kept RE2-compatible (no backrefs/lookaround) so the same

@@ -8,8 +8,10 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 /** LLM-training-data pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the documents + embeddings tables. SQL-expressible ops
   * carry a DuckDB oracle that recomputes the same definition from scratch;
-  * LSH/stub-based ops are rows-only checked (driver's weaker gate) but
-  * still deterministic. */
+  * the approximate ops (LSH / IVF / stubbed decode) emit deterministic
+  * self-check metric rows — a DuckDB-recomputed exact anchor plus
+  * subset/recall/conservation invariants — so the driver hashes them
+  * like any other result (round 5: zero rows-only gates remain). */
 object Pipeline {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
@@ -88,6 +90,34 @@ object Pipeline {
     }, Some(s"""
       SELECT doc_id, md5($duckNorm) AS fp
       FROM documents ORDER BY doc_id""")),
+
+    // Concat-and-chunk sequence packing (TextOps.packByBudget): documents
+    // laid head-to-tail into 8 token streams, cut into 2048-token chunks;
+    // per-doc stream / absolute offset / first-last chunk — the packed-
+    // batch bookkeeping for pretraining. One windowed running sum per
+    // stream (never a global window); oracle recomputes independently.
+    QueryDef("t10_packing", (s, dir) => {
+      import s.implicits._
+      TextOps.packByBudget(t(s, dir, "documents"), "doc_id", "text",
+          capacity = 2048L, streams = 8)
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len($duckTokens) END AS BIGINT) AS n_tok,
+               CAST(doc_id % 8 AS INT) AS stream
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok, stream,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        FROM d)
+      SELECT doc_id, n_tok, stream, CAST(tok_start AS BIGINT) AS tok_start,
+             CAST(tok_start // 2048 AS BIGINT) AS chunk_first,
+             CAST(CASE WHEN n_tok = 0 THEN tok_start // 2048
+                  ELSE (tok_start + n_tok - 1) // 2048 END AS BIGINT) AS chunk_last
+      FROM c ORDER BY doc_id""")),
 
     // ---- dedup -----------------------------------------------------------
     QueryDef("d01_dedup_exact", (s, dir) => {

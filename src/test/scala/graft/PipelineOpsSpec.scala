@@ -414,6 +414,32 @@ class Round4OpsSpec extends SparkSpec {
     assert(fb.getDouble(0) == fb.getDouble(1))
   }
 
+  test("packByBudget: concat-and-chunk offsets, boundary straddle, empty doc") {
+    // one stream (ids all ≡ 0 mod 1), capacity 10: docs of 4/8/0/5 tokens
+    // lay out at offsets 0/4/12/12 — the 8-token doc straddles chunks 0→1,
+    // the empty doc occupies no tokens and attaches to chunk 1
+    val docs = Seq(
+      (0L, "a b c d"),                    // 4 tokens  → [0,4)   chunk 0
+      (1L, "a b c d e f g h"),            // 8 tokens  → [4,12)  chunks 0-1
+      (2L, ""),                           // 0 tokens  → at 12   chunk 1
+      (3L, "a b c d e")                   // 5 tokens  → [12,17) chunk 1
+    ).toDF("doc_id", "text")
+    val got = TextOps.packByBudget(docs, "doc_id", "text",
+        capacity = 10L, streams = 1)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tok", $"tok_start", $"chunk_first", $"chunk_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 0L, 0L, 0L),
+      (1L, 8L, 4L, 0L, 1L),
+      (2L, 0L, 12L, 1L, 1L),
+      (3L, 5L, 12L, 1L, 1L)))
+    // streams partition the id space; total tokens are preserved per stream
+    val two = TextOps.packByBudget(docs, "doc_id", "text", 10L, streams = 2)
+    assert(two.select(countDistinct($"stream")).head().getLong(0) == 2)
+    assert(two.agg(sum($"n_tok")).head().getLong(0) == 17L)
+  }
+
   test("vocabulary: Zipf table with rank and cumulative coverage") {
     val docs = Seq(
       (1L, "the cat and the dog"),
