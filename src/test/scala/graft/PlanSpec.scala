@@ -167,6 +167,12 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial aggregation of term counts:\n$p")
   }
 
+  test("t10: packing's running sum windows per stream, never globally") {
+    val p = plan("t10_packing")
+    assert(p.contains("windowspecdefinition(stream"),
+      s"expected the cumulative token sum partitioned by stream:\n$p")
+  }
+
   test("t08: rank window runs over the ordered-limit top-K, not the full vocabulary") {
     // the unpartitioned row_number/cum-sum window is only safe because it
     // sees ≤ topK rows: the global top-K must be taken by
