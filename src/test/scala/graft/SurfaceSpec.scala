@@ -162,6 +162,25 @@ class SurfaceSpec extends SparkSpec {
     assert(incl(1L).contains(7L) && incl(2L).contains(8L))
   }
 
+  test("rangeBandCount ≡ sliding RANGE frame (difference-of-cumulatives rewrite)") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+      .rangeBetween(-10000L, 0L)
+    val sliding = orders
+      .withColumn("n_in_band", count(lit(1)).over(w))
+      .select($"o_orderkey", $"n_in_band")
+      .as[(Long, Long)].collect().toMap
+    val cum = Relational.rangeBandCount(orders, "o_orderpriority",
+        "o_totalprice", width = 10000.0, idCol = "o_orderkey")
+      .select($"o_orderkey", $"n_in_band")
+      .as[(Long, Long)].collect().toMap
+    assert(cum.size == sliding.size)
+    val bad = sliding.collect { case (k, v) if cum(k) != v => (k, v, cum(k)) }
+    assert(bad.isEmpty, s"divergent band counts: ${bad.take(5)}")
+  }
+
   test("withGroupsFrameSum: GROUPS frame + EXCLUDE semantics on a hand-computed case") {
     // partition A, order by q: peer groups {q=1: 10,20}, {q=2: 30}, {q=3: 40}
     val df = Seq(("A", 1, 10.0), ("A", 1, 20.0), ("A", 2, 30.0), ("A", 3, 40.0))
