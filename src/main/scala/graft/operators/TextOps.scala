@@ -13,8 +13,17 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Whitespace token count. */
+  /** Whitespace token count — fused single-pass native expression
+    * ([[graft.functions.TokenCountWs]]; the composed regex-split form
+    * below is its differential oracle). */
   def tokenCount(text: Column): Column =
+    graft.functions.TokenCountWs.tokenCountWs(text)
+
+  /** The pure-built-in composition tokenCount replaces: a per-row regex
+    * split materializing the token array just to take its size. Kept as
+    * the fused form's differential oracle and as the expression the
+    * DuckDB oracles mirror textually. */
+  def tokenCountComposed(text: Column): Column =
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 

@@ -414,6 +414,26 @@ class Round4OpsSpec extends SparkSpec {
     assert(fb.getDouble(0) == fb.getDouble(1))
   }
 
+  test("tokenCount fused ≡ composed regex split on adversarial + fuzz strings") {
+    // the fused byte-walk must reproduce size(split(trim(s), "\\s+"))
+    // exactly — incl. the phantom leading empty field when the
+    // space-trimmed string starts with other whitespace, space-only
+    // trimming, and dropped trailing separators
+    val edge = Seq(
+      "", " ", "   ", "a", " a ", "a b", "  a  b  ", "a\tb", "\ta",
+      "\na b", " \na b", "a b\n", "a b\n ", "\t", "\n", " \t ", "\r\na",
+      "ab", "a\f b", "héllo 世界", "\n\n\nx", "x  \t\n  y")
+    val rnd = new scala.util.Random(77)
+    val chars = " \t\n\r\fab爱"
+    val fuzz = Seq.fill(500)(
+      Seq.fill(rnd.nextInt(12))(chars(rnd.nextInt(chars.length))).mkString)
+    val df = (edge ++ fuzz).toDF("s").select($"s",
+      TextOps.tokenCount($"s").as("fused"),
+      TextOps.tokenCountComposed($"s").as("composed"))
+    val diff = df.filter(!($"fused" <=> $"composed")).collect()
+    assert(diff.isEmpty, s"divergence on: ${diff.take(5).mkString(", ")}")
+  }
+
   test("packByBudget: concat-and-chunk offsets, boundary straddle, empty doc") {
     // one stream (ids all ≡ 0 mod 1), capacity 10: docs of 4/8/0/5 tokens
     // lay out at offsets 0/4/12/12 — the 8-token doc straddles chunks 0→1,
