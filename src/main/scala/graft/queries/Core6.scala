@@ -238,12 +238,16 @@ object Core6 {
     // to same-source endpoints), distinct docs involved, and the dup
     // fraction — the data-quality dashboard over the dedup operator's
     // output. The pair frame is tiny next to the corpus, so both
-    // source-tag joins broadcast.
+    // source-tag joins broadcast. t = 0.5 is the production setting (r5
+    // verdict #1): it engages the AllPairs prefix filter, so candidate
+    // generation stays sub-quadratic at scale — a dup DASHBOARD wants
+    // real near-dups, not the j≥0.1 noise floor (which remains covered
+    // exactly, and benched, by d04 — the operator's own oracle query).
     QueryDef("d10_dup_by_source", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        k = 3, threshold = 0.1)
+        k = 3, threshold = 0.5)
       val src = docs.select($"doc_id", $"source")
       val within = pairs
         .join(src.toDF("id1", "s1"), "id1")
@@ -275,7 +279,7 @@ object Core6 {
               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id),
-      pr AS MATERIALIZED (SELECT id1, id2 FROM p WHERE jaccard >= 0.1),
+      pr AS MATERIALIZED (SELECT id1, id2 FROM p WHERE jaccard >= 0.5),
       d AS (SELECT doc_id, source FROM documents),
       w2 AS (SELECT d1.source, id1, id2 FROM pr
              JOIN d d1 ON pr.id1 = d1.doc_id JOIN d d2 ON pr.id2 = d2.doc_id

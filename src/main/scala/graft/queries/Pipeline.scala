@@ -128,17 +128,41 @@ object Pipeline {
       FROM (SELECT md5($duckNorm) AS fp, count(*) AS cnt
             FROM documents GROUP BY 1) g""")),
 
-    // MinHash-LSH under a REAL oracle gate: the query emits a
-    // deterministic metric row set — `exact_pairs` is recomputed from
-    // scratch by DuckDB (the d04 shingle machinery at this threshold),
-    // while `false_positives`/`recall_ge_90pct` are invariants the LSH
-    // pipeline must hold (verified pairs are exact-jaccard checked so FP
-    // must be 0; the corpus's near-dup pairs all have j ≥ 0.9, where
-    // 16-band/4-row MinHash miss probability is (1-0.9⁴)¹⁶ ≈ 4e-8). A
-    // recall drop or a bogus pair changes the emitted rows → hash
-    // mismatch at the driver. The pair list itself stays available via
-    // Dedup.dedupMinHashPairs.
+    // MinHash-LSH, benched as the PRODUCTION path only (r5 verdict #1:
+    // the bench row must time the operator, not its oracle gate — the
+    // exact all-pairs recompute now lives in d02_minhash_gate below,
+    // which Bench skips via the _gate suffix). The oracle here is still
+    // exact: every candidate is exact-Jaccard-verified before emission,
+    // so the output is a subset of DuckDB's exact pair list at the same
+    // threshold, and at t = 0.8 the 16-band/4-row banding misses a true
+    // pair with prob (1-0.8⁴)¹⁶ ≈ 2e-4 — and the corpus's engineered
+    // near-dups sit at j ≥ 0.9 where it is (1-0.9⁴)¹⁶ ≈ 4e-8. MinHash
+    // permutations are fixed-seed, so found/not-found is DETERMINISTIC:
+    // equality with the exact list is pinned at the driver's verify SF.
     QueryDef("d02_dedup_minhash", (s, dir) => {
+      import s.implicits._
+      Dedup.dedupMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy($"id1", $"id2")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array($duckNorm, ' ') AS w FROM documents),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY id1, id2""")),
+
+    // The r5 d02 gate, kept verbatim but CORRECTNESS-only: `exact_pairs`
+    // is recomputed from scratch by DuckDB (the d04 shingle machinery at
+    // t=0.2), while `false_positives`/`recall_ge_90pct` are invariants
+    // the LSH pipeline must hold over the full low-threshold candidate
+    // spectrum. The exact reference recompute is UNCAPPED
+    // (maxDocFreq = MaxValue) to mirror the uncapped DuckDB CTE exactly
+    // (r5 advice: the default cap could diverge on a high-DF corpus).
+    QueryDef("d02_minhash_gate", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       // one shingle pass feeds BOTH the LSH operator and the exact
@@ -150,7 +174,7 @@ object Pipeline {
         numHashes = 64, bands = 16, threshold = 0.2)
         .select($"id1", $"id2")
       val exact = Dedup.ngramJaccardPairsFrom(sh, "doc_id",
-        threshold = 0.2).select($"id1", $"id2")
+        threshold = 0.2, maxDocFreq = Int.MaxValue).select($"id1", $"id2")
       val nExact = exact.agg(count(lit(1)).as("value"))
         .select(lit("exact_pairs").as("metric"), $"value")
       val fps = lsh.join(exact, Seq("id1", "id2"), "left_anti")
@@ -178,17 +202,54 @@ object Pipeline {
         UNION ALL SELECT 'recall_ge_90pct', 1) m
       ORDER BY metric""")),
 
-    // SimHash under the oracle gate, same metric-row pattern. DuckDB
-    // can't recompute the fused 64-bit fingerprint, so the anchor row is
-    // the corpus size; the invariants are recomputed IN Spark from an
-    // independent brute-force pass over all pairs: `false_positives`
-    // anti-joins the banding output against the exact hamming≤8 set
-    // (also catching wrong hamming values), and `missed_guaranteed_le3`
-    // checks the pigeonhole guarantee — 4 bands of 16 bits mean any pair
-    // within hamming 3 shares a full band and MUST be found. The brute
-    // pass is O(n²) on 1-long fingerprints (narrow BNLJ, no payload) —
-    // affordable for a correctness gate, never the production path.
+    // SimHash, benched as the PRODUCTION path only: the banding operator
+    // plus an O(found) self-integrity check — recompute each found
+    // pair's hamming from the signatures (two id-equi-joins over the
+    // tiny pair frame) and count violations of ordering / distance /
+    // the maxHamming bound, plus a duplicate-pair probe. DuckDB can't
+    // recompute the fused fingerprint, so the anchor is the corpus size
+    // and the violation counts are structural zeros — any wrong pair,
+    // wrong hamming value, or dup row flips a metric row → driver hash
+    // mismatch. The O(n²) brute-force exactness pass moved to
+    // d03_simhash_gate (CORRECTNESS-only, skipped by Bench).
     QueryDef("d03_dedup_simhash", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val found = Dedup.dedupSimHashPairs(docs, "doc_id", "text",
+        maxHamming = 8).select($"id1", $"id2", $"hamming")
+      val sigs = docs.select($"doc_id",
+        graft.functions.SimHash64.simhash64(
+          graft.functions.TokenizeWords.tokenizeWords($"text")).as("sig"))
+      val checked = found
+        .join(sigs.select($"doc_id".as("id1"), $"sig".as("s1")), "id1")
+        .join(sigs.select($"doc_id".as("id2"), $"sig".as("s2")), "id2")
+      val nDocs = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      val bad = checked.filter($"id1" >= $"id2" || $"hamming" > 8 ||
+          $"hamming" =!= bit_count($"s1".bitwiseXOR($"s2")))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("bad_rows").as("metric"), $"value")
+      val dups = found.groupBy($"id1", $"id2").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).agg(count(lit(1)).as("value"))
+        .select(lit("dup_pairs").as("metric"), $"value")
+      nDocs.unionByName(bad).unionByName(dups).orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'bad_rows', 0
+        UNION ALL SELECT 'dup_pairs', 0) m
+      ORDER BY metric""")),
+
+    // SimHash exactness gate (CORRECTNESS-only): the invariants are
+    // recomputed IN Spark from an independent brute-force pass over all
+    // pairs: `false_positives` anti-joins the banding output against
+    // the exact hamming≤8 set (also catching wrong hamming values), and
+    // `missed_guaranteed_le3` checks the pigeonhole guarantee — 4 bands
+    // of 16 bits mean any pair within hamming 3 shares a full band and
+    // MUST be found. The brute pass is O(n²) on 1-long fingerprints
+    // (narrow BNLJ, no payload) — affordable for a correctness gate,
+    // never the production path, hence excluded from the bench headline.
+    QueryDef("d03_simhash_gate", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val found = Dedup.dedupSimHashPairs(docs, "doc_id", "text",
