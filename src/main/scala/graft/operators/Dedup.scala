@@ -17,6 +17,19 @@ import graft.functions.SimHash64
   *  - pathological buckets (a shingle/band shared by thousands of docs)
   *    are capped with `maxBucket` — standard LSH practice; at 100 TB an
   *    uncapped hot bucket is a quadratic blowup on one executor
+  *
+  * Caching contract: operators that read an intermediate frame from
+  * several passes ([[dedupMinHashPairs]]/[[ngramJaccardPairs]]'s shingle
+  * frame, [[ngramJaccardPairsFrom]]'s capped inverted index,
+  * [[ngramJaccardIncremental]], [[cosineNearDupLSH]]) `persist()` it;
+  * the cache cannot be released inside the operator because the returned
+  * frame is lazy and still reads it. The CALLER owns the release: run
+  * `spark.sharedState.cacheManager.clearCache()` (or unpersist the RDDs
+  * from `sparkContext.getPersistentRDDs`) after consuming the result, as
+  * Bench does per query — in a long-lived session each un-cleared call
+  * otherwise pins executor storage memory. Callers that already hold a
+  * persisted [[shingleFrame]] should use the `*From` variants, which add
+  * no caching of their own beyond the capped index.
   */
 object Dedup {
 

@@ -31,11 +31,74 @@ object Relational {
   def where(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
 
   /** P4: SQLite implicit `rowid` — deterministic 1-based id from a total
-    * order. Uses a global window deliberately ONLY for small frames; at
-    * scale prefer `zipWithIndex`-style or a natural key. */
+    * order. Uses a global window deliberately ONLY for small frames
+    * (result frames, dimension tables); the scale path is
+    * [[withRowIdScaled]]. */
   def withRowId(df: DataFrame, order: Seq[Column]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
     df.withColumn("rowid", row_number().over(w))
+  }
+
+  /** P4 at scale: two-pass partition-offset rowid. rowid is inherently a
+    * total order, but it does NOT need a single-task global sort: range-
+    * partition on the order key, sort within partitions (both fully
+    * parallel), then global id = per-partition row-count offset + local
+    * index. Pass 1 collects only the numPartitions-sized count vector to
+    * the driver; pass 2 attaches ids via a broadcast-joined offset table
+    * — no `Window.orderBy` without partitioning, no SinglePartition
+    * exchange anywhere (PlanSpec-asserted), so this survives a 100×
+    * scale-up where [[withRowId]]'s one sorting task dies.
+    *
+    * The local index rides `monotonically_increasing_id()` (= taskPid
+    * << 33 | sequential-index), read AFTER the range shuffle + local
+    * sort, so `mono >> 33` is the range-partition id and
+    * `mono & (2^33-1)` the within-partition rank. Ids are the global
+    * rank in `order` regardless of where the range boundaries fall, so
+    * the result is deterministic across input partitionings
+    * (ScaleSpec-asserted) — provided `order` is a total order, the same
+    * contract the reference's rowid scan gives (SDF.swift:295-304 reads
+    * SQLite's rowid, which is a physical total order).
+    *
+    * The range-sorted frame is persisted (both passes read it); the
+    * cache is released when the caller's action completes via the
+    * returned frame's lineage — callers running many of these in one
+    * session should `spark.catalog.clearCache()` between batches. */
+  def withRowIdScaled(df: DataFrame, order: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition counts — n rows to the driver, nothing else
+    val counts = sorted
+      .groupBy(shiftright(col("__mono"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offRows = counts.map { case (pid, c) =>
+      val o = acc; acc += c
+      org.apache.spark.sql.Row(pid, o)
+    }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // pass 2: broadcast-join the offsets (O(1)/row; a map-literal lookup
+    // would be O(numPartitions)/row) and add the 1-based global id
+    sorted
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("rowid",
+        col("__off") + col("__mono").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__pid", "__off", "__mono")
   }
 
   /** P6 */
@@ -197,10 +260,22 @@ object Relational {
     * `idCol` must be row-unique — row identity comes from data, never
     * from monotonically_increasing_id (retry-stable, the saltedJoin
     * lesson). Differential-tested against the rangeBetween form (q82 vs
-    * q33: same oracle text, different plan). */
+    * q33: same oracle text, different plan).
+    *
+    * Contract: `valueCol` must be a FLOATING/INTEGRAL numeric — band
+    * boundaries are computed in double (`x − width`). DecimalType is
+    * rejected up front: its exact arithmetic can place a row on the
+    * opposite side of a boundary than the double round-trip would,
+    * silently diverging from the native-type RANGE-frame answer (r5
+    * advice); use the rangeBetween window form for decimals. */
   def rangeBandCount(df: DataFrame, partCol: String, valueCol: String,
       width: Double, idCol: String, out: String = "n_in_band"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.schema(valueCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"rangeBandCount: '$valueCol' is DecimalType — boundaries are " +
+        "computed in double and could misclassify boundary rows; cast " +
+        "explicitly or use a RANGE BETWEEN window frame")
     val base = df.withColumn("__rid", col(idCol))
     // tag order within equal values: lower probe (-1) < source (0) < upper probe (1)
     val idType = base.schema("__rid").dataType

@@ -41,11 +41,28 @@ object Scale {
     * bucket, so retries and re-runs are bitwise-reproducible. Duplicate
     * rows share a bucket, which skews nothing unless the hot key's rows
     * are near-identical — pass a higher-entropy `saltSource` to
-    * [[saltedJoinBy]] in that case. */
+    * [[saltedJoinBy]] in that case (EXACT duplicate rows of one hot key
+    * are the degenerate case no content salt can spread; dedup first or
+    * accept the straggler). Columns Spark's hash functions reject
+    * (MapType, and nested types containing one) are excluded from the
+    * default salt source — previously a Map column anywhere in the big
+    * side failed analysis (r5 advice); if EVERY column is unhashable the
+    * call fails fast with a clear message instead of an analyzer error. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
-      how: String = "inner"): DataFrame =
-    saltedJoinBy(big, small, key,
-      struct(big.columns.map(col).toIndexedSeq: _*), salt, how)
+      how: String = "inner"): DataFrame = {
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty,
+      "saltedJoin: no hashable columns to derive a stable salt from " +
+        "(all columns are/contain MapType) — pass an explicit saltSource " +
+        "to saltedJoinBy")
+    saltedJoinBy(big, small, key, struct(cols.toIndexedSeq: _*), salt, how)
+  }
 
   /** Salt derived from stable row content: same input row ⇒ same bucket,
     * across task retries and across runs. */

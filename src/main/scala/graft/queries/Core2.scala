@@ -91,6 +91,23 @@ object Core2 {
       FROM orders
       ORDER BY o_orderpriority, o_orderkey""")),
 
+    // q30's rowid at SCALE: the two-pass partition-offset formulation
+    // (Relational.withRowIdScaled) — q30 pins the small-frame global-
+    // window form on region; this pins the scale path on the biggest
+    // table, where a global window would funnel every row through one
+    // sorting task. Same total-order semantics, LongType ids.
+    QueryDef("q83_rowid_scaled", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Relational
+      Relational.withRowIdScaled(
+          t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber"),
+          Seq($"l_orderkey", $"l_linenumber"))
+        .orderBy($"rowid")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rowid
+      FROM lineitem ORDER BY rowid""")),
+
     QueryDef("q34_group_concat", (s, dir) => {
       import s.implicits._
       t(s, dir, "nation")

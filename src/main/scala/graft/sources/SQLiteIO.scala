@@ -103,10 +103,15 @@ object SQLiteIO {
     * String→'…' with '' doubling, Array[Byte]→X'hex' (bind_blob),
     * java.sql.Timestamp/Date→typed TIMESTAMP/DATE literals carrying the
     * reference's "yyyy-MM-dd HH:mm:ss" text form, BigDecimal→plain
-    * digits (the UInt64 escape, SDF.swift:617-623), null→NULL.
-    * `?` inside string literals or quoted identifiers is never a
-    * placeholder — the substitution walks the SQL with quote-state
-    * tracking, exactly like sqlite3_prepare's tokenizer. Arity is
+    * digits (the UInt64 escape, SDF.swift:617-623), null→NULL. Float
+    * widens to Double BEFORE rendering (bind_double(Double(f)),
+    * SDF.swift:752) — 0.1f binds as 0.10000000149011612, not 0.1, since
+    * Spark SQL re-parses every decimal literal as a double.
+    * `?` is a placeholder only where sqlite3_prepare would tokenize one:
+    * the substitution walks the SQL skipping '…' strings, "…"/`…`/[…]
+    * quoted identifiers (with doubled-char escapes), `--` line comments
+    * and `／* *／` block comments (a `?` inside any of those is passed
+    * through verbatim and does not consume a parameter). Arity is
     * strict, like [[StatementSink.writeStatement]]. */
   def bindParameters(sql: String, params: Seq[Any]): String = {
     def lit(p: Any): String = p match {
@@ -115,7 +120,7 @@ object SQLiteIO {
       case Some(x)             => lit(x)
       case b: Boolean          => if (b) "1" else "0"
       case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
-      case f: Float            => java.lang.Float.toString(f)
+      case f: Float            => java.lang.Double.toString(f.toDouble)
       case d: Double           => java.lang.Double.toString(d)
       case d: java.math.BigDecimal => d.toPlainString
       case d: BigDecimal       => d.bigDecimal.toPlainString
@@ -127,17 +132,44 @@ object SQLiteIO {
         s"unbindable parameter type ${other.getClass.getName}")
     }
     val out = new StringBuilder
-    var inSingle = false
-    var inDouble = false
     var next = 0
-    sql.foreach {
-      case '\'' if !inDouble => inSingle = !inSingle; out += '\''
-      case '"'  if !inSingle => inDouble = !inDouble; out += '"'
-      case '?'  if !inSingle && !inDouble =>
-        if (next >= params.length) throw new IllegalArgumentException(
-          s"statement has more than ${params.length} parameters")
-        out ++= lit(params(next)); next += 1
-      case c => out += c
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        // '…' / "…" / `…` run to the matching close; a doubled close
+        // char is an escape and stays inside (sqlite3 tokenizer rules)
+        case q @ ('\'' | '"' | '`') =>
+          out += q; i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val c = sql.charAt(i); out += c; i += 1
+            if (c == q) {
+              if (i < n && sql.charAt(i) == q) { out += q; i += 1 }
+              else closed = true
+            }
+          }
+        // [bracket] identifiers: no escape, runs to the first ']'
+        case '[' =>
+          out += '['; i += 1
+          while (i < n && sql.charAt(i) != ']') { out += sql.charAt(i); i += 1 }
+          if (i < n) { out += ']'; i += 1 }
+        // -- line comment: to end of line (or end of statement)
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') { out += sql.charAt(i); i += 1 }
+        // /* block comment: to */ or, like sqlite3, end of statement
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          out ++= "/*"; i += 2
+          while (i < n && !(sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/')) {
+            out += sql.charAt(i); i += 1
+          }
+          if (i < n) { out ++= "*/"; i += 2 }
+        case '?' =>
+          if (next >= params.length) throw new IllegalArgumentException(
+            s"statement has more than ${params.length} parameters")
+          out ++= lit(params(next)); next += 1; i += 1
+        case c => out += c; i += 1
+      }
     }
     if (next != params.length) throw new IllegalArgumentException(
       s"statement has $next parameters but ${params.length} values were bound")

@@ -191,4 +191,23 @@ class PlanSpec extends SparkSpec {
     assert(windowIdx >= 0 && takeIdx > windowIdx,
       s"window must consume the limited top-K, not feed it:\n$p")
   }
+
+  test("withRowIdScaled: no single-partition exchange, no global window") {
+    // the scale-safe rowid must never funnel the frame through one task:
+    // the only allowed exchanges are the range repartition and the tiny
+    // broadcast of the offset table (q30's global-window form is the
+    // documented small-frame-only variant this path replaces)
+    val p = graft.operators.Relational.withRowIdScaled(
+        Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_linenumber"),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"scale path must not gather to one partition:\n$p")
+    assert(!p.contains("Window"),
+      s"scale path must not use a window at all:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+        || p.contains("REPARTITION_BY_RANGE"),
+      s"expected a range repartition:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -39,6 +39,27 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("withRowIdScaled: deterministic across input partitionings, matches global window") {
+    import graft.operators.Relational
+    val base = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_linenumber")
+    val order = Seq(col("l_orderkey"), col("l_linenumber"))
+    def ids(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Relational.withRowIdScaled(df, order, numPartitions = parts)
+        .select($"l_orderkey", $"l_linenumber", $"rowid")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // same ids no matter how the INPUT is partitioned or how many range
+    // partitions the operator uses — rowid is the global rank in `order`
+    val a = ids(base.repartition(3), 5)
+    val b = ids(base.repartition(11), 2)
+    assert(a == b, "rowid must be a pure function of the total order")
+    // and it agrees with the small-frame global-window formulation
+    val w = Relational.withRowId(base, order)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong)).toSet
+    assert(a == w, "scaled and global-window rowid must agree")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("salted join preserves exact join semantics") {
     val big = Tables.load(spark, sf, "lineitem")
       .select($"l_orderkey".as("k"), $"l_quantity")

@@ -64,6 +64,33 @@ class SurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](bindParameters("SELECT ?, ?", Seq(1)))
   }
 
+  test("S3 bindParameters: '?' in comments and bracket/backtick identifiers") {
+    import SQLiteIO.bindParameters
+    // sqlite3_prepare's tokenizer skips comments and all three quoted-
+    // identifier forms; a '?' inside any of them must pass through
+    // verbatim and not consume a parameter (r5 advice: a '?' in a
+    // comment used to corrupt the arity count)
+    assert(bindParameters("SELECT ? -- is it ?\n, ? FROM t", Seq(1, 2)) ==
+      "SELECT 1 -- is it ?\n, 2 FROM t")
+    assert(bindParameters("SELECT ? /* what? */ , ? FROM t", Seq(1, 2)) ==
+      "SELECT 1 /* what? */ , 2 FROM t")
+    // line comment at end of statement (no trailing newline)
+    assert(bindParameters("SELECT ? -- tail?", Seq(3)) == "SELECT 3 -- tail?")
+    // unterminated block comment: comment to end, like sqlite3
+    assert(bindParameters("SELECT ? /* open?", Seq(4)) == "SELECT 4 /* open?")
+    assert(bindParameters("SELECT [a?b], `c?d`, ? FROM t", Seq(5)) ==
+      "SELECT [a?b], `c?d`, 5 FROM t")
+    // doubled backtick escape stays inside the identifier
+    assert(bindParameters("SELECT `a``?`, ? FROM t", Seq(6)) ==
+      "SELECT `a``?`, 6 FROM t")
+    // '-' and '/' that do NOT open comments are ordinary chars
+    assert(bindParameters("SELECT 1-?, 4/? FROM t", Seq(2, 2)) ==
+      "SELECT 1-2, 4/2 FROM t")
+    // Float widens to double before rendering (bind_double(Double(f)))
+    assert(bindParameters("SELECT ?", Seq(0.1f)) ==
+      "SELECT 0.10000000149011612")
+  }
+
   test("S3 preparedScan: bound statement equals the hand-inlined query") {
     Tables.load(spark, sf, "customer").createOrReplaceTempView("customer")
     val got = SQLiteIO.preparedScan(spark,
