@@ -59,6 +59,7 @@ object Bench {
         f => f.filter(lit(false)), maxIter = 2, distinctUnion = false).count()
     }
     var failed = List.empty[String]
+    var cleanupNs = 0L // r5 verdict #2: quantify the per-query gc cost
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // `*_gate` queries are CORRECTNESS-only oracle gates (deliberately
@@ -86,6 +87,7 @@ object Bench {
           failed ::= name; false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val c0 = System.nanoTime()
       // Isolate queries from each other: several operators persist()
       // intermediate frames (inverted indexes, LSH buckets) that stay
       // referenced until here and would otherwise pressure the heap of
@@ -101,6 +103,7 @@ object Bench {
       // a block run; d09 32.5s vs 4.7s). One explicit GC per query is
       // ~100ms and keeps every measurement a measurement of the query.
       System.gc()
+      cleanupNs += System.nanoTime() - c0
       name -> (if (ok) dt else -1.0)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -110,7 +113,7 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val omitted = results.size - entries.size
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"omitted":$omitted,"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"omitted":$omitted,"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of it.
     val budget = 1800

@@ -127,6 +127,33 @@ case class AsofJoinExec(
     case _ => None
   }
 
+  /** Typed accessor + comparator + buffering-copy for KEY types whose
+    * internal value compares directly without the interpreted-Ordering
+    * dispatch: UTF8String (binary compare on the row's bytes, no
+    * decode) and Decimal (fixed-precision compareTo). With the ts still
+    * primitive (the real as-of shape: string/decimal id + temporal ts),
+    * the merge loop then runs the same unboxed skeleton as the
+    * primitive path — PERF.md measured the interpreted fallback ~2×
+    * slower on a wide string-keyed merge. The copy fn detaches a
+    * candidate key from the (reused) right row buffer before it is
+    * held across iterations. */
+  private def physRef(dt: org.apache.spark.sql.types.DataType): Option[(
+      (InternalRow, Int) => AnyRef,
+      (AnyRef, AnyRef) => Int,
+      AnyRef => AnyRef)] = dt match {
+    case org.apache.spark.sql.types.StringType => Some((
+      (r, i) => r.getUTF8String(i),
+      (a, b) => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]),
+      k => k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()))
+    case d: org.apache.spark.sql.types.DecimalType => Some((
+      (r, i) => r.getDecimal(i, d.precision, d.scale),
+      (a, b) => a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal]),
+      identity)) // getDecimal materializes a fresh Decimal already
+    case _ => None
+  }
+
   private def ordinalOf(a: Attribute, out: Seq[Attribute]): Int =
     BindReferences.bindReference(a: Expression, out)
       .asInstanceOf[BoundReference].ordinal
@@ -141,6 +168,16 @@ case class AsofJoinExec(
       case (Some(kGet), Some(tGet)) => Some((kGet, tGet))
       case _ => None
     }
+    // string/decimal key + primitive ts: same unboxed merge skeleton,
+    // key compared via the type's direct comparator (no interpreted
+    // Ordering dispatch, no value boxing per row)
+    val fastRef =
+      if (fast.nonEmpty) None
+      else (physRef(leftKey.dataType), physLong(leftTs.dataType)) match {
+        case (Some((kGet, kCmp, kCopy)), Some(tGet)) =>
+          Some((kGet, kCmp, kCopy, tGet))
+        case _ => None
+      }
     val (lkOrd, ltsOrd) = (ordinalOf(leftKey, left.output), ordinalOf(leftTs, left.output))
     val (rkOrd, rtsOrd) = (ordinalOf(rightKey, right.output), ordinalOf(rightTs, right.output))
     val lkB  = BindReferences.bindReference(leftKey: Expression, left.output)
@@ -230,9 +267,82 @@ case class AsofJoinExec(
               outProj(joined)
             }
           }
+        case None if fastRef.nonEmpty =>
+          val (kGet, kCmp, kCopy, tGet) = fastRef.get
+          var candSet = false
+          var candKey: AnyRef = null
+          var candPay: InternalRow = null
+          var nextR: InternalRow = if (rIter.hasNext) rIter.next() else null
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = lIter.hasNext
+            override def next(): InternalRow = {
+              val l = lIter.next()
+              if (l.isNullAt(lkOrd) || l.isNullAt(ltsOrd)) {
+                joined(l, nullPay)
+              } else {
+                val k  = kGet(l, lkOrd)
+                val ts = tGet(l, ltsOrd)
+                if (forwardL) {
+                  var continue = nextR != null
+                  while (continue) {
+                    val skip =
+                      if (nextR.isNullAt(rkOrd)) true
+                      else {
+                        val kc = kCmp(kGet(nextR, rkOrd), k)
+                        if (kc < 0) true
+                        else if (kc > 0) false
+                        else if (nextR.isNullAt(rtsOrd)) true
+                        else {
+                          val rt = tGet(nextR, rtsOrd)
+                          if (strictL) rt <= ts else rt < ts
+                        }
+                      }
+                    if (skip) {
+                      nextR = if (rIter.hasNext) rIter.next() else null
+                      continue = nextR != null
+                    } else continue = false
+                  }
+                  val m = nextR != null && !nextR.isNullAt(rkOrd) &&
+                    kCmp(kGet(nextR, rkOrd), k) == 0
+                  joined(l, if (m) payProj(nextR) else nullPay)
+                } else {
+                  var continue = nextR != null
+                  while (continue) {
+                    var record = false
+                    val consume =
+                      if (nextR.isNullAt(rkOrd)) true
+                      else {
+                        val kc = kCmp(kGet(nextR, rkOrd), k)
+                        if (kc < 0) true
+                        else if (kc > 0) false
+                        else if (nextR.isNullAt(rtsOrd)) true
+                        else {
+                          val rt = tGet(nextR, rtsOrd)
+                          record = if (strictL) rt < ts else rt <= ts
+                          record
+                        }
+                      }
+                    if (consume) {
+                      if (record) {
+                        candSet = true
+                        // detach the key from the reused right-row buffer
+                        candKey = kCopy(kGet(nextR, rkOrd))
+                        candPay = payProj(nextR).copy()
+                      }
+                      nextR = if (rIter.hasNext) rIter.next() else null
+                      continue = nextR != null
+                    } else continue = false
+                  }
+                  joined(l,
+                    if (candSet && kCmp(candKey, k) == 0) candPay else nullPay)
+                }
+              }
+              outProj(joined)
+            }
+          }
         case None =>
           // generic merge: interpreted orderings over boxed values
-          // (string or decimal keys — rare for as-of, still supported)
+          // (non-primitive ts or exotic key types — rare, still supported)
           var candKey: Any = null
           var candPay: InternalRow = null
           var nextR: InternalRow = if (rIter.hasNext) rIter.next() else null

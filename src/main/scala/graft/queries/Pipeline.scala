@@ -661,6 +661,45 @@ object Pipeline {
              CAST(floor((n_chars * 10 - 1) / 500) + 1 AS BIGINT) AS n_frames,
              CAST(floor((n_chars * 10 - 1) / 500) * 500 AS BIGINT) AS last_off
       FROM documents WHERE doc_id % 3 = 2
-      ORDER BY media_id"""))
+      ORDER BY media_id""")),
+
+    // REAL codec round trip (r5 verdict #4: at least one non-stub
+    // kernel): synthesizeCodec builds actual WAV/BMP/PPM files from
+    // closed-form functions of (doc_id, n_chars); decodeMeta parses them
+    // back with the pure-JVM RIFF/BMP/PPM decoders. The oracle recomputes
+    // every decoded field from the same closed forms WITHOUT parsing a
+    // byte — dimensions, sample counts, integer-division duration, PCM
+    // energy (Σ(sᵢ/32768)²) and the pixel-byte sum, whose channel bytes
+    // enumerate (doc_id + i) % 256 for i < 3·w·h. Any header, padding,
+    // byte-order or sign-extension bug in either codec shifts a value →
+    // driver hash mismatch.
+    QueryDef("m03_codec_roundtrip", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.synthesizeCodec(t(s, dir, "documents"))
+      Multimodal.decodeMeta(media).toDF()
+        .select($"media_id", $"format", $"width", $"height", $"sample_rate",
+          $"n_samples", $"duration_ms", round($"energy", 4).as("energy"),
+          $"pix_sum")
+        .orderBy($"media_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, n_chars, CAST(doc_id % 3 AS INT) AS m FROM documents)
+      SELECT doc_id AS media_id,
+        CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS format,
+        CAST(CASE m WHEN 0 THEN doc_id % 5 + 1 WHEN 2 THEN doc_id % 3 + 1 ELSE 0 END AS INTEGER) AS width,
+        CAST(CASE m WHEN 0 THEN doc_id % 4 + 1 WHEN 2 THEN doc_id % 6 + 1 ELSE 0 END AS INTEGER) AS height,
+        CAST(CASE m WHEN 1 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+        CAST(CASE m WHEN 0 THEN (doc_id % 5 + 1) * (doc_id % 4 + 1)
+                    WHEN 1 THEN n_chars % 400 + 16
+                    ELSE (doc_id % 3 + 1) * (doc_id % 6 + 1) END AS BIGINT) AS n_samples,
+        CAST(CASE m WHEN 1 THEN (n_chars % 400 + 16) * 1000 // 8000 ELSE 0 END AS BIGINT) AS duration_ms,
+        CASE m WHEN 1 THEN round(list_sum(list_transform(range(0, n_chars % 400 + 16),
+            i -> pow(((doc_id * 31 + i * 7) % 2001 - 1000) / 32768.0, 2))), 4)
+          ELSE 0.0 END AS energy,
+        CAST(CASE m WHEN 1 THEN 0
+          WHEN 0 THEN list_sum(list_transform(range(0, 3 * (doc_id % 5 + 1) * (doc_id % 4 + 1)),
+            i -> (doc_id + i) % 256))
+          ELSE list_sum(list_transform(range(0, 3 * (doc_id % 3 + 1) * (doc_id % 6 + 1)),
+            i -> (doc_id + i) % 256)) END AS BIGINT) AS pix_sum
+      FROM d ORDER BY media_id"""))
   )
 }

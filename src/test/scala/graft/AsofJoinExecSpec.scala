@@ -144,7 +144,7 @@ class AsofJoinExecSpec extends SparkSpec {
     assert(got == expect)
   }
 
-  test("asofJoinNative: string keys take the generic merge path, same semantics") {
+  test("asofJoinNative: string keys take the typed-comparator merge path, same semantics") {
     val l = Seq(("a", 10L, "l10"), ("a", 5L, "l5"), ("b", 7L, "m7"))
       .toDF("k", "ts", "lv")
     val r = Seq(("a", 6L, "r6"), ("b", 7L, "s7")).toDF("k", "ts", "rv")
@@ -155,6 +155,58 @@ class AsofJoinExecSpec extends SparkSpec {
         strict = false)
       .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
     assert(inclGot == Map("l10" -> Some("r6"), "l5" -> None, "m7" -> Some("s7")))
+  }
+
+  test("asofJoinNative: string/decimal keys ≡ pair recompute on randomized inputs") {
+    // the UTF8String/Decimal comparator path must agree with a
+    // from-first-principles recompute over the full pair set — including
+    // multi-char keys that differ only in a late byte (binary compare)
+    // and negative/zero decimals
+    val rnd = new scala.util.Random(42)
+    val keys = Vector("kk", "kk0", "ka", "k", "zz", "a~b", "a b")
+    val lRows = Seq.fill(250)((keys(rnd.nextInt(keys.size)),
+      rnd.nextInt(200).toLong, rnd.nextInt()))
+    val rRows = Seq.fill(150)((keys(rnd.nextInt(keys.size)),
+      rnd.nextInt(200).toLong, rnd.nextInt()))
+    val l = lRows.toDF("k", "ts", "lv").repartition(4)
+    val r = rRows.toDF("k", "ts", "rv").repartition(3)
+    for (strict <- Seq(true, false); forward <- Seq(true, false)) {
+      val native = Relational.asofJoinNative(l, r, "k", "ts", "ts", Seq("rv"),
+          strict = strict, forward = forward)
+        .toDF("k", "ts", "lv", "rv").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getInt(2),
+          if (x.isNullAt(3)) None else Some(x.getInt(3)))).sorted.toSeq
+      // reference recompute over the full pair set with the exec's
+      // deterministic tiebreak (max payload backward, min forward)
+      val byKey = rRows.groupBy(_._1)
+      val expect = lRows.map { case (k, ts, lv) =>
+        val cands = byKey.getOrElse(k, Nil).filter { case (_, rts, _) =>
+          if (forward) { if (strict) rts > ts else rts >= ts }
+          else { if (strict) rts < ts else rts <= ts }
+        }
+        val pick =
+          if (cands.isEmpty) None
+          else if (forward) {
+            val m = cands.map(_._2).min
+            Some(cands.filter(_._2 == m).map(_._3).min)
+          } else {
+            val m = cands.map(_._2).max
+            Some(cands.filter(_._2 == m).map(_._3).max)
+          }
+        (k, ts, lv, pick)
+      }.sorted.toSeq
+      assert(native == expect, s"strict=$strict forward=$forward")
+    }
+    // decimal keys ride the same path
+    val ld = Seq((BigDecimal("1.50"), 10L, 1), (BigDecimal("-2.25"), 9L, 2),
+      (BigDecimal("0.00"), 5L, 3)).toDF("k", "ts", "lv")
+    val rd = Seq((BigDecimal("1.50"), 8L, 100), (BigDecimal("-2.25"), 9L, 200),
+      (BigDecimal("0.00"), 9L, 300)).toDF("k", "ts", "rv")
+    val got = Relational.asofJoinNative(ld, rd, "k", "ts", "ts", Seq("rv"))
+      .toDF("k", "ts", "lv", "rv").collect()
+      .map(x => x.getInt(2) -> (if (x.isNullAt(3)) None else Some(x.getInt(3))))
+      .toMap
+    assert(got == Map(1 -> Some(100), 2 -> None, 3 -> None))
   }
 
   test("asofJoinNative ≡ asofJoin on randomized inputs (seeded)") {

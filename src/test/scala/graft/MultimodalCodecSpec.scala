@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Real pure-JVM codec kernels (WAV/PCM, BMP 24-bit, PPM P6): fixture
+  * values are computed BY HAND from the file-format math, not by running
+  * the code under test. */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV: hand-computed 16-bit fixture round-trips through the real decoder") {
+    // 8 mono samples at 8000 Hz. Energy = Σ (s/32768)²:
+    //   0² + 0.5² + (−0.5)² + (32767/32768)² + (−1)² + (1000/32768)²·2 + 0²
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1000, -1000, 0)
+    val bytes = Multimodal.encodeWavPcm16(8000, samples)
+    // RIFF layout checks: 44-byte header + 16 data bytes, chunk sizes
+    assert(bytes.length == 60)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val d = Multimodal.decodeWav(bytes).get
+    assert(d.format == "wav" && d.sample_rate == 8000 && d.n_samples == 8)
+    assert(d.duration_ms == 1L) // 8 frames / 8000 Hz = 1 ms exactly
+    val expected = 0.25 + 0.25 + math.pow(32767.0 / 32768.0, 2) + 1.0 +
+      2 * math.pow(1000.0 / 32768.0, 2)
+    assert(math.abs(d.energy - expected) < 1e-12, s"energy ${d.energy} vs $expected")
+  }
+
+  test("WAV: 8-bit unsigned PCM decodes against the midpoint-128 rule") {
+    // hand-built 44+4 byte file: 4 samples [128, 255, 0, 192] at 4000 Hz
+    // energy = 0² + (127/128)² + (−1)² + (64/128)²
+    val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(40)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(4000); bb.putInt(4000)
+    bb.putShort(1); bb.putShort(8)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(4)
+    Seq(128, 255, 0, 192).foreach(v => bb.put(v.toByte))
+    val d = Multimodal.decodeWav(bb.array()).get
+    assert(d.sample_rate == 4000 && d.n_samples == 4 && d.duration_ms == 1L)
+    val expected = math.pow(127.0 / 128, 2) + 1.0 + math.pow(64.0 / 128, 2)
+    assert(math.abs(d.energy - expected) < 1e-12)
+  }
+
+  test("BMP: 3x2 fixture exercises row padding; top-down variant decodes equal") {
+    // w=3 → 9 pixel bytes/row, padded to 12; channel bytes must exclude
+    // the padding from pix_sum. px(x,y) = (x+y, 10(x+y), 100+x)
+    def px(x: Int, y: Int) = (x + y, 10 * (x + y), 100 + x)
+    val bytes = Multimodal.encodeBmp24(3, 2, px _)
+    assert(bytes.length == 54 + 2 * 12) // padded rows
+    val d = Multimodal.decodeBmp(bytes).get
+    assert(d.format == "bmp" && d.width == 3 && d.height == 2 && d.n_samples == 6)
+    // hand sum over x∈{0,1,2}, y∈{0,1}: Σ(x+y)=9, Σ10(x+y)=90, Σ(100+x)=606
+    assert(d.pix_sum == 9 + 90 + 606)
+    // flipping the height sign (top-down BMP) must not change the sum
+    val flipped = bytes.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(negH, 0, flipped, 22, 4)
+    assert(Multimodal.decodeBmp(flipped).get.pix_sum == 705)
+  }
+
+  test("PPM: P6 with header comment parses; short raster rejected") {
+    // hand-built 2x1 P6: pixels (1,2,3) (4,5,6) → pix_sum = 21
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val body = Array[Byte](1, 2, 3, 4, 5, 6)
+    val d = Multimodal.decodePpm(header ++ body).get
+    assert(d.width == 2 && d.height == 1 && d.pix_sum == 21 && d.n_samples == 2)
+    assert(Multimodal.decodePpm(header ++ body.take(5)).isEmpty)
+  }
+
+  test("decodeMeta: unrecognized payloads surface as raw, never dropped") {
+    val df = Seq((1L, "not a media file".getBytes("UTF-8")),
+        (2L, Array[Byte]('B', 'M', 3))) // BM magic but invalid header
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeMeta(df).collect().sortBy(_.media_id)
+    assert(out.forall(_.format == "raw"))
+    assert(out(0).n_samples == 16L) // byte length carried through
+  }
+
+  test("synthesizeCodec → decodeMeta: closed-form ground truth recovered") {
+    val docs = Seq((0L, 50L), (1L, 50L), (2L, 50L), (31L, 7L))
+      .toDF("doc_id", "n_chars")
+    val out = Multimodal.decodeMeta(Multimodal.synthesizeCodec(docs))
+      .collect().map(d => d.media_id -> d).toMap
+    // doc 0: BMP 1x1 — channel bytes (0+0..2)%256 → pix_sum 3
+    assert(out(0L).format == "bmp" && out(0L).width == 1 && out(0L).pix_sum == 3)
+    // doc 1: WAV with 50%400+16 = 66 samples at 8 kHz → 8 ms
+    assert(out(1L).format == "wav" && out(1L).n_samples == 66 &&
+      out(1L).duration_ms == 8)
+    // doc 2: PPM (2%3+1)x(2%6+1) = 3x3, Σ(2+i)%256 for i<27 = 27·2+Σi<27
+    assert(out(2L).format == "ppm" && out(2L).width == 3 && out(2L).height == 3)
+    assert(out(2L).pix_sum == 27 * 2 + (26 * 27) / 2)
+    // doc 31: WAV energy matches the sample formula summed by hand
+    val n = (7 % 400 + 16)
+    val expected = (0 until n).map { i =>
+      val s = (31L * 31 + i * 7) % 2001 - 1000
+      math.pow(s / 32768.0, 2)
+    }.sum
+    assert(math.abs(out(31L).energy - expected) < 1e-12)
+  }
+
+  test("extractFeatures routes real formats to the decoded-feature kernel") {
+    val wav = Multimodal.encodeWavPcm16(8000, Array[Short](16384, -16384))
+    val rec = Multimodal.MediaRecord(7L, "audio", wav, 0, 0, "wav", 0L)
+    val f = Multimodal.extractFeatures(Seq(rec).toDS()).collect().head
+    assert(math.abs(f.feature(0) - 0.5f) < 1e-6) // energy = 2·0.25
+    assert(f.feature(2) == 8000.0f && f.feature(4) == 2.0f)
+    // raw payloads keep the conservation-checked stub
+    val raw = Multimodal.MediaRecord(8L, "image", "abc".getBytes, 0, 0, "raw", 0L)
+    val g = Multimodal.extractFeatures(Seq(raw).toDS()).collect().head
+    val sum = "abc".getBytes.map(b => (b & 0xff) / 255.0f).sum
+    assert(math.abs(g.feature.sum - sum) < 1e-5)
+  }
+}
