@@ -170,9 +170,13 @@ case class AsofJoinExec(
     }
     // string/decimal key + primitive ts: same unboxed merge skeleton,
     // key compared via the type's direct comparator (no interpreted
-    // Ordering dispatch, no value boxing per row)
+    // Ordering dispatch, no value boxing per row). The system property
+    // is an A/B escape hatch so the typed-vs-interpreted merge delta
+    // stays measurable (PERF.md records it); production always takes
+    // the typed path.
     val fastRef =
-      if (fast.nonEmpty) None
+      if (fast.nonEmpty ||
+          java.lang.Boolean.getBoolean("graft.asof.interpretedRefKeys")) None
       else (physRef(leftKey.dataType), physLong(leftTs.dataType)) match {
         case (Some((kGet, kCmp, kCopy)), Some(tGet)) =>
           Some((kGet, kCmp, kCopy, tGet))

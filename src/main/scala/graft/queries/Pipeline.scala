@@ -456,7 +456,49 @@ object Pipeline {
     // meaningless: this corpus's pairs top out at cos≈0.55, where
     // 8-bit-band collision odds are structurally low — recall here is
     // tuned for true near-dups at cos ≥ 0.9; see operator docs.)
+    // Hyperplane-LSH cosine near-dup, benched as the PRODUCTION path
+    // only (same r5-verdict-#1 split as d02/d03 — measured 4.8× time for
+    // 3× vectors with the embedded exact gate, because the gate IS
+    // d05's O(n²) recompute): the banding operator plus an O(found)
+    // self-integrity check — recompute each found pair's cosine from the
+    // embeddings (two id-equi-joins over the small pair frame) and count
+    // ordering / threshold / value violations, plus a duplicate probe.
+    // Sign-band recall at this plane count is NOT near-total (unlike
+    // minhash at j≥0.8), so no exact-equality oracle exists for the pair
+    // list itself; the exactness/recall invariants live in
+    // d06_cosine_gate below (CORRECTNESS-only, skipped by Bench).
     QueryDef("d06_cosine_lsh", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val found = Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 32, bands = 4)
+      val checked = found
+        .join(emb.select($"vec_id".as("id1"), $"embedding".as("e1")), "id1")
+        .join(emb.select($"vec_id".as("id2"), $"embedding".as("e2")), "id2")
+      val nVecs = emb.agg(count(lit(1)).as("value"))
+        .select(lit("n_vecs").as("metric"), $"value")
+      val bad = checked.filter($"id1" >= $"id2" || $"cosine" < 0.4 ||
+          $"cosine" =!= round(Similarity.dot($"e1", $"e2") /
+            (Similarity.norm($"e1") * Similarity.norm($"e2")), 4))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("bad_rows").as("metric"), $"value")
+      val dups = found.groupBy($"id1", $"id2").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).agg(count(lit(1)).as("value"))
+        .select(lit("dup_pairs").as("metric"), $"value")
+      nVecs.unionByName(bad).unionByName(dups).orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_vecs' AS metric, CAST(count(*) AS BIGINT) AS value FROM embeddings
+        UNION ALL SELECT 'bad_rows', 0
+        UNION ALL SELECT 'dup_pairs', 0) m
+      ORDER BY metric""")),
+
+    // d06's exactness gate (CORRECTNESS-only): DuckDB-recomputed exact
+    // pair count anchor; false_positives = 0 (found pairs are
+    // exact-cosine verified) and missed_band_matches = 0 (every exact
+    // pair whose signatures share a band MUST be found — the
+    // candidate-generation completeness invariant).
+    QueryDef("d06_cosine_gate", (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val found = Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
