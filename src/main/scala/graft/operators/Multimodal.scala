@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decode/feature-extract as partition-wise
   * batch transforms.
   *
-  * Decode kernels come in two tiers:
-  *   - REAL pure-JVM parsers for the container formats that need no
-  *     codec library: WAV/PCM (RIFF chunks, 8/16-bit samples →
-  *     sample-rate/duration/energy), BMP (24-bit BI_RGB, bottom-up rows
-  *     + 4-byte row padding → dimensions/pixel sum) and PPM P6 (ASCII
-  *     header + raw RGB). [[decodeMeta]] sniffs the magic bytes and runs
-  *     these; m03 oracle-checks an encode→decode round trip bit-for-bit
-  *     against DuckDB-recomputed ground truth.
-  *   - STUBS only for codec-dependent payloads (JPEG/MP4 — libs not in
-  *     this container): deterministic byte-level fakes, clearly marked.
+  * Decode kernels come in three tiers:
+  *   - REAL pure-JVM parsers hand-written against the file-format spec:
+  *     WAV/PCM (RIFF chunks, 8/16-bit samples → sample-rate/duration/
+  *     energy), BMP (24-bit BI_RGB, bottom-up rows + 4-byte row padding
+  *     → dimensions/pixel sum) and PPM P6 (ASCII header + raw RGB).
+  *     [[decodeMeta]] sniffs the magic bytes and runs these; m03
+  *     oracle-checks an encode→decode round trip bit-for-bit against
+  *     DuckDB-recomputed ground truth.
+  *   - REAL JDK ImageIO codecs (java.desktop — zero external deps) for
+  *     JPEG/PNG/GIF: full pixel decode, real bilinear resize
+  *     ([[resizeImages]]), m04 oracle-checks dimensions for all three
+  *     and the exact pixel sum for lossless PNG.
+  *   - STUBS only for payloads whose codecs the JVM genuinely lacks
+  *     (MP4/MP3 video+audio): deterministic byte-level fakes, clearly
+  *     marked.
   * Either way the distributed shape is identical and real: one
   * iterator-to-iterator pass per partition, no driver involvement, no
   * shuffle — exactly what runs at 100 TB with JNI/FFM codecs plugged in.
@@ -196,13 +201,117 @@ object Multimodal {
     Some(DecodedMeta(0L, "ppm", w, h, 0, w.toLong * h, 0L, 0.0, pixSum))
   }
 
-  /** Sniff + decode with the real parsers; None for payloads that need
-    * a codec library (those remain the stubs' domain). */
+  // ---- JDK ImageIO codecs (JPEG/PNG/GIF — java.desktop, zero deps) -----
+
+  /** First-touch JVM setup for executor-side ImageIO: headless AWT
+    * (executors have no display) and no disk cache (ImageIO otherwise
+    * routes every decode through a temp file — keep it pure-memory).
+    * Referenced before any ImageIO call; the JVM runs the body once. */
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Magic-byte sniff for the formats the JDK can decode natively. */
+  private[graft] def sniffImageIO(b: Array[Byte]): Option[String] =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff) Some("jpeg")
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8') Some("gif")
+    else None
+
+  /** REAL JPEG/PNG/GIF decode via the JDK's own ImageIO readers
+    * (java.desktop module — no external codec library involved).
+    * pix_sum = Σ(R+G+B) over the decoded raster, alpha ignored. PNG is
+    * lossless (pix_sum closed-form oracle-able); JPEG is lossy and the
+    * JDK GIF writer quantizes small palettes, so only their dimensions/
+    * format/pixel-count are oracle-checkable. */
+  private[graft] def decodeImageIO(b: Array[Byte]): Option[DecodedMeta] =
+    sniffImageIO(b).flatMap { fmt =>
+      imageIoReady
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var s = 0L
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+          i += 1
+        }
+        Some(DecodedMeta(0L, fmt, w, h, 0, w.toLong * h, 0L, 0.0, s))
+      }
+    }
+
+  /** Encode a closed-form pixel function through an ImageIO writer
+    * ("png" exact; "jpeg"/"gif" lossy/quantized — see [[decodeImageIO]]). */
+  private[graft] def encodeImageIO(fmt: String, w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"no ImageIO writer for format '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Raw 16-bit mono PCM extraction from a RIFF/WAVE payload — the
+    * sample-level twin of [[decodeWav]] (which only aggregates).
+    * Returns (sampleRate, samples) or None for anything that isn't
+    * uncompressed 16-bit mono (those rows keep the stub path). */
+  private[graft] def decodePcm16Mono(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = tag(b, pos); val len = i32(b, pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          fmtOk = u16(b, pos + 8) == 1
+          channels = u16(b, pos + 10)
+          rate = i32(b, pos + 12)
+          bits = u16(b, pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1)
+    }
+    if (!fmtOk || rate <= 0 || channels != 1 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((u16(b, dataOff + 2 * i) << 16) >> 16).toShort
+      i += 1
+    }
+    Some((rate, out))
+  }
+
+  /** Sniff + decode with the real parsers; None only for payloads that
+    * need a codec library the JVM lacks (MP4/MP3 — the stubs' domain). */
   private[graft] def decodeAny(b: Array[Byte]): Option[DecodedMeta] =
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       decodeWav(b)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(b)
+    else if (sniffImageIO(b).isDefined) decodeImageIO(b)
     else None
 
   /** Partition-wise metadata decode over (media_id, bytes) using the
@@ -326,6 +435,87 @@ object Multimodal {
       }.toDF("media_id", "bytes")
   }
 
+  /** Synthesize REAL JPEG/PNG/GIF payloads from the documents frame —
+    * actual files written by the JDK's ImageIO encoders, pixel rule
+    * identical to [[synthesizeCodec]] (channel c of pixel p =
+    * (doc_id + 3p + c) % 256), so PNG rows (lossless) have a DuckDB
+    * closed-form pix_sum and all rows have closed-form dimensions:
+    *   doc_id % 3 == 0 → PNG  (doc_id%7+1) × (doc_id%5+1)
+    *   doc_id % 3 == 1 → JPEG (doc_id%6+8) × (doc_id%4+8)
+    *   doc_id % 3 == 2 → GIF  (doc_id%4+1) × (doc_id%3+1)
+    * Same narrow mapPartitions shape as the decode — what runs at scale. */
+  def synthesizeImageIO(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def pix(base: Int)(x: Int, y: Int): (Int, Int, Int) = {
+            val p = 3L * (y.toLong * base + x)
+            (((id + p + 2) % 256).toInt, ((id + p + 1) % 256).toInt,
+              ((id + p) % 256).toInt)
+          }
+          val bytes = (id % 3) match {
+            case 0 =>
+              val w = (id % 7 + 1).toInt; val h = (id % 5 + 1).toInt
+              encodeImageIO("png", w, h, pix(w))
+            case 1 =>
+              val w = (id % 6 + 8).toInt; val h = (id % 4 + 8).toInt
+              encodeImageIO("jpeg", w, h, pix(w))
+            case _ =>
+              val w = (id % 4 + 1).toInt; val h = (id % 3 + 1).toInt
+              encodeImageIO("gif", w, h, pix(w))
+          }
+          (id, bytes)
+        }
+      }.toDF("media_id", "bytes")
+  }
+
+  /** REAL pixel resize for ImageIO-decodable image rows (JPEG/PNG/GIF):
+    * aspect-preserving fit into (maxW, maxH), never upscaling, bilinear
+    * resample through Graphics2D, re-encoded as PNG (lossless on the
+    * output side so downstream decodes see exactly the resampled
+    * raster). Rows whose payloads the JVM cannot decode fall back to
+    * [[resizeStub]]'s byte-subsample kernel so the operator stays total;
+    * non-image rows pass through. Same narrow iterator shape. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0, s"bad bounds: ${maxW}x$maxH")
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else sniffImageIO(m.bytes) match {
+          case Some(_) =>
+            imageIoReady
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.bytes))
+            if (img == null) m
+            else {
+              val w0 = img.getWidth; val h0 = img.getHeight
+              if (w0 <= maxW && h0 <= maxH) m.copy(width = w0, height = h0)
+              else {
+                val scale = math.min(maxW.toDouble / w0, maxH.toDouble / h0)
+                val w = math.max(1, math.round(w0 * scale).toInt)
+                val h = math.max(1, math.round(h0 * scale).toInt)
+                val out = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = out.createGraphics()
+                g2.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g2.drawImage(img, 0, 0, w, h, null)
+                g2.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                m.copy(bytes = bos.toByteArray, width = w, height = h,
+                  format = "png")
+              }
+            }
+          case None => resizeRowStub(m, maxW, maxH)
+        }
+      }
+    }
+  }
+
   /** STUB decode kernel: deterministic features from payload bytes.
     * Real impl would decode pixels/samples here (out of scope: codec libs
     * are not in this container). */
@@ -382,22 +572,21 @@ object Multimodal {
   def resizeStub(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     require(maxW > 0 && maxH > 0, s"bad bounds: ${maxW}x$maxH")
-    media.mapPartitions { it =>
-      it.map { m =>
-        if (m.kind != "image" || (m.width <= maxW && m.height <= maxH)) m
-        else {
-          val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
-          val w = math.max(1, math.round(m.width * scale).toInt)
-          val h = math.max(1, math.round(m.height * scale).toInt)
-          // shrink-only contract: never grow the payload (incl. 0-byte case)
-          val targetLen =
-            math.min(m.bytes.length, math.max(1, (m.bytes.length * scale * scale).toInt))
-          m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen),
-            width = w, height = h)
-        }
-      }
-    }
+    media.mapPartitions(it => it.map(resizeRowStub(_, maxW, maxH)))
   }
+
+  private def resizeRowStub(m: MediaRecord, maxW: Int, maxH: Int): MediaRecord =
+    if (m.kind != "image" || (m.width <= maxW && m.height <= maxH)) m
+    else {
+      val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
+      val w = math.max(1, math.round(m.width * scale).toInt)
+      val h = math.max(1, math.round(m.height * scale).toInt)
+      // shrink-only contract: never grow the payload (incl. 0-byte case)
+      val targetLen =
+        math.min(m.bytes.length, math.max(1, (m.bytes.length * scale * scale).toInt))
+      m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen),
+        width = w, height = h)
+    }
 
   /** Audio resample step — the audio twin of [[resizeStub]]. Spark-side
     * semantics are REAL: only audio rows touched, downsample-only (a
@@ -411,15 +600,57 @@ object Multimodal {
   def resamplePcmStub(media: Dataset[MediaRecord], toHz: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     require(toHz > 0, s"bad target rate: $toHz")
+    media.mapPartitions(it => it.map(resampleRowStub(_, toHz)))
+  }
+
+  private def resampleRowStub(m: MediaRecord, toHz: Int): MediaRecord = {
+    val fromHz = m.width
+    if (m.kind != "audio" || fromHz <= toHz) m
+    else {
+      val ratio = toHz.toDouble / fromHz
+      val targetLen =
+        math.min(m.bytes.length, math.max(1, (m.bytes.length * ratio).toInt))
+      m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen), width = toHz)
+    }
+  }
+
+  /** REAL PCM resample for 16-bit mono WAV rows — the audio twin of
+    * [[resizeImages]]: decode the samples ([[decodePcm16Mono]]), linear
+    * interpolation down to the target rate (downsample-only; a
+    * lower-rate payload passes through, mirroring never-upscale),
+    * re-encode RIFF/WAVE. Output length is exactly
+    * n·toHz/fromHz (integer division) so the oracle can recompute it;
+    * a constant signal resamples to exactly that constant (pinned in
+    * the suite and oracled end-to-end by m06). WAV payloads that are
+    * not 16-bit mono PCM fall back to [[resamplePcmStub]]'s byte
+    * decimation so the operator stays total; non-audio rows pass
+    * through. Narrow iterator pass, no shuffle. */
+  def resamplePcm(media: Dataset[MediaRecord], toHz: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(toHz > 0, s"bad target rate: $toHz")
     media.mapPartitions { it =>
       it.map { m =>
-        val fromHz = m.width
-        if (m.kind != "audio" || fromHz <= toHz) m
-        else {
-          val ratio = toHz.toDouble / fromHz
-          val targetLen =
-            math.min(m.bytes.length, math.max(1, (m.bytes.length * ratio).toInt))
-          m.copy(bytes = java.util.Arrays.copyOf(m.bytes, targetLen), width = toHz)
+        if (m.kind != "audio") m
+        else decodePcm16Mono(m.bytes) match {
+          case Some((rate, samples)) =>
+            if (rate <= toHz) m.copy(width = rate)
+            else {
+              val outN = math.max(1, (samples.length.toLong * toHz / rate).toInt)
+              val step = rate.toDouble / toHz
+              val out = new Array[Short](outN)
+              var j = 0
+              while (j < outN) {
+                val pos = j * step
+                val i0 = pos.toInt
+                val i1 = math.min(i0 + 1, samples.length - 1)
+                val frac = pos - i0
+                out(j) = math.round(
+                  samples(i0) * (1.0 - frac) + samples(i1) * frac).toShort
+                j += 1
+              }
+              m.copy(bytes = encodeWavPcm16(toHz, out), width = toHz)
+            }
+          case None => resampleRowStub(m, toHz)
         }
       }
     }
@@ -455,6 +686,76 @@ object Multimodal {
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("duration_ms"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_off_ms"))
+
+  // ---- animated GIF: real multi-frame decode (the JDK GIF reader) -------
+
+  /** Write a multi-frame (animated) GIF through the JDK's ImageIO
+    * sequence writer; frame f's pixels come from `px(f, x, y)`. */
+  private[graft] def encodeGifFrames(w: Int, h: Int, frames: Int,
+      px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    imageIoReady
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = px(f, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL frame count of a GIF payload: the JDK reader walks the image
+    * sequence (getNumImages(true) forces a full scan — exact, not the
+    * header hint). None for non-GIF payloads. */
+  private[graft] def gifFrameCount(b: Array[Byte]): Option[Int] =
+    sniffImageIO(b).filter(_ == "gif").map { _ =>
+      imageIoReady
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try { reader.setInput(iis); reader.getNumImages(true) }
+      finally { reader.dispose(); iis.close() }
+    }
+
+  /** REAL frame sampling over animated-GIF payloads — the decoded twin
+    * of [[sampleFrames]] (which samples metadata only): count frames by
+    * actually walking each payload's image sequence, then emit one row
+    * per `every`-th frame index. Decode happens once per payload in a
+    * narrow mapPartitions pass; the explode stays a pure expression so
+    * Catalyst owns the fan-out. Non-GIF payloads yield zero rows (they
+    * have no decodable frame sequence). */
+  def sampleGifFrames(media: DataFrame, every: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(every > 0, s"bad stride: $every")
+    media.select(col("media_id").cast(LongType), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          gifFrameCount(bytes).map(n => (id, n))
+        }
+      }.toDF("media_id", "frame_count")
+      .select(col("media_id"), col("frame_count"),
+        explode(sequence(lit(0), col("frame_count") - 1, lit(every)))
+          .as("frame_idx"))
+  }
 
   /** End-to-end stub pipeline over a documents frame. */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {

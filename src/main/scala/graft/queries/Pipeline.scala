@@ -742,6 +742,145 @@ object Pipeline {
             i -> (doc_id + i) % 256))
           ELSE list_sum(list_transform(range(0, 3 * (doc_id % 3 + 1) * (doc_id % 6 + 1)),
             i -> (doc_id + i) % 256)) END AS BIGINT) AS pix_sum
-      FROM d ORDER BY media_id"""))
+      FROM d ORDER BY media_id""")),
+
+    // JPEG/PNG/GIF round trip through the JDK's OWN ImageIO codecs
+    // (java.desktop — zero external libs, so "no codec libs in the
+    // container" no longer applies to these three): synthesize real
+    // files with the m03 pixel rule, decode with Multimodal.decodeMeta's
+    // ImageIO tier. PNG is lossless → exact closed-form pix_sum oracle;
+    // JPEG (lossy DCT) and GIF (the JDK writer quantizes small palettes)
+    // assert dimensions/format/pixel-count only, pix_sum masked to 0.
+    QueryDef("m04_imageio_roundtrip", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.synthesizeImageIO(t(s, dir, "documents"))
+      Multimodal.decodeMeta(media).toDF()
+        .select($"media_id", $"format", $"width", $"height", $"n_samples",
+          when($"format" === "png", $"pix_sum").otherwise(lit(0L))
+            .as("pix_sum_lossless"))
+        .orderBy($"media_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m FROM documents)
+      SELECT doc_id AS media_id,
+        CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        CAST(CASE m WHEN 0 THEN doc_id % 7 + 1 WHEN 1 THEN doc_id % 6 + 8
+          ELSE doc_id % 4 + 1 END AS INTEGER) AS width,
+        CAST(CASE m WHEN 0 THEN doc_id % 5 + 1 WHEN 1 THEN doc_id % 4 + 8
+          ELSE doc_id % 3 + 1 END AS INTEGER) AS height,
+        CAST(CASE m WHEN 0 THEN (doc_id % 7 + 1) * (doc_id % 5 + 1)
+          WHEN 1 THEN (doc_id % 6 + 8) * (doc_id % 4 + 8)
+          ELSE (doc_id % 4 + 1) * (doc_id % 3 + 1) END AS BIGINT) AS n_samples,
+        CAST(CASE m WHEN 0 THEN list_sum(list_transform(
+            range(0, 3 * (doc_id % 7 + 1) * (doc_id % 5 + 1)),
+            i -> (doc_id + i) % 256))
+          ELSE 0 END AS BIGINT) AS pix_sum_lossless
+      FROM d ORDER BY media_id""")),
+
+    // REAL pixel resize end-to-end: constant-color PNGs (bilinear
+    // resample of a constant raster is exactly that constant, verified
+    // empirically and pinned in MultimodalCodecSpec) sized w0=id%20+30 ×
+    // h0=id%15+20, resized through Multimodal.resizeImages (ImageIO
+    // decode → Graphics2D bilinear → PNG re-encode) into a 16×16 box,
+    // then re-DECODED — so the oracle checks the resampled pixels
+    // themselves, not just metadata: dims follow the aspect-fit formula
+    // and pix_sum = w·h·(r+g+b) exactly.
+    QueryDef("m05_resize_real", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = docs.select($"doc_id".cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w0 = (id % 20 + 30).toInt; val h0 = (id % 15 + 20).toInt
+            val (r, g, b) =
+              ((id % 256).toInt, (id * 2 % 256).toInt, (id * 3 % 256).toInt)
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.encodeImageIO("png", w0, h0, (_, _) => (r, g, b)),
+              w0, h0, "png", 0L)
+          }
+        }
+      val resized = Multimodal.resizeImages(media, 16, 16)
+      Multimodal.decodeMeta(resized.toDF()).toDF()
+        .select($"media_id", $"format", $"width", $"height", $"pix_sum")
+        .orderBy($"media_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+          CAST(doc_id % 20 + 30 AS INT) AS w0, CAST(doc_id % 15 + 20 AS INT) AS h0,
+          doc_id % 256 + (doc_id * 2) % 256 + (doc_id * 3) % 256 AS rgb,
+          least(16.0 / (doc_id % 20 + 30), 16.0 / (doc_id % 15 + 20)) AS scale
+        FROM documents)
+      SELECT doc_id AS media_id, 'png' AS format,
+        CAST(greatest(1, round(w0 * scale)) AS INTEGER) AS width,
+        CAST(greatest(1, round(h0 * scale)) AS INTEGER) AS height,
+        CAST(greatest(1, round(w0 * scale)) * greatest(1, round(h0 * scale))
+          * rgb AS BIGINT) AS pix_sum
+      FROM d ORDER BY media_id""")),
+
+    // REAL PCM resample end-to-end — the audio twin of m05: constant-
+    // amplitude 16-bit mono WAVs (linear interpolation of a constant is
+    // exactly the constant) at 8 kHz, resampled to 3 kHz through
+    // Multimodal.resamplePcm (sample decode → lerp → RIFF re-encode),
+    // then re-DECODED: the oracle recomputes the exact output length
+    // n·3000/8000 (integer division), the integer-division duration,
+    // and the energy n'·(v/32768)² of the resampled signal itself.
+    QueryDef("m06_resample_real", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = docs.select($"doc_id".cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 300 + 50).toInt
+            val v = (id % 2001 - 1000).toShort
+            Multimodal.MediaRecord(id, "audio",
+              Multimodal.encodeWavPcm16(8000, Array.fill(n)(v)),
+              8000, 0, "wav", 0L)
+          }
+        }
+      val resampled = Multimodal.resamplePcm(media, 3000)
+      Multimodal.decodeMeta(resampled.toDF()).toDF()
+        .select($"media_id", $"format", $"sample_rate", $"n_samples",
+          $"duration_ms", round($"energy", 4).as("energy"))
+        .orderBy($"media_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+          (doc_id % 300 + 50) * 3000 // 8000 AS np,
+          doc_id % 2001 - 1000 AS v
+        FROM documents)
+      SELECT doc_id AS media_id, 'wav' AS format,
+        CAST(3000 AS INTEGER) AS sample_rate,
+        CAST(np AS BIGINT) AS n_samples,
+        CAST(np * 1000 // 3000 AS BIGINT) AS duration_ms,
+        round(np * pow(v / 32768.0, 2), 4) AS energy
+      FROM d ORDER BY media_id""")),
+
+    // REAL animated-GIF frame sampling: synthesize multi-frame GIFs with
+    // the JDK's ImageIO sequence writer (frames = doc_id%5+1), then
+    // Multimodal.sampleGifFrames COUNTS the frames by actually walking
+    // each payload's image sequence (getNumImages(true) — a full scan,
+    // not the header hint) and explodes every 2nd frame index. The
+    // oracle recomputes the frame count and stride closed-form — a
+    // wrong sequence write, a miscounted trailer, or an off-by-one in
+    // the stride all shift rows.
+    QueryDef("m07_gif_frames", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = docs.select($"doc_id".cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val frames = (id % 5 + 1).toInt
+            val w = (id % 3 + 2).toInt; val h = (id % 2 + 2).toInt
+            (id, Multimodal.encodeGifFrames(w, h, frames,
+              (f, x, y) => (((id + f * 7) % 256).toInt,
+                (x * 13 % 256), (y * 17 % 256))))
+          }
+        }.toDF("media_id", "bytes")
+      Multimodal.sampleGifFrames(media, 2)
+        .orderBy($"media_id", $"frame_idx")
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CAST(doc_id % 5 + 1 AS INTEGER) AS frame_count,
+        CAST(u.i AS INTEGER) AS frame_idx
+      FROM documents,
+        unnest(generate_series(0, CAST(doc_id % 5 AS INT), 2)) AS u(i)
+      ORDER BY media_id, frame_idx"""))
   )
 }

@@ -101,6 +101,102 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(math.abs(out(31L).energy - expected) < 1e-12)
   }
 
+  test("ImageIO tier: PNG round-trips exact pixels; JPEG/GIF carry exact dims") {
+    // pixel rule (id + 3p + c) % 256 with id = 7 on a 5x4 raster:
+    // channel bytes enumerate (7 + i) % 256 for i < 60 → Σ = 60·7 + Σi<60
+    def px(x: Int, y: Int) = {
+      val p = 3 * (y * 5 + x)
+      ((7 + p + 2) % 256, (7 + p + 1) % 256, (7 + p) % 256)
+    }
+    val png = Multimodal.encodeImageIO("png", 5, 4, px _)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P') // real PNG magic
+    val d = Multimodal.decodeImageIO(png).get
+    assert(d.format == "png" && d.width == 5 && d.height == 4 && d.n_samples == 20)
+    assert(d.pix_sum == 60 * 7 + (59 * 60) / 2)
+    // JPEG is lossy: dims/format survive, pixels need not
+    val jpg = Multimodal.encodeImageIO("jpeg", 5, 4, px _)
+    val dj = Multimodal.decodeImageIO(jpg).get
+    assert(dj.format == "jpeg" && dj.width == 5 && dj.height == 4)
+    // GIF: dims/format survive (the JDK writer quantizes small palettes)
+    val gif = Multimodal.encodeImageIO("gif", 5, 4, px _)
+    val dg = Multimodal.decodeImageIO(gif).get
+    assert(dg.format == "gif" && dg.width == 5 && dg.height == 4)
+    // decodeAny routes the magics to the ImageIO tier
+    assert(Multimodal.decodeAny(png).get.format == "png")
+    assert(Multimodal.decodeAny(jpg).get.format == "jpeg")
+  }
+
+  test("resizeImages: real bilinear resample — constant color exactly preserved") {
+    // 45x27 solid (37,74,111) → 16x16 box: scale = 16/45, dims 16x10,
+    // every output pixel must still be (37,74,111) (bilinear of a
+    // constant is the constant) so pix_sum = 16·10·222
+    val src = Multimodal.encodeImageIO("png", 45, 27, (_, _) => (37, 74, 111))
+    val rec = Multimodal.MediaRecord(1L, "image", src, 45, 27, "png", 0L)
+    val out = Multimodal.resizeImages(Seq(rec).toDS(), 16, 16).collect().head
+    assert(out.width == 16 && out.height == 10)
+    val d = Multimodal.decodeImageIO(out.bytes).get
+    assert(d.width == 16 && d.height == 10)
+    assert(d.pix_sum == 16L * 10 * (37 + 74 + 111))
+    // within-bounds image: payload untouched, metadata refreshed
+    val small = Multimodal.encodeImageIO("png", 8, 8, (_, _) => (1, 2, 3))
+    val rec2 = Multimodal.MediaRecord(2L, "image", small, 0, 0, "png", 0L)
+    val out2 = Multimodal.resizeImages(Seq(rec2).toDS(), 16, 16).collect().head
+    assert(out2.width == 8 && out2.height == 8 && (out2.bytes sameElements small))
+    // non-decodable image rows fall back to the stub's shrink contract
+    val rec3 = Multimodal.MediaRecord(3L, "image", Array.fill(100)(9.toByte),
+      40, 40, "raw", 0L)
+    val out3 = Multimodal.resizeImages(Seq(rec3).toDS(), 16, 16).collect().head
+    assert(out3.width == 16 && out3.height == 16 && out3.bytes.length < 100)
+  }
+
+  test("resamplePcm: real linear-interp downsample, hand-checked lengths and values") {
+    // 8 samples at 8000 Hz → 3000 Hz: outN = 8·3000/8000 = 3,
+    // positions j·(8/3): s'(0)=s[0], s'(1)=lerp(s[2],s[3],2/3), s'(2)=lerp(s[5],s[6],1/3)
+    val samples = Array[Short](100, 200, 300, 600, 500, 900, 1200, 700)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val rec = Multimodal.MediaRecord(1L, "audio", wav, 8000, 0, "wav", 0L)
+    val out = Multimodal.resamplePcm(Seq(rec).toDS(), 3000).collect().head
+    assert(out.width == 3000)
+    val (rate, rs) = Multimodal.decodePcm16Mono(out.bytes).get
+    assert(rate == 3000 && rs.length == 3)
+    assert(rs(0) == 100)
+    assert(rs(1) == math.round(300 * (1.0 - 2.0 / 3) + 600 * (2.0 / 3)).toShort)
+    assert(rs(2) == math.round(900 * (1.0 - 1.0 / 3) + 1200 * (1.0 / 3)).toShort)
+    // constant signal → exactly constant at the new rate
+    val const = Multimodal.encodeWavPcm16(8000, Array.fill(40)(-321: Short))
+    val rec2 = Multimodal.MediaRecord(2L, "audio", const, 8000, 0, "wav", 0L)
+    val out2 = Multimodal.resamplePcm(Seq(rec2).toDS(), 3000).collect().head
+    val (_, rs2) = Multimodal.decodePcm16Mono(out2.bytes).get
+    assert(rs2.length == 15 && rs2.forall(_ == -321))
+    // at-or-below target rate: payload untouched
+    val low = Multimodal.encodeWavPcm16(2000, Array.fill(10)(5: Short))
+    val rec3 = Multimodal.MediaRecord(3L, "audio", low, 2000, 0, "wav", 0L)
+    val out3 = Multimodal.resamplePcm(Seq(rec3).toDS(), 3000).collect().head
+    assert(out3.bytes sameElements low)
+    // non-WAV audio payloads fall back to the stub's byte decimation
+    val rec4 = Multimodal.MediaRecord(4L, "audio", Array.fill(80)(1.toByte),
+      8000, 0, "raw", 0L)
+    val out4 = Multimodal.resamplePcm(Seq(rec4).toDS(), 2000).collect().head
+    assert(out4.width == 2000 && out4.bytes.length == 20)
+  }
+
+  test("animated GIF: sequence write → exact frame count → strided sampling") {
+    val gif = Multimodal.encodeGifFrames(4, 3, 5,
+      (f, x, y) => (f * 40, x * 30, y * 50))
+    assert(Multimodal.gifFrameCount(gif).contains(5))
+    // single-frame GIF and non-GIF payloads
+    val one = Multimodal.encodeGifFrames(2, 2, 1, (_, _, _) => (9, 9, 9))
+    assert(Multimodal.gifFrameCount(one).contains(1))
+    assert(Multimodal.gifFrameCount("nope".getBytes).isEmpty)
+    // strided sampling: 5 frames every 2 → indices 0,2,4; 1 frame → 0;
+    // non-GIF rows contribute nothing
+    val df = Seq((1L, gif), (2L, one), (3L, "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.sampleGifFrames(df, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(rows.toSeq == Seq((1L, 5, 0), (1L, 5, 2), (1L, 5, 4), (2L, 1, 0)))
+  }
+
   test("extractFeatures routes real formats to the decoded-feature kernel") {
     val wav = Multimodal.encodeWavPcm16(8000, Array[Short](16384, -16384))
     val rec = Multimodal.MediaRecord(7L, "audio", wav, 0, 0, "wav", 0L)
