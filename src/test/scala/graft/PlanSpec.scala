@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
     assert(literalPrefix("^a\\d.*") == None)          // regex class: left alone
   }
 
+  test("m05/m06/m07: multimodal decode pipelines stay narrow until the final sort") {
+    // encode → transform → decode → project must be one shuffle-free
+    // span per pipeline: the only Exchange allowed is the final
+    // presentation ORDER BY (m05/m06) or the explode's output ordering
+    // (m07). A second Exchange means a decode stage shuffled payloads.
+    for (q <- Seq("m05_resize_real", "m06_resample_real", "m07_gif_frames")) {
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q: decode path grew a shuffle:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: no join belongs in a per-row codec pipeline:\n$p")
+    }
+  }
+
   test("d08: benchmark gram probe joins broadcast, never shuffles the corpus stream") {
     val p = plan("d08_contamination")
     assert(p.contains("BroadcastHashJoin"),
