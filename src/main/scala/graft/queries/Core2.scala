@@ -108,6 +108,60 @@ object Core2 {
              row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rowid
       FROM lineitem ORDER BY rowid""")),
 
+    // Sketch tier for 100 TB profiling — HLL++ distinct counts:
+    // approx_count_distinct is Spark's codegen'd HyperLogLog++, carried
+    // as mergeable per-partition register state through a map-side-
+    // combined partial agg (the exact count(DISTINCT) next to it needs
+    // a full shuffle of the distinct values — at scale only the sketch
+    // survives; here both run so the sketch is CHECKED). HLL++ is fully
+    // deterministic (fixed hash, register-max merge is order-
+    // independent), so the within-5σ flag (rsd = 5%) is a stable
+    // oracle row, same pattern as the LSH metric-row oracles.
+    QueryDef("q84_sketch_distinct", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("exact_distinct"),
+          approx_count_distinct($"l_partkey", 0.05).as("approx"))
+        .select($"l_returnflag", $"exact_distinct",
+          ($"approx" >= $"exact_distinct" * 0.75 &&
+            $"approx" <= $"exact_distinct" * 1.25).as("within_bound"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct,
+             true AS within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Sketch tier — mergeable quantiles: percentile_approx (Greenwald-
+    // Khanna-style summaries, partial+final merge, one pass over the
+    // fact table). The check is the GK rank-error CONTRACT itself:
+    // the sketch's p-quantile answer must sit within n/accuracy ranks
+    // of p·n, measured by broadcasting the 3-row sketch output against
+    // the fact table and counting rows ≤ each answer — the 100 TB shape
+    // (tiny side broadcast, fact table never shuffles). Tolerance 2×
+    // the contract absorbs tie/floor effects at the small SFs.
+    QueryDef("q85_sketch_quantiles", (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_totalprice")
+      val sk = o.agg(
+          percentile_approx($"o_totalprice",
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("qv"),
+          count(lit(1)).as("n"))
+        .select(posexplode($"qv").as(Seq("i", "v")), $"n")
+        .withColumn("p",
+          element_at(array(lit(0.25), lit(0.5), lit(0.75)), $"i".cast("int") + 1))
+      broadcast(sk).join(o, $"o_totalprice" <= $"v", "left")
+        .groupBy($"p", $"n").agg(count($"o_totalprice").as("rank"))
+        .select($"p", $"n",
+          (abs($"rank" - $"p" * $"n") <= $"n" / 500.0 + 1).as("within_bound"))
+        .orderBy($"p")
+    }, Some("""
+      SELECT CAST(q.p AS DOUBLE) AS p,
+             (SELECT count(*) FROM orders) AS n,
+             true AS within_bound
+      FROM (VALUES (0.25), (0.5), (0.75)) q(p) ORDER BY p""")),
+
     QueryDef("q34_group_concat", (s, dir) => {
       import s.implicits._
       t(s, dir, "nation")

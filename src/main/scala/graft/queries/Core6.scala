@@ -585,6 +585,34 @@ object Core6 {
       WHERE rk > 1 OR (last_us // 1000 + 1800000) < (max_us // 1000 - 3600000)
       ORDER BY user_id, session_start_us""")),
 
+    // Streaming MULTIMODAL decode: the documents table replayed as a
+    // file-source stream, a REAL WAV payload synthesized and decoded by
+    // the real PCM parser INSIDE each micro-batch (a stateless narrow
+    // codec stage — how a decode kernel rides a production stream),
+    // with a running per-source aggregate in Complete mode. The oracle
+    // recomputes every decoded energy closed-form: the streaming
+    // execution path must agree with batch math to 4 decimals.
+    QueryDef("e13_stream_media", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val name = "e13_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val stream = EventStreams.readDocStream(s, dir)
+      val res = EventStreams.withShufflePartitions(s, 4) {
+        EventStreams.runToMemory(s, EventStreams.mediaEnergyBySource(stream), name)
+      }
+      res.select($"source", $"n_docs", $"total_samples", $"total_energy")
+        .orderBy($"source")
+    }, Some("""
+      WITH d AS (SELECT source, doc_id, n_chars % 400 + 16 AS n FROM documents),
+      e AS (SELECT source, n,
+              list_sum(list_transform(range(0, n),
+                i -> pow(((doc_id * 31 + i * 7) % 2001 - 1000) / 32768.0, 2))) AS energy
+            FROM d)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_samples,
+             round(sum(energy), 4) AS total_energy
+      FROM e GROUP BY source ORDER BY source""")),
+
     // Stream-stream LEFT OUTER interval join (e04 is the inner form):
     // every click resolved to its following-hour purchase count — zero
     // included, which only an outer join can state. Unmatched clicks are

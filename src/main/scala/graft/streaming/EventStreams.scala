@@ -191,6 +191,51 @@ object EventStreams {
     spark.table(name)
   }
 
+  // ---- streaming multimodal (codec decode inside a micro-batch) ---------
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of the documents table. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming multimodal decode: synthesize a REAL WAV payload per
+    * streamed row (m03's closed-form rule — n_chars%400+16 samples at
+    * 8 kHz, sample(i) = (doc_id·31 + i·7) % 2001 − 1000), decode it
+    * with the real PCM parser, and keep a running per-source aggregate.
+    * The codec stage is a stateless narrow mapPartitions inside each
+    * micro-batch — exactly how a decode kernel rides a production
+    * stream; only the final aggregate holds state. Works identically
+    * on a batch frame (the oracle path). */
+  def mediaEnergyBySource(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType), col("source"),
+        col("n_chars").cast(LongType))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, src, nChars) =>
+          val n = (nChars % 400 + 16).toInt
+          val bytes = graft.operators.Multimodal.encodeWavPcm16(8000,
+            Array.tabulate(n)(i =>
+              ((id * 31 + i.toLong * 7) % 2001 - 1000).toShort))
+          val d = graft.operators.Multimodal.decodeWav(bytes).get
+          (src, d.n_samples, d.energy)
+        }
+      }.toDF("source", "n_samples", "energy")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("total_samples"),
+        round(sum(col("energy")), 4).as("total_energy"))
+  }
+
   // ---- transformWithState (Spark 4 arbitrary-state API) -------------------
 
   case class UserTotals(user_id: Long, n: Long, total_value: Double)

@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
     assert(literalPrefix("^a\\d.*") == None)          // regex class: left alone
   }
 
+  test("q84/q85: sketches aggregate map-side; quantile rank-check broadcasts") {
+    // HLL++ must ride the partial-aggregation path (register state
+    // merged map-side before one shuffle), and the GK rank check must
+    // broadcast the 3-row sketch output — the fact table never shuffles.
+    val p84 = plan("q84_sketch_distinct")
+    assert(p84.contains("partial_approx_count_distinct"),
+      s"expected map-side HLL++ partial state:\n$p84")
+    val p85 = plan("q85_sketch_quantiles")
+    assert(p85.contains("BroadcastNestedLoopJoin"),
+      s"expected the 3-row sketch side broadcast for the theta join:\n$p85")
+    assert(!p85.contains("SortMergeJoin"),
+      s"the fact table must not shuffle for the rank check:\n$p85")
+  }
+
   test("m05/m06/m07: multimodal decode pipelines stay narrow until the final sort") {
     // encode → transform → decode → project must be one shuffle-free
     // span per pipeline: the only Exchange allowed is the final
