@@ -231,7 +231,13 @@ object Multimodal {
   private[graft] def decodeImageIO(b: Array[Byte]): Option[DecodedMeta] =
     sniffImageIO(b).flatMap { fmt =>
       imageIoReady
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      // a payload can carry a valid magic but a corrupt body — ImageIO
+      // throws (IIOException et al.) where the hand-written decoders
+      // return None; a poison row must degrade to "raw", not kill the
+      // task (decodeMeta's never-drop contract)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: Exception => null }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -486,8 +492,12 @@ object Multimodal {
         else sniffImageIO(m.bytes) match {
           case Some(_) =>
             imageIoReady
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(m.bytes))
+            // corrupt body behind a valid magic: keep the row untouched
+            // rather than failing the task (same contract as decode)
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.bytes))
+              catch { case _: Exception => null }
             if (img == null) m
             else {
               val w0 = img.getWidth; val h0 = img.getHeight
@@ -726,12 +736,15 @@ object Multimodal {
     * sequence (getNumImages(true) forces a full scan — exact, not the
     * header hint). None for non-GIF payloads. */
   private[graft] def gifFrameCount(b: Array[Byte]): Option[Int] =
-    sniffImageIO(b).filter(_ == "gif").map { _ =>
+    sniffImageIO(b).filter(_ == "gif").flatMap { _ =>
       imageIoReady
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(b))
-      try { reader.setInput(iis); reader.getNumImages(true) }
+      // a GIF header with a corrupt frame stream must count as
+      // not-decodable (zero sampled rows), not a task failure
+      try { reader.setInput(iis); Some(reader.getNumImages(true)) }
+      catch { case _: Exception => None }
       finally { reader.dispose(); iis.close() }
     }
 
@@ -752,6 +765,9 @@ object Multimodal {
           gifFrameCount(bytes).map(n => (id, n))
         }
       }.toDF("media_id", "frame_count")
+      // a frameless-but-valid GIF header counts as 0 — it has nothing to
+      // sample AND sequence(0, -1) would throw; filter before exploding
+      .filter(col("frame_count") >= 1)
       .select(col("media_id"), col("frame_count"),
         explode(sequence(lit(0), col("frame_count") - 1, lit(every)))
           .as("frame_idx"))

@@ -149,6 +149,31 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out3.width == 16 && out3.height == 16 && out3.bytes.length < 100)
   }
 
+  test("poison payloads: valid magic + corrupt body degrades, never fails the task") {
+    // PNG magic with a garbage body: decode → raw (never-drop contract)
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a) ++ Array.fill(32)(0x5a.toByte)
+    assert(Multimodal.decodeImageIO(fakePng).isEmpty)
+    val viaMeta = Multimodal.decodeMeta(
+      Seq((1L, fakePng)).toDF("media_id", "bytes")).collect().head
+    assert(viaMeta.format == "raw" && viaMeta.n_samples == fakePng.length)
+    // truncated REAL png (headers parse, body cut): also degrade
+    val realPng = Multimodal.encodeImageIO("png", 6, 6, (_, _) => (1, 2, 3))
+    val truncated = realPng.take(realPng.length / 2)
+    assert(Multimodal.decodeImageIO(truncated).isEmpty ||
+      Multimodal.decodeImageIO(truncated).get.format == "png") // decoder may salvage
+    // corrupt GIF through the frame walker: the JDK reader reports 0
+    // frames (or None if it throws) — either way zero sampled rows
+    val fakeGif = "GIF89a".getBytes("US-ASCII") ++ Array.fill(16)(0x7f.toByte)
+    assert(Multimodal.gifFrameCount(fakeGif).forall(_ == 0))
+    assert(Multimodal.sampleGifFrames(
+      Seq((1L, fakeGif)).toDF("media_id", "bytes"), 2).count() == 0)
+    // corrupt image row through resize: row passes through untouched
+    val rec = Multimodal.MediaRecord(9L, "image", fakePng, 40, 40, "png", 0L)
+    val out = Multimodal.resizeImages(Seq(rec).toDS(), 16, 16).collect().head
+    assert(out.bytes sameElements fakePng)
+  }
+
   test("resamplePcm: real linear-interp downsample, hand-checked lengths and values") {
     // 8 samples at 8000 Hz → 3000 Hz: outN = 8·3000/8000 = 3,
     // positions j·(8/3): s'(0)=s[0], s'(1)=lerp(s[2],s[3],2/3), s'(2)=lerp(s[5],s[6],1/3)
