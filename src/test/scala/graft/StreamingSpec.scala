@@ -23,6 +23,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("checkpoint restart: aggregation state survives stop/resume; only new files read") {
+    // The fault-tolerance contract a production stream lives on: run the
+    // windowed aggregate over a first file drop with a checkpoint, STOP,
+    // land a second drop while the query is down, restart from the same
+    // checkpoint. The recovered state must (a) produce exactly the batch
+    // answer over BOTH drops and (b) read only the second drop's rows
+    // (offset-log recovery — no reprocessing).
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_ckpt_src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toFile.getAbsolutePath
+    val raw = spark.read.schema(EventStreams.eventSchema)
+      .parquet(sf + "/events.parquet")
+    val drop1 = raw.filter($"event_id" % 2 === 0)
+    val drop2 = raw.filter($"event_id" % 2 === 1)
+    drop1.coalesce(1).write.mode("append").parquet(srcDir)
+    def agg = EventStreams.windowedCounts(
+      spark.readStream.schema(EventStreams.eventSchema).parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val q1 = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("ck_run1").option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("ck_run1").agg(sum($"n")).as[Long].head() == drop1.count())
+    drop2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("ck_run2").option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable()
+    val readOnRestart = q2.recentProgress.map(_.numInputRows).sum
+    q2.stop()
+    val got = spark.table("ck_run2")
+      .orderBy($"hour_start", $"event_type").collect()
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour_start", $"event_type").collect()
+    assert(got.sameElements(batch),
+      "recovered state + second drop must equal the batch answer over both drops")
+    assert(readOnRestart == drop2.count(),
+      s"restart read $readOnRestart rows, expected only drop2 = ${drop2.count()}")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     val stream = EventStreams.readEventStream(spark, sf)
     // duplicate the stream by unioning it with itself: every event twice
