@@ -129,6 +129,38 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** One-pass table profile — the ANALYZE-style scan a 100 TB ingest
+    * runs before planning a pipeline: per column, null count, HLL++
+    * distinct sketch and min/max, all folded in a SINGLE aggregate over
+    * ONE scan (partial aggregation map-side, a 1-row merge — no data
+    * row ever shuffles), then melted to one row per column with
+    * stack(). `withExact` adds exact count(DISTINCT) per column so a
+    * test oracle can bound the sketch — leave it off at scale (every
+    * exact distinct shuffles that column's values). min/max are emitted
+    * as strings so one schema profiles any column mix; keep to
+    * integer/string columns where engines render identically when
+    * hash-comparing against an external oracle. */
+  def tableProfile(df: DataFrame, cols: Seq[String],
+      withExact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "tableProfile: no columns given")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), 0.05).as(s"${c}__ad"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx")) ++
+        (if (withExact) Seq(countDistinct(col(c)).as(s"${c}__xd")) else Nil)
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val fields = cols.map { c =>
+      val exact = if (withExact) s", ${c}__xd" else ""
+      s"'$c', __n - ${c}__nn, ${c}__ad, ${c}__mn, ${c}__mx$exact"
+    }.mkString(", ")
+    val outCols = "column_name, n_null, approx_distinct, min_value, max_value" +
+      (if (withExact) ", exact_distinct" else "")
+    one.selectExpr(s"stack(${cols.size}, $fields) AS ($outCols)")
+  }
+
   /** Scope Spark's runtime bloom-filter join pruning (Spark ≥ 3.4,
     * `InjectRuntimeFilter`): when one join side carries a selective
     * filter, Spark builds a bloom filter over its join keys at runtime

@@ -162,6 +162,83 @@ object Core2 {
              true AS within_bound
       FROM (VALUES (0.25), (0.5), (0.75)) q(p) ORDER BY p""")),
 
+    // One-pass column profiler (Scale.tableProfile), benched as the
+    // PRODUCTION shape: null counts and min/max for six lineitem
+    // columns in a SINGLE aggregate over one scan, melted to a row per
+    // column (the HLL++ distinct sketch the operator also carries is
+    // benched by q84 and verified by q86_profile_gate below — its
+    // six-way exact-distinct companion would dominate this row's time,
+    // the same gate-vs-operator split the d02/d06 rows follow).
+    // Columns restricted to longs/strings so min/max render identically
+    // across engines.
+    QueryDef("q86_table_profile", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Scale
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      Scale.tableProfile(t(s, dir, "lineitem"), cols)
+        .select($"column_name", $"n_null", $"min_value", $"max_value")
+        .orderBy($"column_name")
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS column_name,
+               count(*) - count(l_orderkey) AS n_null,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        UNION ALL SELECT 'l_partkey', count(*) - count(l_partkey),
+               CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+               FROM lineitem
+        UNION ALL SELECT 'l_suppkey', count(*) - count(l_suppkey),
+               CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR)
+               FROM lineitem
+        UNION ALL SELECT 'l_linenumber', count(*) - count(l_linenumber),
+               CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+               FROM lineitem
+        UNION ALL SELECT 'l_returnflag', count(*) - count(l_returnflag),
+               min(l_returnflag), max(l_returnflag) FROM lineitem
+        UNION ALL SELECT 'l_linestatus', count(*) - count(l_linestatus),
+               min(l_linestatus), max(l_linestatus) FROM lineitem)
+      ORDER BY column_name""")),
+
+    // q86's sketch gate (CORRECTNESS-only, Bench skips `*_gate`): the
+    // full profile with exact distincts — the oracle hash-matches the
+    // exact fields and bounds the HLL++ sketch (same 5σ flag as q84).
+    QueryDef("q86_profile_gate", (s, dir) => {
+      import s.implicits._
+      import graft.operators.Scale
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      Scale.tableProfile(t(s, dir, "lineitem"), cols, withExact = true)
+        .select($"column_name", $"n_null", $"exact_distinct",
+          $"min_value", $"max_value",
+          ($"approx_distinct" >= $"exact_distinct" * 0.75 &&
+            $"approx_distinct" <= $"exact_distinct" * 1.25).as("within_bound"))
+        .orderBy($"column_name")
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS column_name,
+               count(*) - count(l_orderkey) AS n_null,
+               count(DISTINCT l_orderkey) AS exact_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+               true AS within_bound FROM lineitem
+        UNION ALL SELECT 'l_partkey', count(*) - count(l_partkey),
+               count(DISTINCT l_partkey), CAST(min(l_partkey) AS VARCHAR),
+               CAST(max(l_partkey) AS VARCHAR), true FROM lineitem
+        UNION ALL SELECT 'l_suppkey', count(*) - count(l_suppkey),
+               count(DISTINCT l_suppkey), CAST(min(l_suppkey) AS VARCHAR),
+               CAST(max(l_suppkey) AS VARCHAR), true FROM lineitem
+        UNION ALL SELECT 'l_linenumber', count(*) - count(l_linenumber),
+               count(DISTINCT l_linenumber), CAST(min(l_linenumber) AS VARCHAR),
+               CAST(max(l_linenumber) AS VARCHAR), true FROM lineitem
+        UNION ALL SELECT 'l_returnflag', count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag), min(l_returnflag),
+               max(l_returnflag), true FROM lineitem
+        UNION ALL SELECT 'l_linestatus', count(*) - count(l_linestatus),
+               count(DISTINCT l_linestatus), min(l_linestatus),
+               max(l_linestatus), true FROM lineitem)
+      ORDER BY column_name""")),
+
     QueryDef("q34_group_concat", (s, dir) => {
       import s.implicits._
       t(s, dir, "nation")

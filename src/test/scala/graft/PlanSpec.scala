@@ -124,6 +124,21 @@ class PlanSpec extends SparkSpec {
       s"the fact table must not shuffle for the rank check:\n$p85")
   }
 
+  test("q86: table profile is ONE scan + one 1-row merge, partials map-side") {
+    // the profiler's contract: however many columns are profiled, the
+    // data is read once and only the 1-row partial-agg state crosses an
+    // Exchange (plus the 6-row melt's presentation sort)
+    val p = plan("q86_table_profile")
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected exactly one scan:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"expected map-side profile partials:\n$p")
+    // the sketch rides the gate form (exact companions excluded from
+    // the benched row — same split as the d02/d06 gates)
+    val pg = plan("q86_profile_gate")
+    assert(pg.contains("partial_approx_count_distinct"),
+      s"expected map-side sketch partials in the gate:\n$pg")
+  }
+
   test("m05/m06/m07: multimodal decode pipelines stay narrow until the final sort") {
     // encode → transform → decode → project must be one shuffle-free
     // span per pipeline: the only Exchange allowed is the final
