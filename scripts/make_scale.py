@@ -50,8 +50,11 @@ COPY (
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]:
     dst = f"{out}/{t}.parquet"
-    if not os.path.exists(dst):
-        os.symlink(f"{src}/{t}.parquet", dst)
+    # abspath: a relative src would be stored relative to OUT and dangle;
+    # lexists: a dangling link fails os.path.exists but still collides
+    if os.path.lexists(dst):
+        os.remove(dst)
+    os.symlink(os.path.abspath(f"{src}/{t}.parquet"), dst)
 
 for t in ["documents", "embeddings"]:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]

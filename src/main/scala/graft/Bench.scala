@@ -67,8 +67,16 @@ object Bench {
     // d02/d03). Benching them would time test scaffolding, not the
     // shipped operator (r5 verdict #1), so the headline excludes them;
     // Verify still runs them and the driver still hash-checks them.
+    // An EXPLICIT SPARK_GRAFT_ONLY selection overrides the exclusion —
+    // naming a gate means the user wants to time that gate (otherwise
+    // the selection silently matched nothing and printed n_queries=0).
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => !n.endsWith("_gate") && only.forall(_.contains(n)) }
+      .filter { case (n, _) =>
+        only match {
+          case Some(set) => set.contains(n)
+          case None      => !n.endsWith("_gate")
+        }
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

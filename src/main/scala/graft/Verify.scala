@@ -30,6 +30,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist() intermediates (inverted indexes, the
+      // scale-rowid's sorted frame) that would otherwise stay pinned for
+      // the rest of the ~140-query dump and stack storage pressure —
+      // same per-query isolation Bench applies
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -88,17 +88,22 @@ object Multimodal {
   private def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** WAV/PCM: RIFF/WAVE container, chunk walk for `fmt ` + `data`,
-    * 16-bit signed or 8-bit unsigned PCM (format code 1). Returns None
-    * for anything else — compressed WAV needs a codec and stays stubbed. */
-  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedMeta] = {
+  /** RIFF/WAVE container walk shared by [[decodeWav]] and
+    * [[decodePcm16Mono]]: (rate, channels, bits, dataOff, dataLen) for
+    * an uncompressed-PCM `fmt ` + `data` layout, None for anything
+    * malformed. Declared chunk lengths are bounds-checked in LONG
+    * arithmetic — a crafted length near Int.MaxValue must fail the
+    * check, not wrap negative and walk the cursor out of the buffer
+    * (the never-drop contract means corrupt payloads degrade, never
+    * throw). */
+  private def parseRiffPcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
     var pos = 12
     var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= b.length) {
       val id = tag(b, pos); val len = i32(b, pos + 4)
-      if (len < 0 || pos + 8 + len > b.length) return None
+      if (len < 0 || pos + 8 + len.toLong > b.length) return None
       id match {
         case "fmt " if len >= 16 =>
           fmtOk = u16(b, pos + 8) == 1 // PCM only
@@ -110,30 +115,40 @@ object Multimodal {
       }
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
-    if (!fmtOk || rate <= 0 || channels <= 0 || dataOff < 0) return None
-    if (bits != 16 && bits != 8) return None
-    val bytesPerFrame = channels * (bits / 8)
-    val frames = dataLen / bytesPerFrame
-    var energy = 0.0
-    var i = dataOff
-    val end = dataOff + frames * bytesPerFrame
-    if (bits == 16) {
-      while (i < end) {
-        val s = (u16(b, i) << 16) >> 16 // sign-extend little-endian s16
-        val v = s / 32768.0
-        energy += v * v
-        i += 2
-      }
-    } else {
-      while (i < end) { // 8-bit WAV is unsigned, midpoint 128
-        val v = ((b(i) & 0xff) - 128) / 128.0
-        energy += v * v
-        i += 1
+    if (!fmtOk || rate <= 0 || channels <= 0 || dataOff < 0) None
+    else Some((rate, channels, bits, dataOff, dataLen))
+  }
+
+  /** WAV/PCM: RIFF/WAVE container, chunk walk for `fmt ` + `data`,
+    * 16-bit signed or 8-bit unsigned PCM (format code 1). Returns None
+    * for anything else — compressed WAV needs a codec and stays stubbed. */
+  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedMeta] =
+    parseRiffPcm(b).flatMap { case (rate, channels, bits, dataOff, dataLen) =>
+      if (bits != 16 && bits != 8) None
+      else {
+        val bytesPerFrame = channels * (bits / 8)
+        val frames = dataLen / bytesPerFrame
+        var energy = 0.0
+        var i = dataOff
+        val end = dataOff + frames * bytesPerFrame
+        if (bits == 16) {
+          while (i < end) {
+            val s = (u16(b, i) << 16) >> 16 // sign-extend little-endian s16
+            val v = s / 32768.0
+            energy += v * v
+            i += 2
+          }
+        } else {
+          while (i < end) { // 8-bit WAV is unsigned, midpoint 128
+            val v = ((b(i) & 0xff) - 128) / 128.0
+            energy += v * v
+            i += 1
+          }
+        }
+        Some(DecodedMeta(0L, "wav", 0, 0, rate, frames.toLong * channels,
+          frames.toLong * 1000L / rate, energy, 0L))
       }
     }
-    Some(DecodedMeta(0L, "wav", 0, 0, rate, frames.toLong * channels,
-      frames.toLong * 1000L / rate, energy, 0L))
-  }
 
   /** BMP: BITMAPFILEHEADER + BITMAPINFOHEADER(≥40), 24-bit BI_RGB only
     * (deeper headers tolerated, compression is not). Handles bottom-up
@@ -150,8 +165,12 @@ object Multimodal {
     val bpp = u16(b, 28)
     val compression = i32(b, 30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * h > b.length) return None
+    // row size in LONG arithmetic: a declared width near 2^30 overflows
+    // w*3 to a negative Int, which would slip past the bounds check and
+    // return fabricated dimensions for a corrupt header
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + rowSizeL * h > b.length) return None
+    val rowSize = rowSizeL.toInt // bounded by b.length after the check
     var pixSum = 0L
     var y = 0
     while (y < h) {
@@ -277,38 +296,24 @@ object Multimodal {
   }
 
   /** Raw 16-bit mono PCM extraction from a RIFF/WAVE payload — the
-    * sample-level twin of [[decodeWav]] (which only aggregates).
-    * Returns (sampleRate, samples) or None for anything that isn't
-    * uncompressed 16-bit mono (those rows keep the stub path). */
-  private[graft] def decodePcm16Mono(b: Array[Byte]): Option[(Int, Array[Short])] = {
-    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var pos = 12
-    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
-    var dataOff = -1; var dataLen = 0
-    while (pos + 8 <= b.length) {
-      val id = tag(b, pos); val len = i32(b, pos + 4)
-      if (len < 0 || pos + 8 + len > b.length) return None
-      id match {
-        case "fmt " if len >= 16 =>
-          fmtOk = u16(b, pos + 8) == 1
-          channels = u16(b, pos + 10)
-          rate = i32(b, pos + 12)
-          bits = u16(b, pos + 22)
-        case "data" => dataOff = pos + 8; dataLen = len
-        case _ => ()
+    * sample-level twin of [[decodeWav]] (which only aggregates); both
+    * share [[parseRiffPcm]]'s container walk. Returns (sampleRate,
+    * samples) or None for anything that isn't uncompressed 16-bit mono
+    * (those rows keep the stub path). */
+  private[graft] def decodePcm16Mono(b: Array[Byte]): Option[(Int, Array[Short])] =
+    parseRiffPcm(b).flatMap { case (rate, channels, bits, dataOff, dataLen) =>
+      if (channels != 1 || bits != 16) None
+      else {
+        val n = dataLen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((u16(b, dataOff + 2 * i) << 16) >> 16).toShort
+          i += 1
+        }
+        Some((rate, out))
       }
-      pos += 8 + len + (len & 1)
     }
-    if (!fmtOk || rate <= 0 || channels != 1 || bits != 16 || dataOff < 0) return None
-    val n = dataLen / 2
-    val out = new Array[Short](n)
-    var i = 0
-    while (i < n) {
-      out(i) = ((u16(b, dataOff + 2 * i) << 16) >> 16).toShort
-      i += 1
-    }
-    Some((rate, out))
-  }
 
   /** Sniff + decode with the real parsers; None only for payloads that
     * need a codec library the JVM lacks (MP4/MP3 — the stubs' domain). */
@@ -544,7 +549,11 @@ object Multimodal {
     * rate/width, height, sample-or-pixel count); everything else falls
     * back to the byte-histogram STUB. Keeps the m01 conservation gate
     * meaningful for raw payloads while real WAV/BMP/PPM rows carry real
-    * signal. */
+    * signal. Callers must route ONLY declared-media rows here
+    * (extractFeatures gates on format != "raw"): content sniffing alone
+    * would let a text payload that happens to start like a PPM header
+    * silently switch feature semantics — a corpus-content-dependent
+    * oracle break. */
   private[operators] def features(bytes: Array[Byte], dim: Int = 8): Array[Float] =
     decodeAny(bytes) match {
       case Some(d) =>
@@ -565,7 +574,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val feats = features(m.bytes)
+        // the real-decode route only for rows DECLARED as a concrete
+        // media format; "raw" (the stub corpus: text bytes as payload)
+        // always takes the conservation-checked stub, so a text that
+        // coincidentally parses as PPM/WAV can't flip feature semantics
+        val feats =
+          if (m.format != "raw") features(m.bytes) else featuresStub(m.bytes)
         val frames =
           if (m.kind == "video") math.max(1, (m.duration_ms / 1000L).toInt) else 1
         MediaFeatures(m.media_id, m.kind, m.bytes.length, feats, frames)

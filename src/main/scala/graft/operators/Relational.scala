@@ -59,10 +59,11 @@ object Relational {
     * contract the reference's rowid scan gives (SDF.swift:295-304 reads
     * SQLite's rowid, which is a physical total order).
     *
-    * The range-sorted frame is persisted (both passes read it); the
-    * cache is released when the caller's action completes via the
-    * returned frame's lineage — callers running many of these in one
-    * session should `spark.catalog.clearCache()` between batches. */
+    * The range-sorted frame is persisted (both passes read it) and the
+    * cache stays pinned until the caller releases it — Spark never
+    * auto-unpersists on action completion. Callers running many of
+    * these in one session must `spark.catalog.clearCache()` (or
+    * unpersist the RDDs) between batches; Bench and Verify both do. */
   def withRowIdScaled(df: DataFrame, order: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

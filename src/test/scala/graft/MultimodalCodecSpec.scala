@@ -149,6 +149,32 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out3.width == 16 && out3.height == 16 && out3.bytes.length < 100)
   }
 
+  test("overflow payloads: huge declared lengths reject cleanly, never wrap Int") {
+    // RIFF chunk declaring len ≈ Int.MaxValue: pos+8+len wraps negative
+    // in Int arithmetic — the Long-checked walk must return None, not
+    // walk the cursor out of the buffer and throw
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(56)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(0x7ffffff0)
+    val evil = bb.array()
+    assert(Multimodal.decodeWav(evil).isEmpty)
+    assert(Multimodal.decodePcm16Mono(evil).isEmpty)
+    // BMP declaring width 2^30: w*3 wraps negative, rowSize*h would
+    // pass an Int bounds check — must reject, not fabricate dimensions
+    val bmp = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte); bmp.put('M'.toByte); bmp.putInt(64)
+    bmp.putInt(0); bmp.putInt(54)
+    bmp.putInt(40); bmp.putInt(0x40000000); bmp.putInt(1) // w=2^30, h=1
+    bmp.putShort(1); bmp.putShort(24); bmp.putInt(0)
+    assert(Multimodal.decodeBmp(bmp.array()).isEmpty)
+    // both still surface through decodeMeta as raw rows, not failures
+    val out = Multimodal.decodeMeta(
+      Seq((1L, evil), (2L, bmp.array())).toDF("media_id", "bytes"))
+      .collect()
+    assert(out.length == 2 && out.forall(_.format == "raw"))
+  }
+
   test("poison payloads: valid magic + corrupt body degrades, never fails the task") {
     // PNG magic with a garbage body: decode → raw (never-drop contract)
     val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
