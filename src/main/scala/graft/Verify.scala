@@ -34,6 +34,7 @@ object Verify {
       // scale-rowid's sorted frame) that would otherwise stay pinned for
       // the rest of the ~140-query dump and stack storage pressure —
       // same per-query isolation Bench applies
+      graft.operators.OperatorCaches.release()
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

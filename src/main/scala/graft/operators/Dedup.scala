@@ -23,13 +23,15 @@ import graft.functions.SimHash64
   * frame, [[ngramJaccardPairsFrom]]'s capped inverted index,
   * [[ngramJaccardIncremental]], [[cosineNearDupLSH]]) `persist()` it;
   * the cache cannot be released inside the operator because the returned
-  * frame is lazy and still reads it. The CALLER owns the release: run
-  * `spark.sharedState.cacheManager.clearCache()` (or unpersist the RDDs
-  * from `sparkContext.getPersistentRDDs`) after consuming the result, as
-  * Bench does per query — in a long-lived session each un-cleared call
-  * otherwise pins executor storage memory. Callers that already hold a
-  * persisted [[shingleFrame]] should use the `*From` variants, which add
-  * no caching of their own beyond the capped index.
+  * frame is lazy and still reads it. Every such persist is registered in
+  * [[OperatorCaches]] — the CALLER runs `OperatorCaches.release()` after
+  * consuming the result (Bench/Verify clear globally per query); in a
+  * long-lived session each un-released call otherwise pins executor
+  * storage memory. [[connectedComponents]] releases its per-round
+  * checkpoints eagerly inside the loop and registers only the final one.
+  * Callers that already hold a persisted [[shingleFrame]] should use the
+  * `*From` variants, which add no caching of their own beyond the capped
+  * index.
   */
 object Dedup {
 
@@ -178,8 +180,8 @@ object Dedup {
     // shingle arrays persist once; signatures are a pure narrow map over
     // them (fused MinHashSig — no explode/shuffle), the inverted index is
     // derived only for the verification joins
-    val withShingles = shingleFrame(df, idCol, textCol, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withShingles = OperatorCaches.track(
+      shingleFrame(df, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK))
     dedupMinHashPairsFrom(withShingles, idCol, numHashes, bands,
       threshold, maxBucket)
   }
@@ -238,8 +240,8 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
-    val withShingles = shingleFrame(df, idCol, textCol, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withShingles = OperatorCaches.track(
+      shingleFrame(df, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK))
     ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
   }
 
@@ -277,8 +279,9 @@ object Dedup {
       // intersection sizes; no distinct pass, no second verification join.
       // Persisted: both sides of the self-join read it (see the
       // incremental variant)
-      val capped = inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val capped = OperatorCaches.track(
+        inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
       val inter = capped.select(col("shingle"), col(idCol).as("id1"))
         .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
         .filter(col("id1") < col("id2"))
@@ -364,9 +367,10 @@ object Dedup {
     // joins re-read vectors instead of recomputing lineage
     val rowsPerBand = planes / bands
     val mask = (1L << rowsPerBand) - 1
-    val withSig = df.select(col(idCol), col(vecCol),
-      graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withSig = OperatorCaches.track(
+      df.select(col(idCol), col(vecCol),
+        graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val exploded = withSig.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -417,6 +421,11 @@ object Dedup {
       .agg(min(col("dst")).as("__m"))
       .select(col("node"), least(col("node"), col("__m")).as("component"))
       .localCheckpoint()
+    // the frame whose checkpoint blocks back the current `labels` — each
+    // round's eager checkpoint fully materializes the next one, so the
+    // superseded round's blocks release immediately instead of leaking
+    // one persisted RDD per round until driver GC
+    var ckpt = labels
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -434,12 +443,20 @@ object Dedup {
           col("component").as("__prev"))
         .localCheckpoint()
       converged = next.filter(col("component") < col("__prev")).isEmpty
+      OperatorCaches.releaseCheckpoint(ckpt)
+      ckpt = next
       labels = next.select(col("node"), col("component"))
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds")
+    // the returned frame reads only its own (final) checkpoint; the edge
+    // frame's blocks are done with — release now, register the final
+    // checkpoint for the caller's OperatorCaches.release()
+    OperatorCaches.releaseCheckpoint(edges)
+    val finalCkpt = ckpt
+    OperatorCaches.trackRelease(() => OperatorCaches.releaseCheckpoint(finalCkpt))
     labels
   }
 
@@ -469,9 +486,9 @@ object Dedup {
     val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
     val tagged = freshCorpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
       .unionByName(batch.select(col(idCol), col(textCol)).withColumn("__new", lit(true)))
-    val withShingles = tagged
+    val withShingles = OperatorCaches.track(tagged
       .select(col(idCol), col("__new"), shingles(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val inv = withShingles
       .select(col(idCol), col("__new"), explode(col("sh")).as("__s"))
       .select(col(idCol), col("__new"), xxhash64(col("__s")).as("shingle"))
@@ -481,8 +498,9 @@ object Dedup {
     // both sides of the co-occurrence self-join read this frame: persist
     // it once or the shingle explode + df-cap join runs twice (measured
     // ~25% of d09's wall time at sf0.1)
-    val capped = inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = OperatorCaches.track(
+      inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val inter = capped.select(col("shingle"), col(idCol).as("id1"), col("__new").as("__n1"))
       .join(capped.select(col("shingle"), col(idCol).as("id2"), col("__new").as("__n2")),
         Seq("shingle"))

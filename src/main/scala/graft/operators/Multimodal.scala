@@ -161,10 +161,13 @@ object Multimodal {
     if (dibSize < 40) return None
     val w = i32(b, 18)
     val hRaw = i32(b, 22)
+    // abs(Int.MinValue) == Int.MinValue, so h can still be negative here;
+    // the <= 0 guard rejects that crafted header instead of letting the
+    // negative rowSizeL*h product trivially pass the bounds check below
     val h = math.abs(hRaw)
     val bpp = u16(b, 28)
     val compression = i32(b, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
     // row size in LONG arithmetic: a declared width near 2^30 overflows
     // w*3 to a negative Int, which would slip past the bounds check and
     // return fabricated dimensions for a corrupt header
@@ -200,11 +203,14 @@ object Multimodal {
       progressed
     }
     def int(): Int = {
-      var v = -1
-      while (i < b.length && (b(i) >= '0' && b(i) <= '9')) {
-        v = (if (v < 0) 0 else v) * 10 + (b(i) - '0'); i += 1
+      // accumulate in Long: an Int accumulator wraps on a long digit run
+      // ("4294967297" → 1) and can land on a small positive value that
+      // passes the bounds check with fabricated dimensions
+      var v = -1L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = (if (v < 0L) 0L else v) * 10 + (b(i) - '0'); i += 1
       }
-      v
+      if (v > Int.MaxValue) -1 else v.toInt
     }
     if (!skipWs()) return None
     val w = int(); if (w <= 0) return None
@@ -657,9 +663,13 @@ object Multimodal {
         if (m.kind != "audio") m
         else decodePcm16Mono(m.bytes) match {
           case Some((rate, samples)) =>
-            if (rate <= toHz) m.copy(width = rate)
+            // a structurally valid zero-sample WAV must pass through, not
+            // throw: the interpolation loop below indexes samples(0)
+            if (rate <= toHz || samples.isEmpty) m.copy(width = rate)
             else {
-              val outN = math.max(1, (samples.length.toLong * toHz / rate).toInt)
+              // no max(1,…) floor: outN derives only from real samples so
+              // the n·toHz/rate output-length contract holds uniformly
+              val outN = (samples.length.toLong * toHz / rate).toInt
               val step = rate.toDouble / toHz
               val out = new Array[Short](outN)
               var j = 0

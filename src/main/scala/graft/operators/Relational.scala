@@ -30,13 +30,24 @@ object Relational {
   /** P3: row predicate. */
   def where(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
 
-  /** P4: SQLite implicit `rowid` — deterministic 1-based id from a total
-    * order. Uses a global window deliberately ONLY for small frames
-    * (result frames, dimension tables); the scale path is
-    * [[withRowIdScaled]]. */
-  def withRowId(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-    df.withColumn("rowid", row_number().over(w))
+  /** P4: SQLite implicit `rowid` — deterministic 1-based LongType id
+    * from a total order. Auto-routes on the optimizer's size estimate:
+    * frames above `smallBytesMax` take the two-pass partition-offset
+    * path ([[withRowIdScaled]] — no SinglePartition exchange, survives
+    * a 100× scale-up), genuinely small frames (dimension/result frames)
+    * keep the one-window form, which plans fewer jobs and persists
+    * nothing. Unknown estimates default to Long.MaxValue and route to
+    * the scale path — the safe direction. Both routes return the
+    * identical rowid (global rank in `order`) with identical schema. */
+  def withRowId(df: DataFrame, order: Seq[Column],
+      smallBytesMax: Long = 64L << 20): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > BigInt(smallBytesMax)) withRowIdScaled(df, order)
+    else {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      df.withColumn("rowid",
+        row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+    }
   }
 
   /** P4 at scale: two-pass partition-offset rowid. rowid is inherently a
@@ -61,9 +72,10 @@ object Relational {
     *
     * The range-sorted frame is persisted (both passes read it) and the
     * cache stays pinned until the caller releases it — Spark never
-    * auto-unpersists on action completion. Callers running many of
-    * these in one session must `spark.catalog.clearCache()` (or
-    * unpersist the RDDs) between batches; Bench and Verify both do. */
+    * auto-unpersists on action completion. The persist registers in
+    * [[OperatorCaches]]: callers running many of these in one session
+    * release between batches via `OperatorCaches.release()` (or the
+    * blunt `spark.catalog.clearCache()`); Bench and Verify both do. */
   def withRowIdScaled(df: DataFrame, order: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -73,6 +85,7 @@ object Relational {
       .sortWithinPartitions(order: _*)
       .withColumn("__mono", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OperatorCaches.track(sorted)
     // pass 1: per-partition counts — n rows to the driver, nothing else
     val counts = sorted
       .groupBy(shiftright(col("__mono"), 33).as("__pid"))

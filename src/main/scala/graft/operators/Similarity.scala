@@ -139,8 +139,8 @@ object Similarity {
     val spark = corpus0.sparkSession
     import spark.implicits._
     // one scan feeds init + every iteration — don't re-read lineage per pass
-    val corpus = corpus0.select(col(idCol), col(vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = OperatorCaches.track(corpus0.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var cents: Seq[Array[Float]] = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).as[Array[Float]].collect().toSeq
     // best centroid per row via max_by partial aggregation: the shuffle
@@ -173,8 +173,8 @@ object Similarity {
     val out = assign(cents)
       .select(col(idCol), col("cid"), round(col("__cos"), 6).as("cosine"))
     // corpus stays persisted: `out` is lazy and reads it; callers that
-    // are done with the assignments should unpersist (the bench harness
-    // clears all persisted frames between queries anyway)
+    // are done with the assignments release via OperatorCaches.release()
+    // (the bench harness clears all persisted frames between queries)
     (cents, out)
   }
 

@@ -135,6 +135,7 @@ object TextOps {
           .as("term"))
       .filter(col("term") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OperatorCaches.track(toks)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -178,6 +179,7 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OperatorCaches.track(toks)
     val termCounts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val words = termCounts.groupBy("doc_id").agg(
       sum(col("c")).as("n_words"),

@@ -534,7 +534,7 @@ object Core {
         .orderBy($"rowid")
     }, Some("""
       SELECT r_regionkey, r_name,
-             CAST(row_number() OVER (ORDER BY r_regionkey) AS INT) AS rowid
+             CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS rowid
       FROM region ORDER BY rowid"""))
   )
 }

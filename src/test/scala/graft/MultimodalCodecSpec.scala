@@ -175,6 +175,29 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out.length == 2 && out.forall(_.format == "raw"))
   }
 
+  test("crafted headers: MinValue BMP height, PPM digit wrap, zero-sample WAV") {
+    // BMP height 0x80000000: math.abs(Int.MinValue) is still negative, so
+    // the old h==0 guard passed and rowSize*h went negative past the
+    // bounds check — must reject, not return fabricated negative dims
+    val bmp = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte); bmp.put('M'.toByte); bmp.putInt(64)
+    bmp.putInt(0); bmp.putInt(54)
+    bmp.putInt(40); bmp.putInt(1); bmp.putInt(Int.MinValue) // w=1, h=0x80000000
+    bmp.putShort(1); bmp.putShort(24); bmp.putInt(0)
+    assert(Multimodal.decodeBmp(bmp.array()).isEmpty)
+    // PPM width "4294967297" (2^32+1): an Int accumulator wraps to 1 and
+    // the header parses with fabricated in-bounds dimensions — must reject
+    val ppm = "P6\n4294967297 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(16)(7.toByte)
+    assert(Multimodal.decodePpm(ppm).isEmpty)
+    // zero-sample WAV (empty data chunk) through resamplePcm at a lower
+    // target rate: pass through with refreshed rate, never index samples(0)
+    val empty = Multimodal.encodeWavPcm16(8000, Array.empty[Short])
+    val rec = Multimodal.MediaRecord(1L, "audio", empty, 8000, 0, "wav", 0L)
+    val out = Multimodal.resamplePcm(Seq(rec).toDS(), 3000).collect().head
+    assert(out.width == 8000 && (out.bytes sameElements empty))
+  }
+
   test("poison payloads: valid magic + corrupt body degrades, never fails the task") {
     // PNG magic with a garbage body: decode → raw (never-drop contract)
     val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,

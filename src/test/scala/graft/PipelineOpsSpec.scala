@@ -164,6 +164,54 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("OperatorCaches.release() drops every operator-owned cache and checkpoint") {
+    import graft.operators.OperatorCaches
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    // start clean: other suites' caches must not pollute the assertion
+    spark.sharedState.cacheManager.clearCache()
+    OperatorCaches.release()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // operators that persist intermediates: shingle frame + capped index
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3).count()
+    // checkpointed fixpoint: per-round frames release inside the loop,
+    // the final one via the registry
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    Dedup.connectedComponents(pairs, "a", "b").count()
+    // k-means corpus persist
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    Similarity.kmeansFit(emb, k = 2, iters = 1)._2.count()
+    assert(OperatorCaches.trackedCount > 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    val n = OperatorCaches.release()
+    assert(n >= 4, s"expected at least 4 tracked releases, got $n")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("ngramJaccardPairsFrom: maxDocFreq cap drops high-DF pairs; MaxValue is exact") {
+    // Four docs whose ONLY overlap is one shingle with doc-frequency 4:
+    // every pair has jaccard 1/3. A cap below 4 drops that shingle from
+    // the inverted index and silently loses all six pairs — exactly the
+    // divergence d02_minhash_gate avoids by recomputing its exact
+    // reference with maxDocFreq = Int.MaxValue (the DuckDB CTE is
+    // uncapped). This pins the semantics the gate relies on.
+    val sh = Seq(
+      (1L, Seq("common sh ingle", "only one")),
+      (2L, Seq("common sh ingle", "only two")),
+      (3L, Seq("common sh ingle", "only three")),
+      (4L, Seq("common sh ingle", "only four"))).toDF("doc_id", "sh")
+    val capped = Dedup.ngramJaccardPairsFrom(sh, "doc_id",
+      threshold = 0.2, maxDocFreq = 3)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+    val exact = Dedup.ngramJaccardPairsFrom(sh, "doc_id",
+      threshold = 0.2, maxDocFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.length == 6 && exact.forall(_._3 == 0.3333)) // round(j, 4)
+  }
+
   test("ngramJaccard matches brute-force on the documents table") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
     val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)

@@ -253,4 +253,24 @@ class PlanSpec extends SparkSpec {
       s"expected a range repartition:\n$p")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("withRowId auto-routes by size estimate: big → scaled, small → window") {
+    // forcing the threshold to 0 routes any frame down the scale path —
+    // the global-window footgun must be unreachable above the threshold
+    val big = graft.operators.Relational.withRowId(
+        Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_linenumber"),
+        Seq(col("l_orderkey"), col("l_linenumber")), smallBytesMax = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!big.contains("SinglePartition") && !big.contains("Window"),
+      s"above the threshold the scaled (window-free) path must run:\n$big")
+    spark.sharedState.cacheManager.clearCache()
+    graft.operators.OperatorCaches.release()
+    // a dimension table sits far below the default 64 MB estimate and
+    // keeps the one-window form (fewer jobs, nothing persisted)
+    val small = graft.operators.Relational.withRowId(
+        Tables.load(spark, sf, "region").select($"r_regionkey"),
+        Seq(col("r_regionkey")))
+      .queryExecution.executedPlan.toString
+    assert(small.contains("Window"), s"small frame should keep the window:\n$small")
+  }
 }

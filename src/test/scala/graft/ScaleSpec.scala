@@ -55,7 +55,7 @@ class ScaleSpec extends SparkSpec {
     assert(a == b, "rowid must be a pure function of the total order")
     // and it agrees with the small-frame global-window formulation
     val w = Relational.withRowId(base, order)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong)).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a == w, "scaled and global-window rowid must agree")
     spark.sharedState.cacheManager.clearCache()
   }

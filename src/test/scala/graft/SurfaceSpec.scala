@@ -149,11 +149,11 @@ class SurfaceSpec extends SparkSpec {
     assert(ordered.schema("done").dataType ==
       org.apache.spark.sql.types.BooleanType)
     assert(ordered.schema("date").dataType == TimestampType)
-    assert(ordered.as[(Int, String, Boolean, java.sql.Timestamp)]
+    assert(ordered.as[(Long, String, Boolean, java.sql.Timestamp)]
       .collect().toSeq == Seq(
-        (1, "Walk dog", false, now),
-        (2, "Drink milk", false, now),
-        (3, "Write code", false, now)))
+        (1L, "Walk dog", false, now),
+        (2L, "Drink milk", false, now),
+        (3L, "Write code", false, now)))
     store.drop("tasks")
   }
 
