@@ -126,7 +126,11 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          failed ::= name; ok = false
+          // A query is either measured (in "queries"/total) or failed (in
+          // "errors", value -1) — never both. A failure on ANY rep voids the
+          // earlier reps' times, else a flaky query inflates the headline
+          // while also appearing in errors.
+          failed ::= name; ok = false; times = Vector.empty
         }
         if (ok) times :+= (System.nanoTime() - t0) / 1e9
         cleanup()

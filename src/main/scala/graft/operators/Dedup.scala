@@ -428,29 +428,42 @@ object Dedup {
     var ckpt = labels
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxIter) {
-      // Messages pre-aggregate to one candidate per receiving node before
-      // touching the label frame, and the previous label rides along so
-      // ONE checkpointed job per round yields both the new labels and the
-      // convergence evidence (the earlier form re-joined next against the
-      // old labels — a second full shuffle job per round).
-      val pushed = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(min("component").as("__pushed"))
-      val next = labels.join(pushed, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), col("__pushed")).as("component"),
-          col("component").as("__prev"))
-        .localCheckpoint()
-      converged = next.filter(col("component") < col("__prev")).isEmpty
-      OperatorCaches.releaseCheckpoint(ckpt)
-      ckpt = next
-      labels = next.select(col("node"), col("component"))
-      rounds += 1
+    // Any exit before the happy path — a mid-round job failure or the
+    // no-fixpoint throw below — must still release the edges checkpoint
+    // and the last round's label checkpoint, or their block-manager
+    // storage leaks until a blanket getPersistentRDDs unpersist.
+    try {
+      while (!converged && rounds < maxIter) {
+        // Messages pre-aggregate to one candidate per receiving node before
+        // touching the label frame, and the previous label rides along so
+        // ONE checkpointed job per round yields both the new labels and the
+        // convergence evidence (the earlier form re-joined next against the
+        // old labels — a second full shuffle job per round).
+        val pushed = edges
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(min("component").as("__pushed"))
+        val next = labels.join(pushed, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), col("__pushed")).as("component"),
+            col("component").as("__prev"))
+          .localCheckpoint()
+        // hand over ckpt -> next BEFORE the convergence job, so the catch
+        // below always sees the newest materialized checkpoint in `ckpt`
+        OperatorCaches.releaseCheckpoint(ckpt)
+        ckpt = next
+        labels = next.select(col("node"), col("component"))
+        converged = next.filter(col("component") < col("__prev")).isEmpty
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxIter rounds")
+    } catch {
+      case t: Throwable =>
+        OperatorCaches.releaseCheckpoint(edges)
+        OperatorCaches.releaseCheckpoint(ckpt)
+        throw t
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $maxIter rounds")
     // the returned frame reads only its own (final) checkpoint; the edge
     // frame's blocks are done with — release now, register the final
     // checkpoint for the caller's OperatorCaches.release()

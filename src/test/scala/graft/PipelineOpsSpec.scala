@@ -190,6 +190,43 @@ class DedupSpec extends SparkSpec {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("OperatorCaches.scoped: interleaved pipelines release independently") {
+    import graft.operators.OperatorCaches
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    // start clean
+    spark.sharedState.cacheManager.clearCache()
+    OperatorCaches.release()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // two pipelines built interleaved, each in its own scope — over
+    // DIFFERENT inputs, so the CacheManager can't dedupe their plans into
+    // shared cache entries (identical plans share one entry; unpersisting
+    // it from either side would drop both)
+    val (pairsA, scopeA) = OperatorCaches.scoped {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+    }
+    val (pairsB, scopeB) = OperatorCaches.scoped {
+      Dedup.ngramJaccardPairs(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", threshold = 0.7)
+    }
+    pairsA.count(); pairsB.count()
+    assert(scopeA.trackedCount > 0 && scopeB.trackedCount > 0)
+    // scoped registrations never land in the global registry
+    assert(OperatorCaches.trackedCount == 0)
+    val allCached = spark.sparkContext.getPersistentRDDs.size
+    // releasing A leaves B's storage untouched and B still answers
+    scopeA.release()
+    assert(scopeA.trackedCount == 0)
+    val afterA = spark.sparkContext.getPersistentRDDs.size
+    assert(afterA > 0 && afterA < allCached,
+      s"scopeA.release() should drop only A's caches: $allCached -> $afterA")
+    pairsB.count() // B's caches intact — no recompute failure, same result path
+    scopeB.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("ngramJaccardPairsFrom: maxDocFreq cap drops high-DF pairs; MaxValue is exact") {
     // Four docs whose ONLY overlap is one shingle with doc-frequency 4:
     // every pair has jaccard 1/3. A cap below 4 drops that shingle from
