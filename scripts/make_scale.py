@@ -13,12 +13,22 @@ duplicate structure instead of inflating it:
   cosine exactly and scrambles cross-replica cosines to ~0.
 
 Other tables are symlinked from the source sf dir (Bench warm-up loads
-them). Usage: make_scale.py <src_sf_dir> <out_dir> <replicas>
+them). Usage: make_scale.py <src_sf_dir> <out_dir> <replicas> [--relational]
+
+With --relational the TPC-H-shaped tables are ALSO replicated R times
+(sf0.1 x 10 = a true sf1-equivalent): every key column is shifted by
+replica * (max_key + 1) with FOREIGN keys shifted by the SAME replica
+index, so each replica is a self-contained join-closed copy — join
+fan-outs, per-key group sizes, and selectivities are preserved exactly,
+and result sizes grow linearly. region/nation stay fixed-size (as in
+TPC-H scaling; their keys are referenced unshifted). events shifts
+event_id and user_id (per-user session/state structure constant).
 """
 import sys, os
 import duckdb
 
 src, out, R = sys.argv[1], sys.argv[2], int(sys.argv[3])
+relational = "--relational" in sys.argv[4:]
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -47,8 +57,53 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"]:
+# key columns to shift per replicated table: (primary keys + foreign keys
+# into other REPLICATED tables). Foreign keys into fixed-size tables
+# (n_nationkey refs) stay unshifted. Shift amounts come from the PARENT
+# table's own key space so child FKs land exactly on the parent's shifted
+# keys (same replica index -> same offset -> join-closed replicas).
+SHIFT = {
+    "customer": [("c_custkey", "customer", "c_custkey")],
+    "supplier": [("s_suppkey", "supplier", "s_suppkey")],
+    "part":     [("p_partkey", "part", "p_partkey")],
+    "orders":   [("o_orderkey", "orders", "o_orderkey"),
+                 ("o_custkey", "customer", "c_custkey")],
+    "lineitem": [("l_orderkey", "orders", "o_orderkey"),
+                 ("l_partkey", "part", "p_partkey"),
+                 ("l_suppkey", "supplier", "s_suppkey")],
+    "events":   [("event_id", "events", "event_id"),
+                 ("user_id", "events", "user_id")],
+}
+
+replicated, linked = [], ["region", "nation"]
+if relational:
+    replicated = ["customer", "supplier", "part", "orders", "lineitem",
+                  "events"]
+else:
+    linked += ["customer", "supplier", "part", "orders", "lineitem",
+               "events"]
+
+for t in replicated:
+    cols = [c[0] for c in con.execute(
+        f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+    shifts = {col: (ptab, pkey) for col, ptab, pkey in SHIFT[t]}
+    exprs = []
+    for c in cols:
+        if c in shifts:
+            ptab, pkey = shifts[c]
+            exprs.append(
+                f"t.{c} + r.i * (SELECT max({pkey}) + 1 "
+                f"FROM '{src}/{ptab}.parquet') AS {c}")
+        else:
+            exprs.append(f"t.{c}")
+    con.execute(f"""
+    COPY (
+      SELECT {', '.join(exprs)}
+      FROM '{src}/{t}.parquet' t, range({R}) r(i)
+    ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+    """)
+
+for t in linked:
     dst = f"{out}/{t}.parquet"
     # abspath: a relative src would be stored relative to OUT and dangle;
     # lexists: a dangling link fails os.path.exists but still collides
@@ -56,6 +111,6 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         os.remove(dst)
     os.symlink(os.path.abspath(f"{src}/{t}.parquet"), dst)
 
-for t in ["documents", "embeddings"]:
+for t in ["documents", "embeddings"] + replicated:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
