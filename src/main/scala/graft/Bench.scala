@@ -162,8 +162,11 @@ object Bench {
       val omitted = results.size - entries.size
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
-    // fit budget: the driver's tail window is ~2000 chars; stay clear of it.
-    val budget = 1800
+    // fit budget: the driver's tail window is ~2000 chars; stay clear of
+    // it. Local analysis runs (full per-query capture to a file) can lift
+    // the cap via SPARK_GRAFT_BUDGET.
+    val budget = sys.env.get("SPARK_GRAFT_BUDGET")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1800)
     val bySlowest = medians.sortBy(-_._2)
     var keep = bySlowest.size
     while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > budget) keep -= 1
