@@ -14,19 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true: the
-    * events table carries TIMESTAMP(NANOS), which vanilla Spark rejects.
-    * With the flag it arrives as LongType nanos; we normalize to a real
-    * TimestampType (µs) here with exact integer division (`div`, not `/`,
-    * which would round-trip through double and lose µs precision on
-    * 1.7e18-scale nano values). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      else acc
+  /** Schema-adaptive read: the events table has shipped with three
+    * different physical `ts` encodings over the corpus's lifetime —
+    * TIMESTAMP(NANOS) (arrives as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ — what DuckDB and
+    * pyarrow write by default), and plain UTC TIMESTAMP. Mirroring the
+    * reference's runtime-typed cell decode (SQLiteDataFrame.swift:87-104
+    * reads each cell by its *actual* storage class, never a declared one),
+    * we branch on the type the file actually carries and normalize all
+    * three to TimestampType. Sessions pin the TZ to UTC, so the NTZ cast
+    * is exact; the nano path uses integer `div` (not `/`, which would
+    * round-trip through double and lose µs precision at 1.7e18 scale). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize a `ts` column to TimestampType whatever physical type it
+    * arrived as; no-op when absent or already a timestamp. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // legacy TIMESTAMP(NANOS) as raw nano-longs
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => // µs NTZ; session TZ is UTC → exact
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -16,22 +16,37 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** The legacy physical shape: TIMESTAMP(NANOS) read as raw nano-longs
+    * under spark.sql.legacy.parquet.nanosAsLong. Kept for specs that
+    * deliberately write this encoding; production reads derive the schema
+    * from the file itself (see readEventStream). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) arrives as long nanos
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of the events table; normalizes nano-longs to a
-    * real timestamp like Tables.load does for batch. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream of the events table. Structured Streaming's file
+    * source requires a user-supplied schema, so we probe the file with a
+    * one-off batch read (driver-side footer read, no data scan) and bind
+    * the stream to whatever physical ts encoding the file actually
+    * carries — long-nanos, µs NTZ, or µs UTC — then normalize to
+    * TimestampType exactly like graft.Tables.load does for batch. This
+    * mirrors the reference's runtime-typed cell decode
+    * (SQLiteDataFrame.swift:87-104): trust the storage class in the file,
+    * not a compile-time declaration. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir))
+  }
 
   /** Tumbling-window counts with a watermark: the streaming twin of the
     * batch q28_time_window. */

@@ -33,14 +33,15 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.Files
     val srcDir = Files.createTempDirectory("graft_ckpt_src").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("graft_ckpt_state").toFile.getAbsolutePath
-    val raw = spark.read.schema(EventStreams.eventSchema)
-      .parquet(sf + "/events.parquet")
+    // read the real file by its OWN schema (encoding-agnostic), write the
+    // drops verbatim, and let normalizeTs adapt the stream side too
+    val raw = spark.read.parquet(sf + "/events.parquet")
     val drop1 = raw.filter($"event_id" % 2 === 0)
     val drop2 = raw.filter($"event_id" % 2 === 1)
     drop1.coalesce(1).write.mode("append").parquet(srcDir)
     def agg = EventStreams.windowedCounts(
-      spark.readStream.schema(EventStreams.eventSchema).parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      Tables.normalizeTs(
+        spark.readStream.schema(raw.schema).parquet(srcDir)))
     val q1 = agg.writeStream.outputMode("complete").format("memory")
       .queryName("ck_run1").option("checkpointLocation", ckpt).start()
     q1.processAllAvailable(); q1.stop()
