@@ -54,4 +54,55 @@ class EndToEndSpec extends SparkSpec {
     // embeddings attached for every doc that has one
     assert(back.filter($"embedding".isNotNull).count() > 0)
   }
+
+  test("poison pill: ns-long / µs-NTZ / µs-UTC events encodings all read identically") {
+    // The corpus has silently switched physical ts encodings before
+    // (TIMESTAMP(NANOS) → MICROS/NTZ), which broke 8 queries at once.
+    // Write the SAME rows under all three encodings a writer might
+    // produce and assert batch (Tables.load) and streaming
+    // (EventStreams.readEventStream) normalize them to identical results.
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType, LongType}
+    import graft.streaming.EventStreams
+
+    val base = Tables.load(spark, sf, "events").limit(500).cache()
+
+    // materialize df as a single FILE named events.parquet under its own
+    // dir (the driver's layout; the stream reader globs on the file name)
+    def asSingleFile(df: DataFrame): String = {
+      val dir = Files.createTempDirectory("graft-poison").toString
+      val staging = dir + "/_staging"
+      df.coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Path.of(dir, "events.parquet"))
+      dir
+    }
+
+    val dirUtc = asSingleFile(base) // TimestampType → TIMESTAMP(MICROS, UTC)
+    val dirNtz = asSingleFile(base.withColumn("ts", $"ts".cast(TimestampNTZType)))
+    val dirNs = asSingleFile(base.withColumn("ts", expr("unix_micros(ts) * 1000")))
+
+    val dirs = Seq("utc" -> dirUtc, "ntz" -> dirNtz, "ns" -> dirNs)
+    // batch: every encoding must land on TimestampType with equal rows
+    val batches = dirs.map { case (tag, d) =>
+      val got = Tables.load(spark, d, "events")
+      assert(got.schema("ts").dataType == TimestampType, s"$tag batch dtype")
+      tag -> got.orderBy($"event_id").collect().toSeq
+    }.toMap
+    assert(batches("ntz") == batches("utc"), "NTZ batch read diverged")
+    assert(batches("ns") == batches("utc"), "ns-long batch read diverged")
+
+    // streaming: the windowed aggregate over each encoding is identical
+    val streams = dirs.map { case (tag, d) =>
+      val agg = EventStreams.windowedCounts(EventStreams.readEventStream(spark, d))
+      tag -> EventStreams.runToMemory(spark, agg, s"poison_$tag")
+        .orderBy($"hour_start", $"event_type").collect().toSeq
+    }.toMap
+    assert(streams("utc").nonEmpty)
+    assert(streams("ntz") == streams("utc"), "NTZ stream read diverged")
+    assert(streams("ns") == streams("utc"), "ns-long stream read diverged")
+    base.unpersist()
+  }
 }
