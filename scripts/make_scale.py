@@ -103,17 +103,9 @@ for t in replicated:
     ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
     """)
 
-if "events" in replicated:
-    # DuckDB writes TIMESTAMP as micros; the source events.parquet carries
-    # TIMESTAMP(NANOS) and the streaming reader (EventStreams.eventSchema)
-    # binds ts as raw nano-longs. Restore the ns physical type so the
-    # scaled table is schema-identical to the driver-generated ones.
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{out}/events.parquet")
-    ts_ns = tbl.column("ts").cast(pa.timestamp("ns"))
-    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
-    pq.write_table(tbl, f"{out}/events.parquet")
+# DuckDB writes TIMESTAMP as µs/NTZ — the same physical encoding the
+# driver corpus now carries; the repo's reads are schema-adaptive
+# (Tables.normalizeTs), so no physical-type rewrite is needed here.
 
 for t in linked:
     dst = f"{out}/{t}.parquet"
