@@ -38,9 +38,12 @@ object EventStreams {
     * (SQLiteDataFrame.swift:87-104): trust the storage class in the file,
     * not a compile-time declaration. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir).schema
+    // If no file has landed yet (legal for a file-source stream: it idles
+    // until data arrives), the probe cannot infer a schema — fall back to
+    // the legacy declared shape instead of failing stream *creation*.
+    val physical =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(physical)

@@ -66,7 +66,9 @@ class EndToEndSpec extends SparkSpec {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType, LongType}
     import graft.streaming.EventStreams
 
-    val base = Tables.load(spark, sf, "events").limit(500).cache()
+    // deterministic subset (a bare limit() has no row-selection guarantee
+    // on recomputation — the three writes below must see identical rows)
+    val base = Tables.load(spark, sf, "events").filter($"event_id" <= 500)
 
     // materialize df as a single FILE named events.parquet under its own
     // dir (the driver's layout; the stream reader globs on the file name)
@@ -80,8 +82,20 @@ class EndToEndSpec extends SparkSpec {
       dir
     }
 
-    val dirUtc = asSingleFile(base) // TimestampType → TIMESTAMP(MICROS, UTC)
+    // pin the UTC leg to annotated TIMESTAMP(MICROS, adjustedToUTC=true)
+    // (the session default could be INT96, which tests a different branch)
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dirUtc = try asSingleFile(base)
+      finally prevOut match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
     val dirNtz = asSingleFile(base.withColumn("ts", $"ts".cast(TimestampNTZType)))
+    // the ns leg is raw INT64 nanos: Spark cannot WRITE the annotated
+    // TIMESTAMP(NANOS) logical type, but under nanosAsLong=true an
+    // annotated file arrives as exactly this LongType shape, so the
+    // normalization branch under test is the same either way
     val dirNs = asSingleFile(base.withColumn("ts", expr("unix_micros(ts) * 1000")))
 
     val dirs = Seq("utc" -> dirUtc, "ntz" -> dirNtz, "ns" -> dirNs)
@@ -103,6 +117,5 @@ class EndToEndSpec extends SparkSpec {
     assert(streams("utc").nonEmpty)
     assert(streams("ntz") == streams("utc"), "NTZ stream read diverged")
     assert(streams("ns") == streams("utc"), "ns-long stream read diverged")
-    base.unpersist()
   }
 }

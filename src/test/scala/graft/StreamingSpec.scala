@@ -163,7 +163,7 @@ class StreamingSpec extends SparkSpec {
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs) // one source of truth for ts decode
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[EventStreams.Event]
     val got = EventStreams.withShufflePartitions(spark, 4) {
@@ -200,7 +200,7 @@ class StreamingSpec extends SparkSpec {
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs) // one source of truth for ts decode
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[EventStreams.Event]
     val got = EventStreams.withShufflePartitions(spark, 4) {
@@ -242,7 +242,7 @@ class StreamingSpec extends SparkSpec {
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs) // one source of truth for ts decode
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[EventStreams.Event]
     val got = EventStreams.withShufflePartitions(spark, 4) {
@@ -277,7 +277,7 @@ class StreamingSpec extends SparkSpec {
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs) // one source of truth for ts decode
       .withWatermark("ts", "1 hour")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[EventStreams.Event]
