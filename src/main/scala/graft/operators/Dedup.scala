@@ -516,10 +516,22 @@ object Dedup {
     val capped = OperatorCaches.track(
       inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val inter = capped.select(col("shingle"), col(idCol).as("id1"), col("__new").as("__n1"))
-      .join(capped.select(col("shingle"), col(idCol).as("id2"), col("__new").as("__n2")),
-        Seq("shingle"))
-      .filter(col("id1") < col("id2") && (col("__n1") || col("__n2")))
+    // "at least one side new" is enforced BEFORE the join, not filtered
+    // after: the left side is only the batch's index rows, so join volume
+    // is |batch-index| × df, not |full-index| × df — the difference
+    // between an incremental ingest and a full-corpus recompute when the
+    // batch is small against a 100 TB corpus. Each unordered pair is kept
+    // exactly once: (new, old) pairs only ever appear with the new doc on
+    // the left; (new, new) pairs appear twice and the id-order filter
+    // keeps the left-smaller orientation.
+    val newSide = capped.filter(col("__new"))
+    val inter = newSide.select(col("shingle"), col(idCol).as("__idn"))
+      .join(capped.select(col("shingle"), col(idCol).as("__ido"),
+        col("__new").as("__no")), Seq("shingle"))
+      .filter(col("__idn") =!= col("__ido") &&
+        !(col("__no") && col("__ido") < col("__idn")))
+      .select(least(col("__idn"), col("__ido")).as("id1"),
+              greatest(col("__idn"), col("__ido")).as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("__inter"))
     inter
