@@ -178,8 +178,8 @@ object Dedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     // shingle arrays persist once; signatures are a pure narrow map over
-    // them (fused MinHashSig — no explode/shuffle), the inverted index is
-    // derived only for the verification joins
+    // them (fused MinHashSig — no explode/shuffle), and verification
+    // re-reads the same persisted arrays (verifyJaccard intersects them)
     val withShingles = OperatorCaches.track(
       shingleFrame(df, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK))
     dedupMinHashPairsFrom(withShingles, idCol, numHashes, bands,
@@ -223,6 +223,12 @@ object Dedup {
       .join(arr.select(col(idCol).as("id2"), col("__sha").as("__a2")), "id2")
       .withColumn("__inter",
         size(array_intersect(col("__a1"), col("__a2"))).cast(LongType))
+      // Two EMPTY-shingle docs (text under k words) have union 0: the
+      // jaccard is undefined and the division would throw under ANSI.
+      // The replaced inverted-index path dropped such pairs at its inner
+      // join (no index rows to match on) — keep that contract explicitly,
+      // and BEFORE the division so no filtered row ever evaluates it.
+      .filter(size(col("__a1")) + size(col("__a2")) - col("__inter") > 0)
       .withColumn("jaccard", round(
         col("__inter").cast(DoubleType) /
         (size(col("__a1")) + size(col("__a2")) - col("__inter")).cast(DoubleType), 4))
@@ -289,16 +295,23 @@ object Dedup {
         .filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2"))
         .agg(count(lit(1)).as("__inter"))
-      inter
-        .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
-        .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
-        .withColumn("jaccard", round(
-          col("__inter").cast(DoubleType) /
-          (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id1"), col("id2"), col("jaccard"))
+      jaccardFromCounts(inter, sizes, idCol, threshold)
     }
   }
+
+  /** Shared finisher for the count-based paths: (id1, id2, __inter)
+    * co-occurrence counts → (id1, id2, jaccard ≥ threshold). A pair can
+    * only reach here by sharing ≥ 1 shingle, so the union is never zero. */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
+      .withColumn("jaccard", round(
+        col("__inter").cast(DoubleType) /
+        (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
 
   // ---- SimHash ----------------------------------------------------------
 
@@ -534,14 +547,7 @@ object Dedup {
               greatest(col("__idn"), col("__ido")).as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
-      .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
-      .withColumn("jaccard", round(
-        col("__inter").cast(DoubleType) /
-        (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    jaccardFromCounts(inter, sizes, idCol, threshold)
   }
 
   // ---- benchmark contamination --------------------------------------------

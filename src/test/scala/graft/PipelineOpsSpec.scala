@@ -107,6 +107,28 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0)._2 != sigs(2)._2)
   }
 
+  test("empty-shingle docs never crash verification (ANSI 0/0 guard)") {
+    // shingleFrame itself never emits an empty array (sub-k docs fall
+    // back to the whole text, so even "" yields [""] and empty docs
+    // legitimately pair at jaccard 1.0 — pinned below). But verifyJaccard
+    // is public and accepts any (id, sh) frame; caller-built EMPTY arrays
+    // put a 0/0 in the jaccard division, which throws under Spark's ANSI
+    // default. The guard must drop such pairs before the division runs.
+    val ws = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String]),
+                 (10L, Seq("w x", "x y")), (11L, Seq("w x", "x y"))).toDF("doc_id", "sh")
+    val cands = Seq((1L, 2L), (10L, 11L), (1L, 10L)).toDF("id1", "id2")
+    val got = Dedup.verifyJaccard(cands, ws, "doc_id", threshold = 0.1)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 11L, 1.0)), s"got $got") // 0-union pairs dropped, no throw
+    // and the shipped pipeline's contract for empty TEXT: both docs carry
+    // the [""] fallback shingle, so they are identical by definition
+    val df = Seq((1L, ""), (2L, "   "), (10L, "w x y z w x y z")).toDF("doc_id", "text")
+    val pairs = Dedup.dedupMinHashPairs(df, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1.0)))
+    graft.operators.OperatorCaches.release()
+  }
+
   test("dedupExact keeps lowest id per duplicate group") {
     val df = Seq((10L, "same text"), (3L, "same  TEXT"), (5L, "other")).toDF("doc_id", "text")
     val kept = Dedup.dedupExact(df, "doc_id", "text")
