@@ -25,14 +25,21 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/data_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_STORE=rocksdb swaps in the RocksDB provider —
+    // the production choice once state outgrows the executor heap (the
+    // default HDFS-backed store keeps every version in memory).
+    val store = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (store == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.streaming.EventStreams
 
@@ -72,7 +79,7 @@ object StreamBench {
       s""""state_rows":${best.stateRows},""" +
       s""""state_commit_ms":${best.commitMs},""" +
       s""""add_batch_ms":${best.addBatchMs},""" +
-      s""""runs":$perRun,"sf":"$sfDir","cpus":$cpus}"""
+      s""""runs":$perRun,"state_store":"$store","sf":"$sfDir","cpus":$cpus}"""
     try spark.stop() catch { case _: Throwable => () }
     println(out)
     System.out.flush()
