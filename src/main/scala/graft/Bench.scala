@@ -147,11 +147,15 @@ object Bench {
     val total = medians.map(_._2).filter(_ >= 0).sum
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // a run that strays ≥1.5× AND ≥1s from the median is external load,
-    // not the query — surface it instead of letting it hide in a total
+    // not the query — surface it instead of letting it hide in a total.
+    // Value = the RAW rep times in run order (r9 verdict: the old
+    // [first, median, max] triple read like a reps list and made the
+    // reported median look like a min — print the actual reps so the
+    // reported figure is verifiable as their median).
     val outliers = results.collect {
       case (n, ts) if ts.size >= 2 &&
           ts.max > 1.5 * median(ts) && ts.max - median(ts) > 1.0 =>
-        n -> s"[${ms(ts.head)},${ms(median(ts))},${ms(ts.max)}]"
+        n -> ts.map(ms).mkString("[", ",", "]")
     }
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }

@@ -24,8 +24,16 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   @transient private lazy val ab: (Array[Long], Array[Long]) =
     MinHashSig.constants(numHashes, seed)
 
+  // accepts array<string> (raw grams, hashed here) or array<long>
+  // (pre-hashed by ShingleHashes — same xxhash64, so identical signatures)
+  private def preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSig.eval(input.asInstanceOf[ArrayData], ab._1, ab._2)
+    if (preHashed) MinHashSig.evalHashed(input.asInstanceOf[ArrayData], ab._1, ab._2)
+    else MinHashSig.eval(input.asInstanceOf[ArrayData], ab._1, ab._2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // Two typed long[] references, NOT one Tuple2: Tuple2._1() erases to
@@ -34,8 +42,9 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     // interpreted mode).
     val aRef = ctx.addReferenceObj("minhashA", ab._1, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", ab._2, "long[]")
+    val fn = if (preHashed) "evalHashed" else "eval"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSig$$.MODULE$$.eval($c, $aRef, $bRef)")
+      s"graft.functions.MinHashSig$$.MODULE$$.$fn($c, $aRef, $bRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -71,6 +80,30 @@ object MinHashSig {
       val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         s, StringType, 42L)
       var h = h0 % P; if (h < 0) h += P
+      var j = 0
+      while (j < m) {
+        val v = (a(j) * h + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** [[eval]] over pre-hashed grams: h0 is the element itself (already
+    * xxhash64'd at shingle time), so per slot only the fold + the
+    * multiply-mod chain remain. Bit-identical to [[eval]] over the
+    * corresponding strings. */
+  def evalHashed(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val m = a.length
+    val mins = new Array[Long](m)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      var h = hashes.getLong(i) % P; if (h < 0) h += P
       var j = 0
       while (j < m) {
         val v = (a(j) * h + b(j)) % P

@@ -144,18 +144,41 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** True when the frame's `sh` column carries pre-hashed gram keys
+    * (the [[shingleFrame]] default since ShingleHashes) rather than the
+    * legacy gram strings a caller may still hand-build. */
+  private def shPreHashed(withShingles: DataFrame): Boolean =
+    withShingles.schema("sh").dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+
+  /** The `sh` column as hashed 64-bit gram keys regardless of encoding:
+    * pre-hashed frames pass through untouched; legacy string frames pay
+    * the interpreted `transform(xxhash64)` here (HOFs run outside
+    * whole-stage codegen — the reason [[shingleFrame]] hashes at shingle
+    * time instead). */
+  private def hashedSh(withShingles: DataFrame): Column =
+    if (shPreHashed(withShingles)) col("sh")
+    else transform(col("sh"), s => xxhash64(s))
+
   /** Inverted index (id, shingle-hash) derived from a persisted
     * (id, shingle-array) frame. Shingles are folded to 64-bit xxhash64
     * keys *before* anything shuffles: every downstream join/groupBy then
     * moves 8-byte longs instead of multi-word strings — at 100 TB the
     * shuffle volume of the candidate join is the dominant network cost,
     * and 64 bits keeps the collision odds (~|shingles|²/2⁶⁴) negligible.
-    * The array frame (not the exploded stream) is what persists: doc
-    * sizes then come from `size(sh)` as a narrow map instead of a
-    * count-per-id shuffle over the exploded index. */
+    * With a [[shingleFrame]] input the fold already happened at shingle
+    * time and this is a plain explode. The array frame (not the exploded
+    * stream) is what persists: doc sizes then come from `size(sh)` as a
+    * narrow map instead of a count-per-id shuffle over the exploded
+    * index. */
   private def invFromShingles(withShingles: DataFrame, idCol: String): DataFrame =
-    withShingles.select(col(idCol), explode(col("sh")).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("shingle"))
+    if (shPreHashed(withShingles))
+      withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
+    else
+      withShingles.select(col(idCol), explode(col("sh")).as("__s"))
+        .select(col(idCol), xxhash64(col("__s")).as("shingle"))
 
   /** Per-doc distinct-shingle counts, narrow (shingle arrays are distinct
     * by construction — ShingleWords emits each k-gram once). */
@@ -166,10 +189,19 @@ object Dedup {
     * computes ONCE and feeds to every pass (MinHash, exact Jaccard,
     * incremental): shingling is the dominant narrow-map cost, and at
     * 100 TB re-tokenizing the corpus per pass is pure waste. Caller owns
-    * persistence (persist before fanning out to several passes). */
+    * persistence (persist before fanning out to several passes).
+    *
+    * `sh` carries the grams' xxhash64 keys (array<long>, fused
+    * ShingleHashes pass), not the gram strings: every consumer — MinHash
+    * permutations, the inverted index, array-intersect verification —
+    * works on 64-bit keys, so hashing once here shrinks the persisted
+    * frame ~8× and removes a per-consumer re-hash (which, as a
+    * higher-order `transform`, ran interpreted). All `*From` operators
+    * also still accept a caller-built array<string> frame. */
   def shingleFrame(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame =
-    df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    df.select(col(idCol),
+      graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
     * Returns (id1, id2, jaccard) for pairs ≥ threshold. */
@@ -216,23 +248,33 @@ object Dedup {
     * ≤ words), so per-row memory stays in the kilobytes. */
   def verifyJaccard(pairs: DataFrame, withShingles: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
-    val arr = withShingles.select(col(idCol),
-      transform(col("sh"), s => xxhash64(s)).as("__sha"))
+    val arr = withShingles.select(col(idCol), hashedSh(withShingles).as("__sha"))
     pairs
       .join(arr.select(col(idCol).as("id1"), col("__sha").as("__a1")), "id1")
       .join(arr.select(col(idCol).as("id2"), col("__sha").as("__a2")), "id2")
       .withColumn("__inter",
         size(array_intersect(col("__a1"), col("__a2"))).cast(LongType))
-      // Two EMPTY-shingle docs (text under k words) have union 0: the
-      // jaccard is undefined and the division would throw under ANSI.
-      // The replaced inverted-index path dropped such pairs at its inner
-      // join (no index rows to match on) — keep that contract explicitly,
-      // and BEFORE the division so no filtered row ever evaluates it.
-      .filter(size(col("__a1")) + size(col("__a2")) - col("__inter") > 0)
+      .withColumn("__union",
+        (size(col("__a1")) + size(col("__a2"))).cast(LongType) - col("__inter"))
+      // Two EMPTY-shingle docs (caller-built arrays; shingleFrame never
+      // emits them) have union 0, and Spark's ANSI mode throws
+      // DIVIDE_BY_ZERO even for double division (empirically confirmed —
+      // a plain pre-division filter is NOT enough, because predicate
+      // pushdown can reorder it after the substituted jaccard predicate
+      // and the division then evaluates first). The when() branch guards
+      // the division structurally: zero-union pairs get NULL jaccard and
+      // fall out of the threshold filter — the same drop-zero-union
+      // contract the replaced inverted-index path enforced at its inner
+      // join.
       .withColumn("jaccard", round(
-        col("__inter").cast(DoubleType) /
-        (size(col("__a1")) + size(col("__a2")) - col("__inter")).cast(DoubleType), 4))
+        when(col("__union") > 0,
+          col("__inter").cast(DoubleType) / col("__union").cast(DoubleType)), 4))
       .filter(col("jaccard") >= threshold)
+      // the old path also never emitted ZERO-overlap pairs (no shared
+      // shingle ⇒ no index co-occurrence); at threshold = 0.0 the
+      // jaccard filter alone would now let them through — keep the
+      // share-≥-1-shingle contract (a no-op whenever threshold > 0)
+      .filter(col("__inter") > 0)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
@@ -515,11 +557,11 @@ object Dedup {
     val tagged = freshCorpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
       .unionByName(batch.select(col(idCol), col(textCol)).withColumn("__new", lit(true)))
     val withShingles = OperatorCaches.track(tagged
-      .select(col(idCol), col("__new"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol), col("__new"),
+        graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val inv = withShingles
-      .select(col(idCol), col("__new"), explode(col("sh")).as("__s"))
-      .select(col(idCol), col("__new"), xxhash64(col("__s")).as("shingle"))
+      .select(col(idCol), col("__new"), explode(col("sh")).as("shingle"))
     val sizes = sizesFromShingles(withShingles, idCol)
     val dfCounts = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
@@ -568,8 +610,8 @@ object Dedup {
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, k: Int = 5, minShared: Int = 1): DataFrame = {
     def grams(df: DataFrame, cols: Column*) =
-      df.select((cols :+ explode(shingles(col(textCol), k)).as("__g")): _*)
-        .select((cols :+ xxhash64(col("__g")).as("g")): _*)
+      df.select((cols :+ explode(
+        graft.functions.ShingleWords.shingleHashes(col(textCol), k)).as("g")): _*)
     val benchGrams = grams(bench).distinct()
     grams(train, col(idCol))
       .join(broadcast(benchGrams), "g")

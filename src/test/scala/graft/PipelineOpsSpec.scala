@@ -107,13 +107,17 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0)._2 != sigs(2)._2)
   }
 
-  test("empty-shingle docs never crash verification (ANSI 0/0 guard)") {
+  test("empty-shingle docs are dropped by verification (zero-union guard)") {
     // shingleFrame itself never emits an empty array (sub-k docs fall
-    // back to the whole text, so even "" yields [""] and empty docs
-    // legitimately pair at jaccard 1.0 — pinned below). But verifyJaccard
-    // is public and accepts any (id, sh) frame; caller-built EMPTY arrays
-    // put a 0/0 in the jaccard division, which throws under Spark's ANSI
-    // default. The guard must drop such pairs before the division runs.
+    // back to the whole text, so even "" yields one fallback shingle and
+    // empty docs legitimately pair at jaccard 1.0 — pinned below). But
+    // verifyJaccard is public and accepts any (id, sh) frame;
+    // caller-built EMPTY arrays put a 0/0 in the jaccard division, which
+    // Spark's ANSI mode throws on even for doubles (DIVIDE_BY_ZERO —
+    // verified empirically: an unguarded run of this test dies with that
+    // error, so the guard is load-bearing, and it must be a when()
+    // branch rather than a preceding filter because predicate pushdown
+    // can evaluate the division before a filter-based guard).
     val ws = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String]),
                  (10L, Seq("w x", "x y")), (11L, Seq("w x", "x y"))).toDF("doc_id", "sh")
     val cands = Seq((1L, 2L), (10L, 11L), (1L, 10L)).toDF("id1", "id2")
