@@ -27,7 +27,22 @@ object Tables {
     * is exact; the nano path uses integer `div` (not `/`, which would
     * round-trip through double and lose µs precision at 1.7e18 scale). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    normalize(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Full schema-adaptive normalization — every type-sensitive column the
+    * corpus generator could plausibly re-encode (the events `ts` switch
+    * happened once and broke 8 queries at a stroke; r9 verdict #3 asks
+    * that the other loads survive the same treatment):
+    *   - `ts`: ns-long / µs-NTZ / µs-UTC → TimestampType ([[normalizeTs]])
+    *   - `value`: decimal or float32 → double ([[normalizeValue]])
+    *   - `text`: binary (UTF-8 bytes) → string ([[normalizeText]])
+    *   - `embedding`: needs NO cast — float[] and double[] both pass
+    *     through untouched, because the vector operators (VecDotF32,
+    *     HyperplaneSig, kmeansFit) bind to the physical element width; a
+    *     blanket float cast of a double[] corpus would lose the very
+    *     precision the oracle computes with. */
+  def normalize(df: DataFrame): DataFrame =
+    normalizeText(normalizeValue(normalizeTs(df)))
 
   /** Normalize a `ts` column to TimestampType whatever physical type it
     * arrived as; no-op when absent or already a timestamp. */
@@ -39,6 +54,36 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) => // µs NTZ; session TZ is UTC → exact
         df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Normalize a `value` column to DoubleType: a decimal-writing generator
+    * (DuckDB `DECIMAL(p,2)`, pandas object→decimal) or a float32 one must
+    * not change every downstream aggregate's result type. Decimal→double
+    * is value-exact for the 2-decimal magnitudes this corpus carries
+    * (both sides land on the nearest double of the same decimal value);
+    * no-op when absent or already double. */
+  def normalizeValue(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    df.schema.fields.find(_.name == "value").map(_.dataType) match {
+      case Some(_: DecimalType) | Some(FloatType) =>
+        df.withColumn("value", col("value").cast(DoubleType))
+      case _ => df
+    }
+  }
+
+  /** Normalize a `text` column to StringType: a writer that stores UTF-8
+    * bytes as BINARY (pyarrow `binary()`, DuckDB BLOB) must still feed
+    * the tokenizer/shingle/LIKE paths as text. Spark's binary→string cast
+    * IS the UTF-8 decode; no-op when absent or already string. */
+  def normalizeText(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    df.schema.fields.find(_.name == "text").map(_.dataType) match {
+      case Some(BinaryType) =>
+        df.withColumn("text", col("text").cast(StringType))
       case _ => df
     }
   }

@@ -20,14 +20,23 @@ case class HyperplaneSig(child: Expression, dim: Int, planes: Int, seed: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
+  // element-width-adaptive like VecDotF32: bind to the file's physical
+  // encoding (float[] or double[]) instead of forcing a float cast that
+  // would quietly downcast a double[] corpus
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneSig.eval(input.asInstanceOf[ArrayData],
-      HyperplaneSig.planesFor(dim, planes, seed))
+      HyperplaneSig.planesFor(dim, planes, seed), elemIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hplanes",
       HyperplaneSig.planesFor(dim, planes, seed), "double[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneSig$$.MODULE$$.eval($c, $ref)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSig$$.MODULE$$.eval($c, $ref, $elemIsDouble)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
@@ -43,7 +52,7 @@ object HyperplaneSig {
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
     })
 
-  def eval(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+  def eval(vec: ArrayData, planes: Array[Array[Double]], elemIsDouble: Boolean): Long = {
     var sig = 0L
     val n = vec.numElements()
     var j = 0
@@ -52,7 +61,10 @@ object HyperplaneSig {
       val d = math.min(n, p.length)
       var acc = 0.0
       var i = 0
-      while (i < d) { acc += vec.getFloat(i).toDouble * p(i); i += 1 }
+      while (i < d) {
+        val x = if (elemIsDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+        acc += x * p(i); i += 1
+      }
       if (acc >= 0) sig |= (1L << j)
       j += 1
     }
@@ -60,6 +72,5 @@ object HyperplaneSig {
   }
 
   def sig(vec: Column, dim: Int, planes: Int, seed: Long = 7L): Column =
-    glue.toColumn(HyperplaneSig(
-      glue.toExpression(vec.cast(ArrayType(FloatType))), dim, planes, seed))
+    glue.toColumn(HyperplaneSig(glue.toExpression(vec), dim, planes, seed))
 }

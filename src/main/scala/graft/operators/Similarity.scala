@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
-/** Similarity search over embedding columns (`array<float>`).
+/** Similarity search over embedding columns (`array<float>` or
+  * `array<double>` — the fused expressions bind to the file's physical
+  * element width, see VecDotF32).
   *
   * Baseline: brute-force cosine top-k (exact — broadcast the query set,
   * scan the corpus once, per-partition heaps via TakeOrderedAndProject /
@@ -73,10 +75,10 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec",
-      fitIters: Int = 5, centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+      fitIters: Int = 5, centroids: Option[Seq[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents: Seq[Array[Float]] = centroids.getOrElse(
+    val cents: Seq[Array[Double]] = centroids.getOrElse(
       kmeansFit(corpus, nCells, fitIters, corpusId, corpusVec)._1)
     val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell_id", "cell_vec")
@@ -132,22 +134,37 @@ object Similarity {
     * state between iterations is the K×dim centroid matrix (what MLlib
     * keeps too); corpus never leaves the executors.
     * Deterministic: init = first K vectors by id, ties break on cid.
-    * Returns (centroids, assignments(idCol, cid, cosine)). */
+    * Returns (centroids, assignments(idCol, cid, cosine)).
+    *
+    * Centroids are carried as Array[Double] regardless of the corpus's
+    * physical element width (float[] or double[] — Tables.normalize
+    * passes both through and the fused dot adapts). For a FLOAT corpus
+    * the numeric path is bit-identical to the historical all-float one:
+    * init doubles are exact widenings of the file's floats, and each
+    * Lloyd mean is quantized through `.toFloat` before reuse, so every
+    * double entering the arithmetic is an exact widening of the float
+    * the old code used. A DOUBLE corpus keeps full precision end-to-end,
+    * matching what a double-reading oracle computes. */
   def kmeansFit(corpus0: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
-      : (Seq[Array[Float]], DataFrame) = {
+      : (Seq[Array[Double]], DataFrame) = {
     val spark = corpus0.sparkSession
     import spark.implicits._
+    val corpusIsF32 = corpus0.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     // one scan feeds init + every iteration — don't re-read lineage per pass
     val corpus = OperatorCaches.track(corpus0.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var cents: Seq[Array[Float]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).as[Array[Float]].collect().toSeq
+    var cents: Seq[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast(ArrayType(DoubleType))).as[Array[Double]]
+      .collect().toSeq
     // best centroid per row via max_by partial aggregation: the shuffle
     // carries ONE pre-reduced row per (partition, id), not the N×K
     // scored stream a window(row_number) would sort-exchange. Ties break
     // to the lowest cid: maximize (cos, -cid).
-    def assign(c: Seq[Array[Float]]): DataFrame = {
+    def assign(c: Seq[Array[Double]]): DataFrame = {
       val cdf = broadcast(c.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("cid", "cvec"))
       corpus.crossJoin(cdf)
@@ -160,12 +177,19 @@ object Similarity {
     }
     for (_ <- 0 until iters) {
       val a = assign(cents)
-      // per-(cluster, dim) mean; K×dim rows come back to the driver
+      // per-(cluster, dim) mean; K×dim rows come back to the driver.
+      // Float corpora quantize each mean through float (the historical
+      // all-Array[Float] behavior — keeps fitted cells, and therefore
+      // s02's recorded metrics, bit-identical); double corpora keep the
+      // full-precision mean.
       val upd = a.select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .collect().groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          cid -> rows.sortBy(_.getInt(1)).map { r =>
+            val m = r.getDouble(2)
+            if (corpusIsF32) m.toFloat.toDouble else m
+          }
         }
       // empty clusters keep their previous centroid
       cents = cents.indices.map(i => upd.get(i).map(_.toArray).getOrElse(cents(i)))

@@ -28,6 +28,14 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The CURRENT corpus shape: ts as µs TimestampType (what the driver's
+    * generator writes since the ns-restore block was removed). This is the
+    * empty-dir fallback for readEventStream — a stream created before any
+    * file lands must bind to the encoding that file will actually carry. */
+  val eventSchemaMicros: StructType = StructType(
+    eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
   /** File-source stream of the events table. Structured Streaming's file
     * source requires a user-supplied schema, so we probe the file with a
     * one-off batch read (driver-side footer read, no data scan) and bind
@@ -40,11 +48,19 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     // If no file has landed yet (legal for a file-source stream: it idles
     // until data arrives), the probe cannot infer a schema — fall back to
-    // the legacy declared shape instead of failing stream *creation*.
+    // the CURRENT corpus encoding (µs TimestampType) instead of failing
+    // stream *creation*. The r9 ADVICE pass caught the previous fallback
+    // (legacy nano-long) defeating the schema-adaptive goal in exactly the
+    // empty-dir case: a µs file landing later would be read through a
+    // LongType binding. Streams over a not-yet-populated dir therefore
+    // support the current encoding; legacy-ns dirs must have a file
+    // present at stream creation (all spec and production paths do).
     val physical =
       try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
-    graft.Tables.normalizeTs(
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchemaMicros }
+    // full normalization (ts AND value): a decimal-encoded `value` must
+    // not leak DecimalType into streaming aggregates any more than batch
+    graft.Tables.normalize(
       spark.readStream
         .schema(physical)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir

@@ -118,4 +118,115 @@ class EndToEndSpec extends SparkSpec {
     assert(streams("ntz") == streams("utc"), "NTZ stream read diverged")
     assert(streams("ns") == streams("utc"), "ns-long stream read diverged")
   }
+
+  /** Materialize df as the driver's table layout: one FILE named
+    * `<table>.parquet` under a fresh dir (what Tables.load and the stream
+    * reader's pathGlobFilter expect). */
+  private def writeAsTable(df: org.apache.spark.sql.DataFrame, table: String): String = {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft-poison").toString
+    val staging = dir + "/_staging"
+    df.coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Path.of(dir, s"$table.parquet"))
+    dir
+  }
+
+  test("poison pill: float[] / double[] embeddings encodings read identically") {
+    // If the generator re-encodes embedding as list<double>, a blanket
+    // float cast would LOSE the precision the DuckDB oracle computes
+    // with; the vector expressions instead bind to the file's element
+    // width. float→double casting a float corpus is an exact widening,
+    // so the exact operators must agree bit-for-bit across encodings.
+    val base = Tables.load(spark, sf, "embeddings").filter($"vec_id" < 300)
+    val dirF = writeAsTable(base, "embeddings")
+    val dirD = writeAsTable(
+      base.withColumn("embedding", $"embedding".cast("array<double>")), "embeddings")
+
+    def run(dir: String) = {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val topk = Similarity.bruteForceTopK(emb, q, 5)
+        .orderBy($"query_id", $"rank").collect().toSeq
+      val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3).orderBy($"id1", $"id2").collect().toSeq
+      val lsh = Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
+        threshold = 0.3, dim = 64, planes = 32, bands = 4)
+        .orderBy($"id1", $"id2").collect().toSeq
+      (topk, exact, lsh)
+    }
+    val (tF, eF, lF) = run(dirF)
+    val (tD, eD, lD) = run(dirD)
+    assert(tF.nonEmpty && eF.nonEmpty)
+    assert(tD == tF, "brute-force top-k diverged between float[] and double[]")
+    assert(eD == eF, "exact cosine pairs diverged between float[] and double[]")
+    assert(lD == lF, "LSH cosine pairs diverged between float[] and double[]")
+    // the Lloyd fit is legitimately NOT bit-identical across widths (float
+    // corpora quantize means, double keep full precision) — assert the
+    // double path runs end-to-end and assigns every vector instead
+    val embD = Tables.load(spark, dirD, "embeddings")
+    val (cents, assigned) = Similarity.kmeansFit(embD, k = 4, iters = 2)
+    assert(cents.size == 4 && assigned.count() == embD.count())
+    graft.operators.OperatorCaches.release()
+  }
+
+  test("poison pill: double / decimal events value encodings aggregate identically") {
+    import org.apache.spark.sql.types.DoubleType
+    import graft.streaming.EventStreams
+    // 2-decimal base values: decimal(12,2) holds them exactly, and the
+    // decimal→double normalization lands on the same nearest-double
+    val base = Tables.load(spark, sf, "events").filter($"event_id" <= 2000)
+      .withColumn("value", round($"value", 2))
+    val dirDbl = writeAsTable(base, "events")
+    val dirDec = writeAsTable(
+      base.withColumn("value", $"value".cast("decimal(12,2)")), "events")
+
+    def runBatch(dir: String) = {
+      val ev = Tables.load(spark, dir, "events")
+      assert(ev.schema("value").dataType == DoubleType, s"value not normalized in $dir")
+      ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("tot"))
+        .orderBy($"event_type").collect().toSeq
+    }
+    val bDbl = runBatch(dirDbl)
+    assert(bDbl.nonEmpty)
+    assert(runBatch(dirDec) == bDbl, "decimal batch read diverged")
+
+    // streaming: the same normalization guards the stream-side schema bind
+    def runStream(dir: String, tag: String) =
+      EventStreams.runToMemory(spark,
+        EventStreams.windowedCounts(EventStreams.readEventStream(spark, dir)),
+        s"poison_val_$tag")
+        .orderBy($"hour_start", $"event_type").collect().toSeq
+    val sDbl = runStream(dirDbl, "dbl")
+    assert(sDbl.nonEmpty)
+    assert(runStream(dirDec, "dec") == sDbl, "decimal stream read diverged")
+  }
+
+  test("poison pill: string / binary documents text encodings read identically") {
+    import org.apache.spark.sql.types.StringType
+    val base = Tables.load(spark, sf, "documents").filter($"doc_id" < 400)
+    val dirS = writeAsTable(base, "documents")
+    val dirB = writeAsTable(
+      base.withColumn("text", $"text".cast("binary")), "documents")
+
+    def run(dir: String) = {
+      val docs = Tables.load(spark, dir, "documents")
+      assert(docs.schema("text").dataType == StringType, s"text not normalized in $dir")
+      val feats = docs.select($"doc_id",
+          TextOps.tokenCount($"text").as("nt"),
+          TextOps.fingerprint($"text").as("fp"),
+          TextOps.qualityScore($"text").as("q"))
+        .orderBy($"doc_id").collect().toSeq
+      val dups = Dedup.dedupMinHashPairs(docs, "doc_id", "text", threshold = 0.5)
+        .orderBy($"id1", $"id2").collect().toSeq
+      graft.operators.OperatorCaches.release()
+      (feats, dups)
+    }
+    val rS = run(dirS)
+    assert(rS._1.nonEmpty)
+    assert(run(dirB) == rS, "binary-text read diverged from string-text")
+  }
 }
