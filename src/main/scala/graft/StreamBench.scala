@@ -77,7 +77,9 @@ object StreamBench {
       val st = p.stateOperators.headOption
       Run(
         events = p.numInputRows,
-        batchSec = p.durationMs.get("triggerExecution").toDouble / 1000.0,
+        // 1 ms floor: a 0 ms trigger on a toy corpus → Infinity rate →
+        // NumberFormatException in the JSON formatting
+        batchSec = math.max(p.durationMs.get("triggerExecution").toDouble, 1.0) / 1000.0,
         stateRows = st.map(_.numRowsTotal).getOrElse(0L),
         commitMs = st.map(_.commitTimeMs).getOrElse(0L),
         addBatchMs = p.durationMs.get("addBatch"))
@@ -110,46 +112,67 @@ object StreamBench {
     import org.apache.spark.sql.functions.col
     import java.nio.file.Files
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
-    def ms(v: Double): String =
-      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // the per-batch series is read back from recentProgress, whose ring
+    // buffer defaults to 100 entries — size it to the run or a long
+    // sweep silently loses its warmup batches and undercounts events
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nBatches + 10).toString)
 
     // split the events table into nBatches contiguous ts ranges, one
     // parquet file each — range partitioning keeps every batch a
     // time-ordered slice, exactly how a tailed event log arrives
     val splitDir = Files.createTempDirectory("graft-sustained").toString
-    Tables.load(spark, sfDir, "events")
-      .repartitionByRange(nBatches, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(splitDir)
-    // stagger mtimes in ts order: the file source orders new files by
-    // modification time, and all parts land within the same clock tick
-    val parts = new java.io.File(splitDir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-    val t0 = System.currentTimeMillis() - parts.length * 2000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    try {
+      Tables.load(spark, sfDir, "events")
+        .repartitionByRange(nBatches, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(splitDir)
+      // stagger mtimes in ts order: the file source orders new files by
+      // modification time, and all parts land within the same clock tick
+      val parts = new java.io.File(splitDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
 
-    // same probe-then-bind shape as EventStreams.readEventStream, over
-    // the split layout (part-file names, so no events.parquet glob)
-    val physical = spark.read.parquet(splitDir).schema
-    val src = Tables.normalize(
-      spark.readStream.schema(physical)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(splitDir))
-    val agg = graft.streaming.EventStreams.windowedCounts(src)
-    val q = agg.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .format("memory").queryName("sb_sustained").start()
-    q.processAllAvailable()
-    // data batches only (a trailing zero-row batch finalizes the watermark)
-    val prog = q.recentProgress.filter(_.numInputRows > 0).toSeq
-    q.stop()
-    spark.sql("DROP TABLE IF EXISTS sb_sustained")
+      // same probe-then-bind shape as EventStreams.readEventStream, over
+      // the split layout (part-file names, so no events.parquet glob)
+      val physical = spark.read.parquet(splitDir).schema
+      val src = Tables.normalize(
+        spark.readStream.schema(physical)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(splitDir))
+      // the SAME aggregate the e-block times, keyed on the window struct
+      // (Append mode needs the event-time column among the grouping keys)
+      val agg = graft.streaming.EventStreams.windowedCounts(src, groupByStruct = true)
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory").queryName("sb_sustained").start()
+      q.processAllAvailable()
+      // data batches only (a trailing zero-row batch finalizes the watermark)
+      val prog = q.recentProgress.filter(_.numInputRows > 0).toSeq
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sb_sustained")
+      report(prog, store, sfDir)
+    } finally deleteRecursively(new java.io.File(splitDir))
+  }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  private def report(prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      store: String, sfDir: String): Unit = {
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     case class B(events: Long, sec: Double, rate: Double, commitMs: Long,
         stateRows: Long, removed: Long)
     val batches = prog.map { p =>
       val st = p.stateOperators.headOption
-      val sec = p.durationMs.get("triggerExecution").toDouble / 1000.0
+      // floor at 1 ms: a sub-millisecond trigger on a toy corpus reports
+      // 0 ms and an Infinity rate would crash the JSON formatting
+      val sec = math.max(p.durationMs.get("triggerExecution").toDouble, 1.0) / 1000.0
       B(p.numInputRows, sec, p.numInputRows / sec,
         st.map(_.commitTimeMs).getOrElse(0L),
         st.map(_.numRowsTotal).getOrElse(0L),

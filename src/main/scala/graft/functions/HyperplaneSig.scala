@@ -28,6 +28,17 @@ case class HyperplaneSig(child: Expression, dim: Int, planes: Int, seed: Long)
     case _ => false
   }
 
+  // any other element type (an int8/int32-quantized embedding, say) must
+  // fail analysis, not be bit-reinterpreted by getFloat
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> input, got ${other.simpleString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneSig.eval(input.asInstanceOf[ArrayData],
       HyperplaneSig.planesFor(dim, planes, seed), elemIsDouble)

@@ -68,14 +68,21 @@ object EventStreams {
   }
 
   /** Tumbling-window counts with a watermark: the streaming twin of the
-    * batch q28_time_window. */
+    * batch q28_time_window. `groupByStruct = true` keys on the window
+    * STRUCT instead of its start field — required for Append-mode output
+    * (Spark needs the event-time column among the grouping keys; the
+    * start-field projection is only legal under Complete, which is what
+    * the oracle-twinned default uses). */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", groupByStruct: Boolean = false): DataFrame = {
+    val key =
+      if (groupByStruct) window(col("ts"), window_)
+      else window(col("ts"), window_).getField("start").as("hour_start")
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_).getField("start").as("hour_start"),
-               col("event_type"))
+      .groupBy(key, col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
 
   /** Stream-stream interval join: purchases attributed to a click by the
     * same user within `windowSec` before the purchase. Both sides carry
@@ -234,12 +241,19 @@ object EventStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-source stream of the documents table. */
-  def readDocStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+  /** File-source stream of the documents table — same probe-then-bind +
+    * normalize shape as [[readEventStream]], so a re-encoded corpus
+    * (BINARY text being the live risk) streams as cleanly as it batches. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame = {
+    val physical =
+      try spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => docSchema }
+    graft.Tables.normalize(
+      spark.readStream
+        .schema(physical)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+  }
 
   /** Streaming multimodal decode: synthesize a REAL WAV payload per
     * streamed row (m03's closed-form rule — n_chars%400+16 samples at

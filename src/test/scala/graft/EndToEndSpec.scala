@@ -72,15 +72,7 @@ class EndToEndSpec extends SparkSpec {
 
     // materialize df as a single FILE named events.parquet under its own
     // dir (the driver's layout; the stream reader globs on the file name)
-    def asSingleFile(df: DataFrame): String = {
-      val dir = Files.createTempDirectory("graft-poison").toString
-      val staging = dir + "/_staging"
-      df.coalesce(1).write.parquet(staging)
-      val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, Path.of(dir, "events.parquet"))
-      dir
-    }
+    def asSingleFile(df: DataFrame): String = writeAsTable(df, "events")
 
     // pin the UTC leg to annotated TIMESTAMP(MICROS, adjustedToUTC=true)
     // (the session default could be INT96, which tests a different branch)
