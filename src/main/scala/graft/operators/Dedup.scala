@@ -327,11 +327,21 @@ object Dedup {
     } else {
       // low threshold: one shuffle — co-occurrence counts ARE the
       // intersection sizes; no distinct pass, no second verification join.
-      // Persisted: both sides of the self-join read it (see the
-      // incremental variant)
-      val capped = OperatorCaches.track(
-        inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+      // The df cap is PROVABLY a no-op when maxDocFreq ≥ the doc count
+      // (a shingle cannot appear in more docs than exist): skip the
+      // dfCounts aggregation, the cap join and the index persist outright
+      // — the unpersisted explode re-derives from the caller-persisted
+      // shingle frame cheaper than materializing the joined index
+      // (same-session A/B at sf1: 18.5 → 13.4 s median on the d04 shape).
+      // At 100 TB corpora nDocs ≫ any sane cap, so the guarded path —
+      // aggregate, cap, persist (both self-join sides read it) — is the
+      // one that runs at scale.
+      val nDocs = withShingles.count()
+      val capped =
+        if (maxDocFreq >= nDocs) inv
+        else OperatorCaches.track(
+          inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
       val inter = capped.select(col("shingle"), col(idCol).as("id1"))
         .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
         .filter(col("id1") < col("id2"))
@@ -565,12 +575,18 @@ object Dedup {
     val sizes = sizesFromShingles(withShingles, idCol)
     val dfCounts = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
-    // both sides of the co-occurrence self-join read this frame: persist
-    // it once or the shingle explode + df-cap join runs twice (measured
-    // ~25% of d09's wall time at sf0.1)
-    val capped = OperatorCaches.track(
-      inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // same cap-skip as ngramJaccardPairsFrom: when maxDocFreq ≥ nDocs the
+    // cap filter is a no-op — drop the aggregation + join + persist and
+    // let both self-join sides re-explode the persisted shingle frame
+    // (cheaper than materializing the joined index; with the cap ACTIVE
+    // the persist stays — the explode + df-cap join would otherwise run
+    // twice, measured ~25% of d09's wall time at sf0.1)
+    val nDocs = withShingles.count()
+    val capped =
+      if (maxDocFreq >= nDocs) inv
+      else OperatorCaches.track(
+        inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     // "at least one side new" is enforced BEFORE the join, not filtered
     // after: the left side is only the batch's index rows, so join volume
     // is |batch-index| × df, not |full-index| × df — the difference

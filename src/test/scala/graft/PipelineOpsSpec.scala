@@ -199,7 +199,9 @@ class DedupSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
-    // operators that persist intermediates: shingle frame + capped index
+    // operators that persist intermediates: shingle frame (the capped
+    // index skips its persist here — maxDocFreq ≥ nDocs makes the cap a
+    // provable no-op, see ngramJaccardPairsFrom)
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3).count()
     // checkpointed fixpoint: per-round frames release inside the loop,
     // the final one via the registry
@@ -211,7 +213,7 @@ class DedupSpec extends SparkSpec {
     assert(OperatorCaches.trackedCount > 0)
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     val n = OperatorCaches.release()
-    assert(n >= 4, s"expected at least 4 tracked releases, got $n")
+    assert(n >= 3, s"expected at least 3 tracked releases, got $n")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
