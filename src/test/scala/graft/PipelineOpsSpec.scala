@@ -305,6 +305,41 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 0.99227787671) < 1e-9)
   }
 
+  test("vector expressions bind to the physical element width") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // a value exactly representable in float: float-widened and
+    // double-native paths must agree bit-for-bit
+    val dfF = Seq((Seq(1.5f, -2.25f, 3.0f), Seq(0.5f, 4.0f, -1.0f))).toDF("u", "v")
+    val dfD = dfF.select($"u".cast(ArrayType(DoubleType)).as("u"),
+      $"v".cast(ArrayType(DoubleType)).as("v"))
+    val ff = dfF.select(Similarity.dot($"u", $"v")).as[Double].head()
+    val dd = dfD.select(Similarity.dot($"u", $"v")).as[Double].head()
+    // mixed widths (one side float, one double) also agree
+    val fd = dfF.select($"u").crossJoin(dfD.select($"v"))
+      .select(Similarity.dot($"u", $"v")).as[Double].head()
+    assert(ff == dd && ff == fd && ff == 1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.0)
+    // a double NOT representable in float must be read at full precision
+    val prec = Seq((Seq(1.0000000001d), Seq(1.0d))).toDF("u", "v")
+      .select(Similarity.dot($"u", $"v")).as[Double].head()
+    assert(prec == 1.0000000001d, s"double[] input was truncated: $prec")
+    // hyperplane signatures: identical across widths of the same values
+    import graft.functions.HyperplaneSig
+    val sF = dfF.select(HyperplaneSig.sig($"u", 3, 16).as("s")).as[Long].head()
+    val sD = dfD.select(HyperplaneSig.sig($"u", 3, 16).as("s")).as[Long].head()
+    assert(sF == sD)
+  }
+
+  test("vector expressions reject non-float/double arrays at analysis") {
+    import graft.functions.HyperplaneSig
+    val bad = Seq((Seq(1, 2, 3), Seq(4, 5, 6))).toDF("u", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(Similarity.dot($"u", $"v")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(HyperplaneSig.sig($"u", 3, 16)).collect()
+    }
+  }
+
   test("bruteForceTopK: k results per query, self excluded, rank ordered") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
