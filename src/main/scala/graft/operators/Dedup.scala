@@ -317,10 +317,19 @@ object Dedup {
         .withColumn("__rk", row_number().over(wDoc))
         .join(sizes, Seq(idCol))
         .filter(col("__rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .select(col("shingle"), col(idCol))
-      val cands = prefix.select(col("shingle"), col(idCol).as("id1"))
-        .join(prefix.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
-        .filter(col("id1") < col("id2"))
+        .select(col("shingle"), col(idCol), col("sz"))
+      // size-ratio bound (AllPairs companion filter): J(A,B) ≤
+      // min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes differ by more
+      // than 1/t cannot reach the threshold — prune it INSIDE the
+      // self-join, before the distinct shuffle and the array-fetch
+      // verification joins ever see it. Lossless; the ≥ comparison keeps
+      // exact-boundary pairs (min = t·max) since J ≤ t still admits = t.
+      val cands = prefix.select(col("shingle"), col(idCol).as("id1"), col("sz").as("__s1"))
+        .join(prefix.select(col("shingle"), col(idCol).as("id2"), col("sz").as("__s2")),
+          Seq("shingle"))
+        .filter(col("id1") < col("id2") &&
+          least(col("__s1"), col("__s2")).cast(DoubleType) >=
+            lit(threshold) * greatest(col("__s1"), col("__s2")).cast(DoubleType) - lit(1e-9))
         .select(col("id1"), col("id2"))
         .distinct()
       verifyJaccard(cands, withShingles, idCol, threshold)
