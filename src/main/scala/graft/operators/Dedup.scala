@@ -295,7 +295,17 @@ object Dedup {
     ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
   }
 
-  /** [[ngramJaccardPairs]] over a prepared [[shingleFrame]]. */
+  /** [[ngramJaccardPairs]] over a prepared [[shingleFrame]].
+    *
+    * Contract on caller-built frames: `sh` arrays must be DISTINCT per
+    * doc (what [[shingleFrame]] emits). The whole family relies on it —
+    * `size(sh)` IS the distinct-shingle count feeding every Jaccard
+    * denominator, and the low-threshold branch's cap-skip proof
+    * (df ≤ nDocs) assumes each doc contributes a shingle at most once.
+    * Note the low-threshold branch runs ONE eager count() job at build
+    * time to decide the cap-skip; the decision snapshots the frame —
+    * persist the input (the documented caller contract) so the plan and
+    * the guard see the same data. */
   def ngramJaccardPairsFrom(
       withShingles: DataFrame, idCol: String,
       threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
@@ -322,14 +332,19 @@ object Dedup {
       // min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes differ by more
       // than 1/t cannot reach the threshold — prune it INSIDE the
       // self-join, before the distinct shuffle and the array-fetch
-      // verification joins ever see it. Lossless; the ≥ comparison keeps
-      // exact-boundary pairs (min = t·max) since J ≤ t still admits = t.
+      // verification joins ever see it. Lossless; exact-boundary pairs
+      // (min = t·max, J = t still admits = t) are kept via a RELATIVE
+      // slack on the threshold constant — an absolute epsilon would stop
+      // covering fl(t·max)'s rounding once max exceeds ~2e7 shingles
+      // (r10 second review pass). Over-keeping is harmless: every
+      // candidate is exact-verified.
+      val slackedT = threshold * (1.0 - 1e-12)
       val cands = prefix.select(col("shingle"), col(idCol).as("id1"), col("sz").as("__s1"))
         .join(prefix.select(col("shingle"), col(idCol).as("id2"), col("sz").as("__s2")),
           Seq("shingle"))
         .filter(col("id1") < col("id2") &&
           least(col("__s1"), col("__s2")).cast(DoubleType) >=
-            lit(threshold) * greatest(col("__s1"), col("__s2")).cast(DoubleType) - lit(1e-9))
+            lit(slackedT) * greatest(col("__s1"), col("__s2")).cast(DoubleType))
         .select(col("id1"), col("id2"))
         .distinct()
       verifyJaccard(cands, withShingles, idCol, threshold)
@@ -556,6 +571,11 @@ object Dedup {
     * never generated. The production dedup shape for an append-only
     * corpus: each ingest batch is checked against everything already
     * accepted (plus itself) without re-pairing the existing corpus.
+    *
+    * Same distinct-shingle and eager-count/snapshot notes as
+    * [[ngramJaccardPairsFrom]] (the frame here is built internally from
+    * [[graft.functions.ShingleWords]] and persisted, so both hold by
+    * construction).
     *
     * Scale notes: the inverted index over corpus∪batch is the structure a
     * real pipeline PERSISTS between batches (it only ever grows by the
