@@ -504,12 +504,15 @@ object Core6 {
     // formula per profile from the same word lists.
     QueryDef("t09_quality_by_lang", (s, dir) => {
       import s.implicits._
+      // sort-before-compute (see t02/c01): both scorers run once,
+      // post-shuffle, instead of once for the range sample and again
+      // for the output
       t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text").orderBy($"doc_id")
         .select($"doc_id", $"lang",
           TextOps.qualityScoreByLang($"text", $"lang").as("q_lang"),
           TextOps.qualityScore($"text").as("q_en"))
         .withColumn("delta", round($"q_lang" - $"q_en", 4))
-        .orderBy($"doc_id")
     }, Some {
       val cases = TextOps.LangProfiles.map { case (l, ws) =>
         s"WHEN lang = '$l' THEN ${Core6Sql.quality(ws)}"

@@ -43,9 +43,15 @@ object Pipeline {
 
     QueryDef("t02_quality", (s, dir) => {
       import s.implicits._
+      // sort BEFORE scoring: a trailing orderBy makes the range
+      // partitioner's sampling pass run the scorer a second time and
+      // shuffles scored rows — sorting the scan and projecting after
+      // keeps the ordering (no exchange follows the narrow map) and
+      // scores once, post-shuffle. A/B at sf1: 5.5 → 2.8 s, identical
+      // rows and order. Same restructure as c01 (see PERF.md round 10).
       t(s, dir, "documents")
+        .select($"doc_id", $"text").orderBy($"doc_id")
         .select($"doc_id", TextOps.qualityScore($"text").as("quality"))
-        .orderBy($"doc_id")
     }, Some(s"""
       SELECT doc_id, round((
         least(length(text) / 500.0, 1.0)
@@ -84,9 +90,10 @@ object Pipeline {
 
     QueryDef("t04_fingerprint", (s, dir) => {
       import s.implicits._
+      // sort-before-compute (see t02)
       t(s, dir, "documents")
+        .select($"doc_id", $"text").orderBy($"doc_id")
         .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
-        .orderBy($"doc_id")
     }, Some(s"""
       SELECT doc_id, md5($duckNorm) AS fp
       FROM documents ORDER BY doc_id""")),
@@ -717,12 +724,15 @@ object Pipeline {
     // driver hash mismatch.
     QueryDef("m03_codec_roundtrip", (s, dir) => {
       import s.implicits._
-      val media = Multimodal.synthesizeCodec(t(s, dir, "documents"))
+      // sort-before-compute (see c01/t02 in PERF.md round 10): the codec
+      // chain runs once post-shuffle instead of once more for the range
+      // partitioner's sampling pass; narrow maps preserve the order
+      val media = Multimodal.synthesizeCodec(
+        t(s, dir, "documents").orderBy($"doc_id"))
       Multimodal.decodeMeta(media).toDF()
         .select($"media_id", $"format", $"width", $"height", $"sample_rate",
           $"n_samples", $"duration_ms", round($"energy", 4).as("energy"),
           $"pix_sum")
-        .orderBy($"media_id")
     }, Some("""
       WITH d AS (SELECT doc_id, n_chars, CAST(doc_id % 3 AS INT) AS m FROM documents)
       SELECT doc_id AS media_id,
@@ -753,12 +763,13 @@ object Pipeline {
     // assert dimensions/format/pixel-count only, pix_sum masked to 0.
     QueryDef("m04_imageio_roundtrip", (s, dir) => {
       import s.implicits._
-      val media = Multimodal.synthesizeImageIO(t(s, dir, "documents"))
+      // sort-before-compute (see c01/t02)
+      val media = Multimodal.synthesizeImageIO(
+        t(s, dir, "documents").orderBy($"doc_id"))
       Multimodal.decodeMeta(media).toDF()
         .select($"media_id", $"format", $"width", $"height", $"n_samples",
           when($"format" === "png", $"pix_sum").otherwise(lit(0L))
             .as("pix_sum_lossless"))
-        .orderBy($"media_id")
     }, Some("""
       WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m FROM documents)
       SELECT doc_id AS media_id,
@@ -786,7 +797,8 @@ object Pipeline {
     // and pix_sum = w·h·(r+g+b) exactly.
     QueryDef("m05_resize_real", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // sort-before-compute (see c01/t02): the codec chain runs once
+      val docs = t(s, dir, "documents").orderBy($"doc_id")
       val media = docs.select($"doc_id".cast("long")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -801,7 +813,6 @@ object Pipeline {
       val resized = Multimodal.resizeImages(media, 16, 16)
       Multimodal.decodeMeta(resized.toDF()).toDF()
         .select($"media_id", $"format", $"width", $"height", $"pix_sum")
-        .orderBy($"media_id")
     }, Some("""
       WITH d AS (SELECT doc_id,
           CAST(doc_id % 20 + 30 AS INT) AS w0, CAST(doc_id % 15 + 20 AS INT) AS h0,
@@ -824,7 +835,8 @@ object Pipeline {
     // and the energy n'·(v/32768)² of the resampled signal itself.
     QueryDef("m06_resample_real", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // sort-before-compute (see c01/t02): the codec chain runs once
+      val docs = t(s, dir, "documents").orderBy($"doc_id")
       val media = docs.select($"doc_id".cast("long")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -839,7 +851,6 @@ object Pipeline {
       Multimodal.decodeMeta(resampled.toDF()).toDF()
         .select($"media_id", $"format", $"sample_rate", $"n_samples",
           $"duration_ms", round($"energy", 4).as("energy"))
-        .orderBy($"media_id")
     }, Some("""
       WITH d AS (SELECT doc_id,
           (doc_id % 300 + 50) * 3000 // 8000 AS np,
@@ -862,7 +873,8 @@ object Pipeline {
     // the stride all shift rows.
     QueryDef("m07_gif_frames", (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // sort-before-compute (see c01/t02): the codec chain runs once
+      val docs = t(s, dir, "documents").orderBy($"doc_id")
       val media = docs.select($"doc_id".cast("long")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -874,7 +886,6 @@ object Pipeline {
           }
         }.toDF("media_id", "bytes")
       Multimodal.sampleGifFrames(media, 2)
-        .orderBy($"media_id", $"frame_idx")
     }, Some("""
       SELECT doc_id AS media_id,
         CAST(doc_id % 5 + 1 AS INTEGER) AS frame_count,
