@@ -64,7 +64,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // `*_gate` queries are CORRECTNESS-only oracle gates (deliberately
     // quadratic exact recomputes that verify the approximate operators —
-    // d02/d03). Benching them would time test scaffolding, not the
+    // d02/d03, and since r11 d05, the O(n²) exact oracle for d06's LSH
+    // path). Benching them would time test scaffolding, not the
     // shipped operator (r5 verdict #1), so the headline excludes them;
     // Verify still runs them and the driver still hash-checks them.
     // An EXPLICIT SPARK_GRAFT_ONLY selection overrides the exclusion —
@@ -107,33 +108,74 @@ object Bench {
       System.gc()
       cleanupNs += System.nanoTime() - c0
     }
+    // r10 verdict #2: defend the total against external box load, don't
+    // just surface it. A fixed pure-compute control query (codegen'd
+    // range-sum — no IO, no shuffle, allocation-light) is timed after
+    // every rep; when the control drifts past 1.5× its own pre-sweep
+    // median (with a small absolute floor so a ~60 ms control can't flap
+    // on scheduler jitter) the box was loaded during that rep, so the
+    // rep is DISCARDED and re-run (bounded retries). A rep that still
+    // drifts after the retries is kept but its query lands in
+    // "flagged" and the sweep verdict becomes "flagged" — the r10
+    // incident (a 21 s d10 rep on a 3.4 s query recorded into a 13%
+    // phantom headline regression) can no longer be recorded unmarked.
+    def controlOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8L * 1000 * 1000).selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlOnce() // pay the control's own first-compile before baselining
+    val controlBase = Vector.fill(5)(controlOnce()).sorted.apply(2)
+    var controlMax = controlBase
+    var controlReruns = 0
+    var loadFlagged = Set.empty[String]
+    def controlDrifted(): Boolean = {
+      val c = controlOnce()
+      if (c > controlMax) controlMax = c
+      c > math.max(1.5 * controlBase, controlBase + 0.2)
+    }
+    val maxAttempts = 3
     val sweepT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       var times = Vector.empty[Double]
       var ok = true
       var r = 0
       while (r < reps && ok) {
-        val t0 = System.nanoTime()
-        // Consume EVERY computed column, not count(): a count() lets
-        // Catalyst prune unevaluated work (window payloads, join payloads
-        // — a windowed-asof count() times an empty plan; PERF.md q73
-        // methodology). Executing the physical plan's own RDD forces each
-        // operator to materialize its full UnsafeRow output — every
-        // column evaluated — and the RDD-level count is invisible to
-        // Catalyst, so nothing can be rewritten away. This is stronger
-        // than agg(count(xxhash64(struct(*)))) and works for all column
-        // types (hash() rejects MapType).
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          // A query is either measured (in "queries"/total) or failed (in
-          // "errors", value -1) — never both. A failure on ANY rep voids the
-          // earlier reps' times, else a flaky query inflates the headline
-          // while also appearing in errors.
-          failed ::= name; ok = false; times = Vector.empty
+        var accepted = false
+        var attempts = 0
+        while (!accepted && ok) {
+          attempts += 1
+          val t0 = System.nanoTime()
+          // Consume EVERY computed column, not count(): a count() lets
+          // Catalyst prune unevaluated work (window payloads, join payloads
+          // — a windowed-asof count() times an empty plan; PERF.md q73
+          // methodology). Executing the physical plan's own RDD forces each
+          // operator to materialize its full UnsafeRow output — every
+          // column evaluated — and the RDD-level count is invisible to
+          // Catalyst, so nothing can be rewritten away. This is stronger
+          // than agg(count(xxhash64(struct(*)))) and works for all column
+          // types (hash() rejects MapType).
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            // A query is either measured (in "queries"/total) or failed (in
+            // "errors", value -1) — never both. A failure on ANY rep voids the
+            // earlier reps' times, else a flaky query inflates the headline
+            // while also appearing in errors.
+            failed ::= name; ok = false; times = Vector.empty
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          if (ok) {
+            if (!controlDrifted()) { times :+= dt; accepted = true }
+            else {
+              controlReruns += 1
+              if (attempts >= maxAttempts) {
+                times :+= dt; loadFlagged += name; accepted = true
+              }
+            }
+          }
         }
-        if (ok) times :+= (System.nanoTime() - t0) / 1e9
-        cleanup()
         r += 1
       }
       name -> times
@@ -157,14 +199,20 @@ object Bench {
           ts.max > 1.5 * median(ts) && ts.max - median(ts) > 1.0 =>
         n -> ts.map(ms).mkString("[", ",", "]")
     }
+    // the sweep's load verdict: "clean" = every accepted rep saw an
+    // undrifted control; "flagged" = some query kept a possibly-loaded
+    // measurement after exhausting retries (named in control.flagged)
+    val loadVerdict = if (loadFlagged.nonEmpty) "flagged" else "clean"
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
       val outs = outliers.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flg = loadFlagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val ctl = s"""{"base":${ms(controlBase)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
       val omitted = results.size - entries.size
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"load":"$loadVerdict","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift

@@ -280,16 +280,26 @@ object Dedup {
 
   // ---- n-gram Jaccard (exact, complete) ---------------------------------
 
+  /** Sentinel for `maxDocFreq`: no document-frequency cap at all. The
+    * decision between "capped" and "uncapped" is made by COMPARING THE
+    * ARGUMENT to this constant — zero Spark jobs at operator-construction
+    * time (the previous design counted the corpus to prove a finite cap
+    * was a no-op, a driver-blocking full pass a 100 TB pipeline would pay
+    * per ingest batch). With NoCap the df aggregation, the cap join and
+    * its persist are never built; with any finite cap they always run. */
+  val NoCap: Int = Int.MaxValue
+
   /** All pairs with Jaccard ≥ threshold, found exactly: candidates =
     * pairs sharing ≥1 shingle (the only pairs with jaccard > 0), via an
     * inverted-index equi-join on the shingle. `maxDocFreq` drops shingles
     * appearing in more docs than the cap — at threshold ≥ 0.3 a pair
     * sharing ONLY ultra-common shingles can't pass verification anyway
-    * when each doc has > maxDocFreq/threshold distinct shingles; at test
-    * scale we keep the cap high enough to be lossless. */
+    * when each doc has > maxDocFreq/threshold distinct shingles. The
+    * default is [[NoCap]] (exact); at 100 TB set a finite cap — an
+    * uncapped hot shingle is a quadratic blowup in the candidate join. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
+      k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
     val withShingles = OperatorCaches.track(
       shingleFrame(df, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK))
     ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
@@ -298,22 +308,25 @@ object Dedup {
   /** [[ngramJaccardPairs]] over a prepared [[shingleFrame]].
     *
     * Contract on caller-built frames: `sh` arrays must be DISTINCT per
-    * doc (what [[shingleFrame]] emits). The whole family relies on it —
-    * `size(sh)` IS the distinct-shingle count feeding every Jaccard
-    * denominator, and the low-threshold branch's cap-skip proof
-    * (df ≤ nDocs) assumes each doc contributes a shingle at most once.
-    * Note the low-threshold branch runs ONE eager count() job at build
-    * time to decide the cap-skip; the decision snapshots the frame —
-    * persist the input (the documented caller contract) so the plan and
-    * the guard see the same data. */
+    * doc (what [[shingleFrame]] emits) — `size(sh)` IS the
+    * distinct-shingle count feeding every Jaccard denominator.
+    * Construction is job-free: the capped-vs-uncapped choice compares
+    * `maxDocFreq` to [[NoCap]], never the data (asserted by
+    * PipelineOpsSpec's zero-jobs listener test). */
   def ngramJaccardPairsFrom(
       withShingles: DataFrame, idCol: String,
-      threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
+      threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
     val inv = invFromShingles(withShingles, idCol)
     val sizes = sizesFromShingles(withShingles, idCol)
-    val dfCounts = inv.groupBy(col("shingle"))
+    // global document frequencies: the prefix filter needs them for its
+    // rarity order even uncapped; the cap filter applies only when a
+    // finite cap is set (NoCap must not even compare __df against
+    // Int.MaxValue — at 100 TB a df can exceed a 32-bit count)
+    lazy val dfCountsAll = inv.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocFreq)
+    lazy val dfCounts =
+      if (maxDocFreq == NoCap) dfCountsAll
+      else dfCountsAll.filter(col("__df") <= maxDocFreq)
     if (threshold >= 0.5) {
       // AllPairs prefix filter (Bayardo et al.): order each doc's
       // shingles by GLOBAL rarity; a pair with jaccard >= t must share
@@ -321,24 +334,27 @@ object Dedup {
       // BOTH docs (any consistent total order). Lossless; worth the two
       // extra shuffles only when t is high enough that the prefix is a
       // small fraction (t=0.7 -> 30% of shingles; t=0.1 -> 90%, useless).
+      // the prefix length and the size-ratio prune below both derive
+      // from the admission rule round(J, 4) >= t, which admits true J
+      // down to t - 0.00005 — slacken the threshold constant by that
+      // rounding granularity (plus a relative 1e-12 for fl()'s own
+      // rounding) so round-boundary pairs below true-J t are never
+      // pruned before exact verification
+      val slackedT = (threshold - 0.00005) * (1.0 - 1e-12)
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col("__df").asc, col("shingle").asc)
       val prefix = inv.join(dfCounts, Seq("shingle"))
         .withColumn("__rk", row_number().over(wDoc))
         .join(sizes, Seq(idCol))
-        .filter(col("__rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .filter(col("__rk") <= col("sz") - ceil(lit(slackedT) * col("sz")) + 1)
         .select(col("shingle"), col(idCol), col("sz"))
       // size-ratio bound (AllPairs companion filter): J(A,B) ≤
       // min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes differ by more
       // than 1/t cannot reach the threshold — prune it INSIDE the
       // self-join, before the distinct shuffle and the array-fetch
-      // verification joins ever see it. Lossless; exact-boundary pairs
-      // (min = t·max, J = t still admits = t) are kept via a RELATIVE
-      // slack on the threshold constant — an absolute epsilon would stop
-      // covering fl(t·max)'s rounding once max exceeds ~2e7 shingles
-      // (r10 second review pass). Over-keeping is harmless: every
+      // verification joins ever see it. Uses the same slacked threshold
+      // as the prefix bound above; over-keeping is harmless — every
       // candidate is exact-verified.
-      val slackedT = threshold * (1.0 - 1e-12)
       val cands = prefix.select(col("shingle"), col(idCol).as("id1"), col("sz").as("__s1"))
         .join(prefix.select(col("shingle"), col(idCol).as("id2"), col("sz").as("__s2")),
           Seq("shingle"))
@@ -351,18 +367,16 @@ object Dedup {
     } else {
       // low threshold: one shuffle — co-occurrence counts ARE the
       // intersection sizes; no distinct pass, no second verification join.
-      // The df cap is PROVABLY a no-op when maxDocFreq ≥ the doc count
-      // (a shingle cannot appear in more docs than exist): skip the
-      // dfCounts aggregation, the cap join and the index persist outright
-      // — the unpersisted explode re-derives from the caller-persisted
-      // shingle frame cheaper than materializing the joined index
-      // (same-session A/B at sf1: 18.5 → 13.4 s median on the d04 shape).
-      // At 100 TB corpora nDocs ≫ any sane cap, so the guarded path —
-      // aggregate, cap, persist (both self-join sides read it) — is the
-      // one that runs at scale.
-      val nDocs = withShingles.count()
+      // NoCap skips the dfCounts aggregation, the cap join and the index
+      // persist outright — the unpersisted explode re-derives from the
+      // caller-persisted shingle frame cheaper than materializing the
+      // joined index (same-session A/B at sf1: 18.5 → 13.4 s median on
+      // the d04 shape). With a finite cap the guarded path — aggregate,
+      // cap, persist (both self-join sides read it) — runs
+      // unconditionally: the choice is the caller's argument, not a
+      // data-dependent count job.
       val capped =
-        if (maxDocFreq >= nDocs) inv
+        if (maxDocFreq == NoCap) inv
         else OperatorCaches.track(
           inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -572,10 +586,11 @@ object Dedup {
     * corpus: each ingest batch is checked against everything already
     * accepted (plus itself) without re-pairing the existing corpus.
     *
-    * Same distinct-shingle and eager-count/snapshot notes as
-    * [[ngramJaccardPairsFrom]] (the frame here is built internally from
-    * [[graft.functions.ShingleWords]] and persisted, so both hold by
-    * construction).
+    * Same distinct-shingle contract as [[ngramJaccardPairsFrom]] (the
+    * frame here is built internally from
+    * [[graft.functions.ShingleWords]], so it holds by construction);
+    * construction is likewise job-free — the capped-vs-uncapped choice is
+    * the `maxDocFreq` argument, never a data-dependent count.
     *
     * Scale notes: the inverted index over corpus∪batch is the structure a
     * real pipeline PERSISTS between batches (it only ever grows by the
@@ -586,7 +601,7 @@ object Dedup {
     * and discarded. Output is (id1, id2, jaccard) with id1 < id2. */
   def ngramJaccardIncremental(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = 100000): DataFrame = {
+      k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
     // Re-delivered ids (present in both sides — the normal at-least-once
     // ingest case) must not double their shingles in the index: the batch
     // copy supersedes the corpus copy (anti-join, broadcast-able batch
@@ -602,19 +617,21 @@ object Dedup {
     val inv = withShingles
       .select(col(idCol), col("__new"), explode(col("sh")).as("shingle"))
     val sizes = sizesFromShingles(withShingles, idCol)
-    val dfCounts = inv.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDocFreq)
-    // same cap-skip as ngramJaccardPairsFrom: when maxDocFreq ≥ nDocs the
-    // cap filter is a no-op — drop the aggregation + join + persist and
-    // let both self-join sides re-explode the persisted shingle frame
-    // (cheaper than materializing the joined index; with the cap ACTIVE
-    // the persist stays — the explode + df-cap join would otherwise run
-    // twice, measured ~25% of d09's wall time at sf0.1)
-    val nDocs = withShingles.count()
+    // same NoCap rule as ngramJaccardPairsFrom: uncapped drops the
+    // aggregation + join + persist and lets both self-join sides
+    // re-explode the persisted shingle frame (cheaper than materializing
+    // the joined index); with a finite cap the persist stays — the
+    // explode + df-cap join would otherwise run twice, measured ~25% of
+    // d09's wall time at sf0.1. No job runs at construction time either
+    // way — the old corpus count() here was the exact driver-blocking
+    // pass a 100 TB pipeline would pay per ingest batch.
     val capped =
-      if (maxDocFreq >= nDocs) inv
+      if (maxDocFreq == NoCap) inv
       else OperatorCaches.track(
-        inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+        inv.join(
+          inv.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxDocFreq).select(col("shingle")),
+          Seq("shingle"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     // "at least one side new" is enforced BEFORE the join, not filtered
     // after: the left side is only the batch's index rows, so join volume

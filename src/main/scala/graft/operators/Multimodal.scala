@@ -26,7 +26,15 @@ import org.apache.spark.sql.types._
   * Either way the distributed shape is identical and real: one
   * iterator-to-iterator pass per partition, no driver involvement, no
   * shuffle — exactly what runs at 100 TB with JNI/FFM codecs plugged in.
-  */
+  *
+  * INVARIANT — keep every operator here NARROW (no repartition, join, or
+  * aggregation inside [[synthesizeCodec]]/[[decodeMeta]]/[[resizeImages]]
+  * and friends): the m03–m07 oracle queries sort BEFORE decoding (the
+  * sort-first pattern, PERF.md r10) and rely on Spark preserving that
+  * row order through these partition-wise transforms. Narrow-map order
+  * preservation is implementation-stable but not contractual — a wide op
+  * inserted mid-chain would silently break oracle row order with no
+  * trailing orderBy to restore it (r10 ADVICE). */
 object Multimodal {
 
   /** One media row: opaque payload + typed metadata. */

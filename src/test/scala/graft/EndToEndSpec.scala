@@ -197,6 +197,65 @@ class EndToEndSpec extends SparkSpec {
     assert(runStream(dirDec, "dec") == sDbl, "decimal stream read diverged")
   }
 
+  test("poison pill: decimal(12,2) lineitem/orders money columns aggregate identically") {
+    import org.apache.spark.sql.types.DoubleType
+    // The TPC-H spec (and DuckDB's tpch extension) type the money and
+    // quantity columns DECIMAL — this corpus's double encoding is the
+    // anomaly, so a generator flip to decimal(12,2) is the likeliest
+    // remaining poison pill (r10 verdict #6). It would change the result
+    // type of every sum(l_extendedprice * (1 - l_discount)) oracle at a
+    // stroke; Tables.normalizeMoney maps both encodings to the identical
+    // nearest-double (the source values carry exactly 2 decimals).
+    val li = Tables.load(spark, sf, "lineitem").filter($"l_orderkey" <= 3000)
+    val ord = Tables.load(spark, sf, "orders").filter($"o_orderkey" <= 3000)
+    val dirDbl = writeAsTable(li, "lineitem")
+    val dirDec = writeAsTable(
+      li.withColumn("l_quantity", $"l_quantity".cast("decimal(12,2)"))
+        .withColumn("l_extendedprice", $"l_extendedprice".cast("decimal(12,2)"))
+        .withColumn("l_discount", $"l_discount".cast("decimal(12,2)"))
+        .withColumn("l_tax", $"l_tax".cast("decimal(12,2)")), "lineitem")
+    // orders rides along in each dir so a join query can run against both
+    locally {
+      import java.nio.file.{Files, Path}
+      def addOrders(dir: String, o: org.apache.spark.sql.DataFrame): Unit = {
+        val staging = dir + "/_ostaging"
+        o.coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Path.of(dir, "orders.parquet"))
+      }
+      addOrders(dirDbl, ord)
+      addOrders(dirDec, ord.withColumn("o_totalprice",
+        $"o_totalprice".cast("decimal(12,2)")))
+    }
+
+    def run(dir: String) = {
+      val l = Tables.load(spark, dir, "lineitem")
+      val o = Tables.load(spark, dir, "orders")
+      for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        assert(l.schema(c).dataType == DoubleType, s"$c not normalized in $dir")
+      assert(o.schema("o_totalprice").dataType == DoubleType,
+        s"o_totalprice not normalized in $dir")
+      // the q01 shape — the exact aggregate family the 4 sf1 selfcheck
+      // FAILs live in; double-vs-decimal inputs must agree bit-for-bit
+      // after normalization because the summation order is the same plan
+      val agg = l.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
+          round(avg($"l_discount"), 4).as("avg_disc"))
+        .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
+      val joined = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(round(sum($"l_extendedprice"), 2).as("rev"),
+          round(max($"o_totalprice"), 2).as("maxtot"))
+        .orderBy($"o_orderstatus").collect().toSeq
+      (agg, joined)
+    }
+    val rDbl = run(dirDbl)
+    assert(rDbl._1.nonEmpty && rDbl._2.nonEmpty)
+    assert(run(dirDec) == rDbl, "decimal money encoding diverged from double")
+  }
+
   test("poison pill: string / binary documents text encodings read identically") {
     import org.apache.spark.sql.types.StringType
     val base = Tables.load(spark, sf, "documents").filter($"doc_id" < 400)

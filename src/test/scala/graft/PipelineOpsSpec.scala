@@ -200,8 +200,8 @@ class DedupSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
     // operators that persist intermediates: shingle frame (the capped
-    // index skips its persist here — maxDocFreq ≥ nDocs makes the cap a
-    // provable no-op, see ngramJaccardPairsFrom)
+    // index skips its persist here — the default NoCap takes the
+    // uncapped path, see ngramJaccardPairsFrom)
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3).count()
     // checkpointed fixpoint: per-round frames release inside the loop,
     // the final one via the registry
@@ -253,6 +253,63 @@ class DedupSpec extends SparkSpec {
     scopeB.release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("ngramJaccard builders run ZERO Spark jobs at construction time") {
+    // r10 verdict #1: the old cap-skip guard counted the corpus at
+    // operator-construction time — a driver-blocking full pass a 100 TB
+    // pipeline would pay per ingest batch. The NoCap sentinel decides
+    // capped-vs-uncapped from the argument alone; this listener pins
+    // that NO path (default/NoCap/finite-cap, batch or incremental)
+    // launches a job before the returned frame is executed.
+    // Every job the SPEC launches (setup + bus-flush sentinels) runs
+    // inside job group "spec-expected"; constructions run with the group
+    // CLEARED, so a job launched from inside a builder shows up with a
+    // different group — counted as rogue regardless of when the async
+    // bus delivers its event. Robust to multi-job actions and to
+    // pre-registration stragglers (those carry the expected group too).
+    val rogue = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val expected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "spec-expected") expected.incrementAndGet()
+        else rogue.add(js.jobId)
+      }
+    }
+    val sc = spark.sparkContext
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+      .select($"doc_id", $"text")
+    sc.setJobGroup("spec-expected", "zero-jobs spec setup")
+    docs.count() // materialize lineage costs outside the assertion window
+    sc.addSparkListener(listener)
+    try {
+      sc.clearJobGroup()
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1,
+        maxDocFreq = 10)
+      Dedup.ngramJaccardIncremental(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", threshold = 0.1)
+      // flush the (ordered) bus: once the post-construction sentinel's
+      // JobStart is delivered, any construction-time JobStart would have
+      // been delivered before it
+      sc.setJobGroup("spec-expected", "zero-jobs spec sentinel")
+      spark.range(1).count()
+      sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (expected.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(expected.get() >= 1, "listener never saw the sentinel job")
+      assert(rogue.isEmpty,
+        s"operator construction launched Spark job(s): ids ${rogue}")
+    } finally {
+      sc.removeSparkListener(listener)
+      graft.operators.OperatorCaches.release()
+    }
   }
 
   test("ngramJaccardPairsFrom: maxDocFreq cap drops high-DF pairs; MaxValue is exact") {
