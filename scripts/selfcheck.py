@@ -1,10 +1,15 @@
 #!/usr/bin/env python3
 """Self-check harness: mimic the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir> [--skip n1,n2,...]
 Reads <outDir>/<name>/ parquet (Spark results) + <outDir>/oracle_sql.json,
 runs each oracle on DuckDB over <sfDir>/*.parquet, canonicalizes
 (sort columns by name, sort rows, round floats) and compares.
+
+--skip names queries whose ORACLE is intractable in DuckDB at the given
+scale (the sf1 dedup-block oracles pair-join 50k shingle sets — ~1.2 B
+list intersections each); they are reported as SKIP, not silently
+dropped, so the run's coverage stays visible.
 """
 import sys, json, glob, math
 import duckdb
@@ -26,12 +31,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    skip = set()
+    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+        skip = set(x.strip() for x in sys.argv[4].split(",") if x.strip())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name} (oracle intractable at this scale)")
+            n_skip += 1
+            continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in
                 sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))], ignore_index=True)
@@ -87,7 +99,8 @@ def main():
             print(f"PASS {name} ({len(a)} rows){note}"); n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    tail = f" / {n_skip} skip" if n_skip else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{tail}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

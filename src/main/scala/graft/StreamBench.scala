@@ -58,6 +58,11 @@ object StreamBench {
       try spark.stop() catch { case _: Throwable => () }
       return
     }
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("crossover")) {
+      crossover(spark, store)
+      try spark.stop() catch { case _: Throwable => () }
+      return
+    }
 
     case class Run(events: Long, batchSec: Double, stateRows: Long,
         commitMs: Long, addBatchMs: Long)
@@ -86,6 +91,8 @@ object StreamBench {
     }
 
     val runs = (1 to reps).map(once)
+    // close native RocksDB instances before JVM exit (JNI logger race)
+    org.apache.spark.sql.graft.glue.stopStateStores()
     val best = runs.minBy(_.batchSec)
     def ms(v: Double): String =
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
@@ -153,7 +160,88 @@ object StreamBench {
       val prog = q.recentProgress.filter(_.numInputRows > 0).toSeq
       q.stop()
       spark.sql("DROP TABLE IF EXISTS sb_sustained")
+      // close native RocksDB instances before JVM exit (JNI logger race)
+      org.apache.spark.sql.graft.glue.stopStateStores()
       report(prog, store, sfDir)
+    } finally deleteRecursively(new java.io.File(splitDir))
+  }
+
+  /** State-store crossover measurement (r10 verdict #5): the provider
+    * rule "in-heap HDFS store until state outgrows the heap" was
+    * extrapolated from tiny state (≤3600 rows) — this mode MEASURES the
+    * curve. A synthetic high-cardinality stream grows an unevicted
+    * per-key aggregate by SPARK_GRAFT_KEYS_PER_BATCH brand-new keys per
+    * trigger for SPARK_GRAFT_BATCHES triggers (no watermark, Update mode,
+    * noop sink — nothing is retained but the state itself), so ONE run
+    * yields per-batch (state_rows, batch_sec, commit_ms, state_mem_bytes)
+    * out to rows = batches × keysPerBatch. Run once with
+    * SPARK_GRAFT_STATE_STORE=hdfs and once with rocksdb; where the curves
+    * cross is the provider switch point for this heap size.
+    *
+    * The stream is genuinely distributed: keys hash-shuffle to
+    * `cpus` state-store partitions exactly like a production per-session
+    * aggregate; only the progress metrics reach the driver. */
+  private def crossover(spark: SparkSession, store: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Path}
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "16").toInt
+    val keysPerBatch = sys.env.getOrElse("SPARK_GRAFT_KEYS_PER_BATCH", "1000000").toLong
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nBatches + 10).toString)
+    val splitDir = Files.createTempDirectory("graft-crossover").toString
+    try {
+      // batch i carries keys [i*K, (i+1)*K) — every key brand new, so
+      // total state after batch i is exactly (i+1)*K rows; a long value
+      // column makes the state row the (key, count, sum) shape of a real
+      // per-session aggregate
+      (0 until nBatches).foreach { i =>
+        val staging = s"$splitDir/_staging"
+        spark.range(i * keysPerBatch, (i + 1) * keysPerBatch)
+          .select(col("id").as("key"), (col("id") % 997).as("value"))
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Path.of(splitDir, f"b$i%03d.parquet"))
+      }
+      deleteRecursively(new java.io.File(s"$splitDir/_staging"))
+      val parts = new java.io.File(splitDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+
+      val physical = spark.read.parquet(splitDir).schema
+      val src = spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1").parquet(splitDir)
+      // unevicted per-key running aggregate — state is one row per key,
+      // exactly the unbounded-session shape the provider rule is about
+      val agg = src.groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("noop").start()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0).toSeq
+      q.stop()
+      // close the native RocksDB instances (and their JNI logger
+      // callbacks) before the JVM starts exiting — see glue.stopStateStores
+      org.apache.spark.sql.graft.glue.stopStateStores()
+      def ms(v: Double): String =
+        BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      val rows = prog.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L))
+      val secs = prog.map(p =>
+        math.max(p.durationMs.get("triggerExecution").toDouble, 1.0) / 1000.0)
+      val commits = prog.map(_.stateOperators.headOption.map(_.commitTimeMs).getOrElse(0L))
+      val mem = prog.map(_.stateOperators.headOption.map(_.memoryUsedBytes).getOrElse(0L))
+      val out =
+        s"""{"metric":"state_crossover","batches":${prog.size},""" +
+        s""""keys_per_batch":$keysPerBatch,""" +
+        s""""state_rows":${rows.mkString("[", ",", "]")},""" +
+        s""""batch_sec":${secs.map(ms).mkString("[", ",", "]")},""" +
+        s""""commit_ms":${commits.mkString("[", ",", "]")},""" +
+        s""""state_mem_bytes":${mem.mkString("[", ",", "]")},""" +
+        s""""state_store":"$store","heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"}"""
+      println(out)
+      System.out.flush()
     } finally deleteRecursively(new java.io.File(splitDir))
   }
 

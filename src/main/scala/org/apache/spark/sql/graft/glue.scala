@@ -27,6 +27,16 @@ object glue {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** Unload every loaded state-store provider on this JVM (closes the
+    * underlying stores). With the RocksDB provider this closes the native
+    * DBs and their JNI logger callbacks BEFORE JVM exit — without it, a
+    * RocksDB-internal background thread can call the Java logger through
+    * JNI while the VM is shutting down and SIGSEGV (observed in
+    * StreamBench's crossover teardown; known rocksdbjni shutdown race).
+    * `StateStore.stop()` is `private[sql]`, hence the glue re-export. */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Register a named expression builder in the session's function
     * registry so `spark.sql("SELECT name(...)")` resolves it. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
