@@ -32,12 +32,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     skip = set()
-    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
-        skip = set(x.strip() for x in sys.argv[4].split(",") if x.strip())
+    rest = sys.argv[3:]
+    if rest and rest[0] == "--skip" and len(rest) == 2:
+        skip = set(x.strip() for x in rest[1].split(",") if x.strip())
+    elif rest:
+        # fail fast: a malformed flag (--skip=..., trailing args) silently
+        # ignored would run the intractable oracle it exists to avoid
+        sys.exit(f"unrecognized arguments {rest}; usage: selfcheck.py <sfDir> <outDir> [--skip n1,n2,...]")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = skip - set(oracle)
+    if unknown:
+        sys.exit(f"--skip names not in oracle_sql.json: {sorted(unknown)}")
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:

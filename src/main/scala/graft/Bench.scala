@@ -127,13 +127,26 @@ object Bench {
     controlOnce() // pay the control's own first-compile before baselining
     val controlBase = Vector.fill(5)(controlOnce()).sorted.apply(2)
     var controlMax = controlBase
+    // The drift test compares against the MINIMUM control ever seen, not
+    // the pre-sweep baseline alone: if the box was already loaded while
+    // baselining, the base is inflated and a fully-contaminated sweep
+    // would read "clean" (r11 review pass). Load only ever inflates the
+    // control, so the running min converges on the unloaded figure; if
+    // it ends up well below the initial base, the baseline itself was
+    // loaded and the sweep verdict says so.
+    var controlMin = controlBase
     var controlReruns = 0
     var loadFlagged = Set.empty[String]
-    def controlDrifted(): Boolean = {
-      val c = controlOnce()
-      if (c > controlMax) controlMax = c
-      c > math.max(1.5 * controlBase, controlBase + 0.2)
-    }
+    def controlDrifted(): Boolean =
+      // a control that cannot even run (heap pressure after a heavy rep,
+      // transient executor death) is the strongest drift signal there is
+      // — and must not abort a 400-second sweep (r11 review pass)
+      try {
+        val c = controlOnce()
+        if (c > controlMax) controlMax = c
+        if (c < controlMin) controlMin = c
+        c > math.max(1.5 * controlMin, controlMin + 0.2)
+      } catch { case _: Throwable => true }
     val maxAttempts = 3
     val sweepT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
@@ -168,12 +181,10 @@ object Bench {
           cleanup()
           if (ok) {
             if (!controlDrifted()) { times :+= dt; accepted = true }
-            else {
-              controlReruns += 1
-              if (attempts >= maxAttempts) {
-                times :+= dt; loadFlagged += name; accepted = true
-              }
-            }
+            else if (attempts >= maxAttempts) {
+              // kept-and-flagged, not rerun — don't count it as a rerun
+              times :+= dt; loadFlagged += name; accepted = true
+            } else controlReruns += 1
           }
         }
         r += 1
@@ -200,9 +211,13 @@ object Bench {
         n -> ts.map(ms).mkString("[", ",", "]")
     }
     // the sweep's load verdict: "clean" = every accepted rep saw an
-    // undrifted control; "flagged" = some query kept a possibly-loaded
-    // measurement after exhausting retries (named in control.flagged)
-    val loadVerdict = if (loadFlagged.nonEmpty) "flagged" else "clean"
+    // undrifted control AND the pre-sweep baseline itself was not
+    // inflated (final min well below the initial base ⇒ the box was
+    // loaded while baselining, and early reps were judged too leniently);
+    // "flagged" = some query kept a possibly-loaded measurement
+    val baselineLoaded = controlBase > math.max(1.5 * controlMin, controlMin + 0.2)
+    val loadVerdict =
+      if (loadFlagged.nonEmpty || baselineLoaded) "flagged" else "clean"
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
@@ -210,7 +225,7 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val flg = loadFlagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val ctl = s"""{"base":${ms(controlBase)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
+      val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
       val omitted = results.size - entries.size
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"load":"$loadVerdict","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }

@@ -90,9 +90,12 @@ object StreamBench {
         addBatchMs = p.durationMs.get("addBatch"))
     }
 
-    val runs = (1 to reps).map(once)
-    // close native RocksDB instances before JVM exit (JNI logger race)
-    org.apache.spark.sql.graft.glue.stopStateStores()
+    // close native RocksDB instances before JVM exit even when a run
+    // throws — exiting with them open reproduces the JNI logger SIGSEGV
+    // this call exists to prevent (r11 review pass)
+    val runs =
+      try (1 to reps).map(once)
+      finally org.apache.spark.sql.graft.glue.stopStateStores()
     val best = runs.minBy(_.batchSec)
     def ms(v: Double): String =
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
@@ -160,10 +163,13 @@ object StreamBench {
       val prog = q.recentProgress.filter(_.numInputRows > 0).toSeq
       q.stop()
       spark.sql("DROP TABLE IF EXISTS sb_sustained")
-      // close native RocksDB instances before JVM exit (JNI logger race)
-      org.apache.spark.sql.graft.glue.stopStateStores()
       report(prog, store, sfDir)
-    } finally deleteRecursively(new java.io.File(splitDir))
+    } finally {
+      // in the finally: a failed stream must still close the native
+      // RocksDB instances or JVM exit hits the JNI logger SIGSEGV
+      org.apache.spark.sql.graft.glue.stopStateStores()
+      deleteRecursively(new java.io.File(splitDir))
+    }
   }
 
   /** State-store crossover measurement (r10 verdict #5): the provider
@@ -201,7 +207,9 @@ object StreamBench {
           .coalesce(1).write.mode("overwrite").parquet(staging)
         val part = new java.io.File(staging).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        Files.move(part.toPath, Path.of(splitDir, f"b$i%03d.parquet"))
+        // %05d: lexicographic name order must equal batch order for the
+        // mtime stagger below — %03d would scramble past 999 batches
+        Files.move(part.toPath, Path.of(splitDir, f"b$i%05d.parquet"))
       }
       deleteRecursively(new java.io.File(s"$splitDir/_staging"))
       val parts = new java.io.File(splitDir).listFiles()
@@ -222,9 +230,6 @@ object StreamBench {
       q.processAllAvailable()
       val prog = q.recentProgress.filter(_.numInputRows > 0).toSeq
       q.stop()
-      // close the native RocksDB instances (and their JNI logger
-      // callbacks) before the JVM starts exiting — see glue.stopStateStores
-      org.apache.spark.sql.graft.glue.stopStateStores()
       def ms(v: Double): String =
         BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       val rows = prog.map(_.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L))
@@ -239,10 +244,18 @@ object StreamBench {
         s""""batch_sec":${secs.map(ms).mkString("[", ",", "]")},""" +
         s""""commit_ms":${commits.mkString("[", ",", "]")},""" +
         s""""state_mem_bytes":${mem.mkString("[", ",", "]")},""" +
-        s""""state_store":"$store","heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"}"""
+        // the JVM's ACTUAL max heap, not an env var that may not have
+        // reached the forked process — the provider rule derived from
+        // this curve is stated as a fraction of the heap
+        s""""state_store":"$store","heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}}"""
       println(out)
       System.out.flush()
-    } finally deleteRecursively(new java.io.File(splitDir))
+    } finally {
+      // in the finally: a failed stream must still close the native
+      // RocksDB instances or JVM exit hits the JNI logger SIGSEGV
+      org.apache.spark.sql.graft.glue.stopStateStores()
+      deleteRecursively(new java.io.File(splitDir))
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -262,27 +262,31 @@ class DedupSpec extends SparkSpec {
     // capped-vs-uncapped from the argument alone; this listener pins
     // that NO path (default/NoCap/finite-cap, batch or incremental)
     // launches a job before the returned frame is executed.
-    // Every job the SPEC launches (setup + bus-flush sentinels) runs
-    // inside job group "spec-expected"; constructions run with the group
-    // CLEARED, so a job launched from inside a builder shows up with a
-    // different group — counted as rogue regardless of when the async
-    // bus delivers its event. Robust to multi-job actions and to
-    // pre-registration stragglers (those carry the expected group too).
+    // Every job the SPEC launches runs inside a named job group
+    // ("spec-setup" before registration, "spec-sentinel" for the
+    // bus-flush); constructions run with the group CLEARED, so a job
+    // launched from inside a builder shows up group-less — counted as
+    // rogue regardless of when the async bus delivers its event. Robust
+    // to multi-job actions and to pre-registration stragglers.
     val rogue = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
-    val expected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val grp = Option(js.properties)
           .map(_.getProperty("spark.jobGroup.id")).orNull
-        if (grp == "spec-expected") expected.incrementAndGet()
-        else rogue.add(js.jobId)
+        // the sentinel gets its OWN group: waiting on a group shared with
+        // the pre-registration setup job would let a straggler setup
+        // event satisfy the wait before a rogue construction event is
+        // delivered (r11 review pass)
+        if (grp == "spec-sentinel") sentinels.incrementAndGet()
+        else if (grp != "spec-setup") rogue.add(js.jobId)
       }
     }
     val sc = spark.sparkContext
     val docs = Tables.load(spark, sf, "documents").limit(50)
       .select($"doc_id", $"text")
-    sc.setJobGroup("spec-expected", "zero-jobs spec setup")
+    sc.setJobGroup("spec-setup", "zero-jobs spec setup")
     docs.count() // materialize lineage costs outside the assertion window
     sc.addSparkListener(listener)
     try {
@@ -296,14 +300,15 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", threshold = 0.1)
       // flush the (ordered) bus: once the post-construction sentinel's
       // JobStart is delivered, any construction-time JobStart would have
-      // been delivered before it
-      sc.setJobGroup("spec-expected", "zero-jobs spec sentinel")
+      // been delivered before it — and only THIS group's event satisfies
+      // the wait, so a straggler setup event can't end it early
+      sc.setJobGroup("spec-sentinel", "zero-jobs spec sentinel")
       spark.range(1).count()
       sc.clearJobGroup()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (expected.get() < 1 && System.nanoTime() < deadline)
+      while (sentinels.get() < 1 && System.nanoTime() < deadline)
         Thread.sleep(10)
-      assert(expected.get() >= 1, "listener never saw the sentinel job")
+      assert(sentinels.get() >= 1, "listener never saw the sentinel job")
       assert(rogue.isEmpty,
         s"operator construction launched Spark job(s): ids ${rogue}")
     } finally {
