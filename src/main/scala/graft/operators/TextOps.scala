@@ -134,10 +134,18 @@ object TextOps {
         explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "))
           .as("term"))
       .filter(col("term") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OperatorCaches.track(toks)
+    // tf IS the distinct (doc, term) set with counts attached, so the
+    // document frequency derives from it directly — the former
+    // toks.distinct() shuffle over the raw token stream was recomputing
+    // what the tf aggregation already establishes. Persisting tf (the
+    // per-doc vocabulary, far smaller than the exploded token stream the
+    // old code cached) lets both its consumers — the tfidf join's left
+    // side and the df aggregation — read one materialization (r11 sf1
+    // A/B, median-of-5 adjacent sessions: 7.5 → 4.9 s).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OperatorCaches.track(tf)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
@@ -170,28 +178,37 @@ object TextOps {
     * shared with [[tfidfTopTerms]] so oracles can recompute identically. */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    // two aggregation branches consume the tokenize: persist it once
-    // (same pattern as Dedup's shared shingle frame) — without this the
-    // regex tokenize + posexplode, the dominant narrow-map cost, runs
-    // twice over the corpus
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // both branches derive narrowly from the token ARRAY frame (one row
+    // per doc, ~8× smaller than the exploded stream the old code
+    // persisted); bigrams come from array adjacency instead of the
+    // previous lead()-over-(doc, pos) window, which sort-shuffled the
+    // corpus's ENTIRE token stream just to pair each token with its
+    // neighbor. Locally the win is modest (r11 sf1 A/B, median-of-5
+    // adjacent sessions: 10.7 → 9.8 s — the interpreted transform() HOF
+    // gives back part of what the dropped sort saves), but the removed
+    // shuffle is the piece that grows with corpus: at 100 TB the token
+    // stream is the largest intermediate in the whole text block, and
+    // pairing neighbors inside the row costs zero network.
+    val arr = docs.select(col(idCol).as("doc_id"),
         split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " ").as("w"))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
-      .filter(col("term") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OperatorCaches.track(toks)
+    OperatorCaches.track(arr)
+    val toks = arr.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
     val termCounts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     val words = termCounts.groupBy("doc_id").agg(
       sum(col("c")).as("n_words"),
       round(sum(col("c") * length(col("term"))).cast(DoubleType) / sum(col("c")), 4)
         .as("mean_word_len"),
       round(max(col("c")).cast(DoubleType) / sum(col("c")), 4).as("top_word_frac"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("nxt", lead(col("term"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bg"))
+    // adjacent-pair bigrams straight off the array (0-based lambda index
+    // i over the length-(n-1) slice pairs w[i+1] with w[i+2], 1-based
+    // element_at). The tokenizer collapses separator runs, so "" tokens
+    // exist only as the whole-array [""] of an empty doc — size-1, no
+    // bigrams, same as the old "" filter produced.
+    val bigrams = arr.select(col("doc_id"),
+      explode(transform(slice(col("w"), lit(1), size(col("w")) - 1),
+        (x, i) => concat_ws(" ", x, element_at(col("w"), i + lit(2))))).as("bg"))
     val dupBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         round((sum(col("c")) - count(lit(1))).cast(DoubleType) / sum(col("c")), 4)

@@ -286,8 +286,11 @@ class DedupSpec extends SparkSpec {
     val sc = spark.sparkContext
     val docs = Tables.load(spark, sf, "documents").limit(50)
       .select($"doc_id", $"text")
+    val emb = Tables.load(spark, sf, "embeddings").limit(20)
     sc.setJobGroup("spec-setup", "zero-jobs spec setup")
-    docs.count() // materialize lineage costs outside the assertion window
+    // materialize lineage + first-touch costs (parquet schema inference
+    // can itself launch a job) outside the assertion window
+    docs.count(); emb.count()
     sc.addSparkListener(listener)
     try {
       sc.clearJobGroup()
@@ -298,6 +301,17 @@ class DedupSpec extends SparkSpec {
       Dedup.ngramJaccardIncremental(
         docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
         "doc_id", "text", threshold = 0.1)
+      // the guarantee is family-wide: EVERY pipeline builder declares its
+      // plan without touching the data (kmeansFit/ivfFit are excluded by
+      // design — fitting IS computation)
+      Dedup.dedupExact(docs, "doc_id", "text")
+      Dedup.exactDupStats(docs, "text")
+      Dedup.dedupMinHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      Dedup.dedupSimHashPairs(docs, "doc_id", "text")
+      Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.5)
+      Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
+        threshold = 0.5, dim = 64)
+      Dedup.contamination(docs, docs.limit(5), "doc_id", "text")
       // flush the (ordered) bus: once the post-construction sentinel's
       // JobStart is delivered, any construction-time JobStart would have
       // been delivered before it — and only THIS group's event satisfies
