@@ -20,18 +20,27 @@ import graft.functions.SimHash64
   *
   * Caching contract: operators that read an intermediate frame from
   * several passes ([[dedupMinHashPairs]]/[[ngramJaccardPairs]]'s shingle
-  * frame, [[ngramJaccardPairsFrom]]'s capped inverted index,
-  * [[ngramJaccardIncremental]], [[cosineNearDupLSH]]) `persist()` it;
-  * the cache cannot be released inside the operator because the returned
-  * frame is lazy and still reads it. Every such persist is registered in
-  * [[OperatorCaches]] — the CALLER runs `OperatorCaches.release()` after
-  * consuming the result (Bench/Verify clear globally per query); in a
-  * long-lived session each un-released call otherwise pins executor
-  * storage memory. [[connectedComponents]] releases its per-round
-  * checkpoints eagerly inside the loop and registers only the final one.
-  * Callers that already hold a persisted [[shingleFrame]] should use the
-  * `*From` variants, which add no caching of their own beyond the capped
-  * index.
+  * frame on the multi-consumer branches, [[ngramJaccardPairsFrom]]'s
+  * capped inverted index, [[ngramJaccardIncremental]]'s capped path,
+  * [[cosineNearDupLSH]]) `persist()` it; the cache cannot be released
+  * inside the operator because the returned frame is lazy and still
+  * reads it. Every such persist is registered in [[OperatorCaches]] —
+  * the CALLER runs `OperatorCaches.release()` after consuming the
+  * result (Bench/Verify clear globally per query); in a long-lived
+  * session each un-released call otherwise pins executor storage
+  * memory. The low-threshold UNCAPPED Jaccard path is deliberately
+  * cache-free: its whole lineage is computed once inside a single
+  * reused exchange (see [[ngramJaccardPairsFrom]]), so it registers
+  * nothing. [[connectedComponents]] releases its per-round checkpoints
+  * eagerly inside the loop and registers only the final one. Callers
+  * that already hold a persisted [[shingleFrame]] should use the
+  * `*From` variants, which add no caching of their own beyond the
+  * capped index.
+  *
+  * Construction is JOB-FREE across the family: no builder runs a Spark
+  * job before the returned frame executes (pinned by a listener spec);
+  * capped-vs-uncapped is decided by comparing `maxDocFreq` to [[NoCap]],
+  * never by counting the data.
   */
 object Dedup {
 
@@ -300,8 +309,14 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
-    val withShingles = OperatorCaches.track(
-      shingleFrame(df, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK))
+    val sh = shingleFrame(df, idCol, textCol, k)
+    // the low-threshold uncapped branch reads the frame through exactly
+    // one reused exchange (see ngramJaccardPairsFrom) — persisting it
+    // there is pure cache-write overhead; every other branch reads it
+    // from several subtrees (prefix filter, sizes, verification arrays)
+    val withShingles =
+      if (threshold < 0.5 && maxDocFreq == NoCap) sh
+      else OperatorCaches.track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
   }
 
@@ -364,22 +379,63 @@ object Dedup {
         .select(col("id1"), col("id2"))
         .distinct()
       verifyJaccard(cands, withShingles, idCol, threshold)
+    } else if (maxDocFreq == NoCap) {
+      // low threshold, uncapped: one shuffle — co-occurrence counts ARE
+      // the intersection sizes; no distinct pass, no verification join.
+      // The WHOLE computation derives from ONE explicit exchange: the
+      // repartition below is the single place the shingle lineage is
+      // computed, Catalyst's ReuseExchange hands its output to both
+      // self-join legs (already co-partitioned, so the join adds no
+      // further shuffle), and each index row carries its doc's
+      // distinct-gram count — attached narrowly at explode time, +8
+      // bytes per row through the shuffle — so the Jaccard denominators
+      // ride the join instead of costing two size-aggregation passes
+      // and two joins afterwards. This makes single-computation a
+      // property of the PLAN, not of cache-materialization order: the
+      // r10 design relied on the eager count() incidentally filling the
+      // caller's persisted frame before the join legs raced to
+      // first-fill it — removing the count in r11 sent sf1 d04 from 5.2
+      // to 13.5 s (every leg recomputed the corpus shingling); the
+      // reused-exchange + inline-size plan runs 4.6 s with zero jobs at
+      // construction and no reliance on the caller persisting anything.
+      val indexed =
+        if (shPreHashed(withShingles))
+          withShingles.select(col(idCol),
+            size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("shingle"))
+        else
+          withShingles.select(col(idCol),
+              size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("__s"))
+            .select(col(idCol), col("sz"), xxhash64(col("__s")).as("shingle"))
+      // explicit partition count: AQE coalesces a bare repartition(col)
+      // to the ~64 MB advisory target, which at sf1 collapses the join's
+      // sort parallelism to a handful of tasks; an explicit N is exempt
+      // from coalescing and keeps the sorts as wide as the session's
+      // shuffle parallelism
+      val shufflePartitions =
+        withShingles.sparkSession.sessionState.conf.numShufflePartitions
+      val part = indexed.repartition(shufflePartitions, col("shingle"))
+      part.select(col("shingle"), col(idCol).as("id1"), col("sz").as("__sz1"))
+        .join(part.select(col("shingle"), col(idCol).as("id2"), col("sz").as("__sz2")),
+          Seq("shingle"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        // sz is constant within a pair group — first() just carries it
+        .agg(count(lit(1)).as("__inter"),
+          first(col("__sz1")).as("__sz1"), first(col("__sz2")).as("__sz2"))
+        .withColumn("jaccard", round(
+          col("__inter").cast(DoubleType) /
+          (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
     } else {
-      // low threshold: one shuffle — co-occurrence counts ARE the
-      // intersection sizes; no distinct pass, no second verification join.
-      // NoCap skips the dfCounts aggregation, the cap join and the index
-      // persist outright — the unpersisted explode re-derives from the
-      // caller-persisted shingle frame cheaper than materializing the
-      // joined index (same-session A/B at sf1: 18.5 → 13.4 s median on
-      // the d04 shape). With a finite cap the guarded path — aggregate,
-      // cap, persist (both self-join sides read it) — runs
-      // unconditionally: the choice is the caller's argument, not a
-      // data-dependent count job.
-      val capped =
-        if (maxDocFreq == NoCap) inv
-        else OperatorCaches.track(
-          inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+      // low threshold with a finite cap: the capped index is a JOIN
+      // (filter against the df aggregation), so it persists — both
+      // self-join legs read the materialized result rather than running
+      // the aggregation + join twice (measured ~25% of d09's wall time
+      // at sf0.1 when it ran twice)
+      val capped = OperatorCaches.track(
+        inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
       val inter = capped.select(col("shingle"), col(idCol).as("id1"))
         .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
         .filter(col("id1") < col("id2"))
@@ -610,23 +666,30 @@ object Dedup {
     val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
     val tagged = freshCorpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
       .unionByName(batch.select(col(idCol), col(textCol)).withColumn("__new", lit(true)))
-    val withShingles = OperatorCaches.track(tagged
-      .select(col(idCol), col("__new"),
-        graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    val inv = withShingles
-      .select(col(idCol), col("__new"), explode(col("sh")).as("shingle"))
-    val sizes = sizesFromShingles(withShingles, idCol)
-    // same NoCap rule as ngramJaccardPairsFrom: uncapped drops the
-    // aggregation + join + persist and lets both self-join sides
-    // re-explode the persisted shingle frame (cheaper than materializing
-    // the joined index); with a finite cap the persist stays — the
-    // explode + df-cap join would otherwise run twice, measured ~25% of
-    // d09's wall time at sf0.1. No job runs at construction time either
-    // way — the old corpus count() here was the exact driver-blocking
-    // pass a 100 TB pipeline would pay per ingest batch.
+    val shingled = tagged.select(col(idCol), col("__new"),
+      graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
+    // the persist pays off only on the capped path, where the index is a
+    // join read from several subtrees; the uncapped path computes the
+    // whole lineage exactly once inside its reused exchange (below), so
+    // a cache there is pure write overhead
+    val withShingles =
+      if (maxDocFreq == NoCap) shingled
+      else OperatorCaches.track(shingled.persist(StorageLevel.MEMORY_AND_DISK))
+    // each index row carries its doc's distinct-gram count (narrow at
+    // explode time); where a branch doesn't use it, column pruning
+    // removes it before the shuffle
+    val inv = withShingles.select(col(idCol), col("__new"),
+      size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("shingle"))
+    // same single-exchange + inline-size rule as ngramJaccardPairsFrom's
+    // uncapped branch (see the comment there for the r11 regression
+    // history): both join legs read the one repartition's output via
+    // ReuseExchange and the Jaccard denominators ride the index rows;
+    // with a finite cap the persisted capped index plays the sharing
+    // role instead. No job runs at construction time either way — the
+    // old corpus count() here was the exact driver-blocking pass a
+    // 100 TB pipeline would pay per ingest batch.
     val capped =
-      if (maxDocFreq == NoCap) inv
+      if (maxDocFreq == NoCap) inv.repartition(col("shingle"))
       else OperatorCaches.track(
         inv.join(
           inv.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
@@ -642,16 +705,28 @@ object Dedup {
     // the left; (new, new) pairs appear twice and the id-order filter
     // keeps the left-smaller orientation.
     val newSide = capped.filter(col("__new"))
-    val inter = newSide.select(col("shingle"), col(idCol).as("__idn"))
+    val paired = newSide.select(col("shingle"), col(idCol).as("__idn"),
+        col("sz").as("__szn"))
       .join(capped.select(col("shingle"), col(idCol).as("__ido"),
-        col("__new").as("__no")), Seq("shingle"))
+        col("sz").as("__szo"), col("__new").as("__no")), Seq("shingle"))
       .filter(col("__idn") =!= col("__ido") &&
         !(col("__no") && col("__ido") < col("__idn")))
+      // the carried sizes must follow the id1/id2 orientation
       .select(least(col("__idn"), col("__ido")).as("id1"),
-              greatest(col("__idn"), col("__ido")).as("id2"))
+              greatest(col("__idn"), col("__ido")).as("id2"),
+              when(col("__idn") < col("__ido"), col("__szn"))
+                .otherwise(col("__szo")).as("__s1"),
+              when(col("__idn") < col("__ido"), col("__szo"))
+                .otherwise(col("__szn")).as("__s2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("__inter"))
-    jaccardFromCounts(inter, sizes, idCol, threshold)
+      .agg(count(lit(1)).as("__inter"),
+        first(col("__s1")).as("__s1"), first(col("__s2")).as("__s2"))
+    paired
+      .withColumn("jaccard", round(
+        col("__inter").cast(DoubleType) /
+        (col("__s1") + col("__s2") - col("__inter")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   // ---- benchmark contamination --------------------------------------------

@@ -50,10 +50,15 @@ final class CacheScope private[operators] () {
   * caller releases them all once the results are consumed:
   *
   * {{{
-  *   val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+  *   val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+  *     threshold = 0.7)                // multi-consumer branch: persists
   *   pairs.write.parquet(out)          // consume the result
   *   OperatorCaches.release()          // drop operator-owned caches only
   * }}}
+  *
+  * (Not every branch caches — e.g. the low-threshold uncapped Jaccard
+  * path computes through one reused exchange and registers nothing;
+  * calling `release()` after a cache-free pipeline is a harmless no-op.)
   *
   * `release()` is precise where `cacheManager.clearCache()` is blunt: it
   * drops only what graft operators persisted, never the caller's own

@@ -199,10 +199,12 @@ class DedupSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
-    // operators that persist intermediates: shingle frame (the capped
-    // index skips its persist here — the default NoCap takes the
-    // uncapped path, see ngramJaccardPairsFrom)
-    Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3).count()
+    // operators that persist intermediates: shingle frame + capped index
+    // (the finite cap forces the persisting branch — the default NoCap
+    // low path is deliberately cache-free since r11, everything reads
+    // one reused exchange; see ngramJaccardPairsFrom)
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3,
+      maxDocFreq = 1000).count()
     // checkpointed fixpoint: per-round frames release inside the loop,
     // the final one via the registry
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
@@ -232,7 +234,10 @@ class DedupSpec extends SparkSpec {
     // shared cache entries (identical plans share one entry; unpersisting
     // it from either side would drop both)
     val (pairsA, scopeA) = OperatorCaches.scoped {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      // finite cap: the persisting branch (the NoCap low path is
+      // cache-free since r11)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3,
+        maxDocFreq = 1000)
     }
     val (pairsB, scopeB) = OperatorCaches.scoped {
       Dedup.ngramJaccardPairs(docs.filter($"doc_id" % 2 === 0),
