@@ -217,28 +217,36 @@ object Dedup {
   def dedupMinHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    // shingle arrays persist once; signatures are a pure narrow map over
-    // them (fused MinHashSig — no explode/shuffle), and verification
-    // re-reads the same persisted arrays (verifyJaccard intersects them)
-    val withShingles = OperatorCaches.track(
-      shingleFrame(df, idCol, textCol, k).persist(StorageLevel.MEMORY_AND_DISK))
-    dedupMinHashPairsFrom(withShingles, idCol, numHashes, bands,
-      threshold, maxBucket)
-  }
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+    // no persist: the *From plan reads the frame through exactly one
+    // reused exchange (r11 sf1 A/B: 6.7 → 3.2 s — the old persisted
+    // frame was first-filled by three racing consumers)
+    dedupMinHashPairsFrom(shingleFrame(df, idCol, textCol, k), idCol,
+      numHashes, bands, threshold, maxBucket)
 
-  /** [[dedupMinHashPairs]] over a prepared [[shingleFrame]]. */
+  /** [[dedupMinHashPairs]] over a prepared [[shingleFrame]].
+    *
+    * The frame goes through one id-keyed exchange before fanning out to
+    * its three consumers (the signature/banding leg and verifyJaccard's
+    * two array-fetch joins): ReuseExchange computes the shingle lineage
+    * once whether or not the caller persisted, and the verify joins are
+    * then already partitioned on their join key. Same
+    * plan-not-cache-order reasoning as [[ngramJaccardPairsFrom]]'s
+    * uncapped branch. */
   def dedupMinHashPairsFrom(
       withShingles: DataFrame, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val sigs = withShingles.select(col(idCol),
+    val base = withShingles.repartition(
+      withShingles.sparkSession.sessionState.conf.numShufflePartitions,
+      col(idCol))
+    val sigs = base.select(col(idCol),
         graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
       .select(col(idCol),
         explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = bucketPairs(sigs, idCol, maxBucket)
-    verifyJaccard(cands, withShingles, idCol, threshold)
+    verifyJaccard(cands, base, idCol, threshold)
   }
 
   /** Exact Jaccard for candidate pairs: join each side's hashed shingle
@@ -524,14 +532,18 @@ object Dedup {
       threshold: Double, dim: Int, planes: Int = 16, bands: Int = 4,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
     // fused signature (one long, native pass — the composed per-plane
-    // expression tree exceeded codegen limits); persisted so the verify
-    // joins re-read vectors instead of recomputing lineage
+    // expression tree exceeded codegen limits); the frame reaches its
+    // three consumers (band explode + both verify joins) through one
+    // id-keyed reused exchange instead of a persisted cache whose
+    // first-fill the consumers would race (same plan-not-cache-order
+    // reasoning as dedupMinHashPairsFrom; r11 sf1 A/B: 4.7 → 4.0 s
+    // median-of-5, warm reps ~3.7)
     val rowsPerBand = planes / bands
     val mask = (1L << rowsPerBand) - 1
-    val withSig = OperatorCaches.track(
-      df.select(col(idCol), col(vecCol),
+    val withSig = df.select(col(idCol), col(vecCol),
         graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
     val exploded = withSig.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
