@@ -237,7 +237,15 @@ object Dedup {
       withShingles: DataFrame, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val base = withShingles.repartition(
+    // the explicit isNotNull matters for plan reuse, not just semantics:
+    // the verify inner joins push isnotnull(id) into their legs, and
+    // without it here the signature leg's exchange subtree differs by
+    // exactly that predicate — ReuseExchange can't unify them and the
+    // corpus is scanned and shingled TWICE (plan-asserted in PlanSpec).
+    // A null-id doc can never produce an output pair (every downstream
+    // join is inner on the id), so filtering up front only stops such
+    // docs from occupying capped-bucket slots.
+    val base = withShingles.filter(col(idCol).isNotNull).repartition(
       withShingles.sparkSession.sessionState.conf.numShufflePartitions,
       col(idCol))
     val sigs = base.select(col(idCol),
@@ -540,10 +548,22 @@ object Dedup {
     // median-of-5, warm reps ~3.7)
     val rowsPerBand = planes / bands
     val mask = (1L << rowsPerBand) - 1
-    val withSig = df.select(col(idCol), col(vecCol),
-        graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
+    // ReuseExchange needs the band-explode leg and both verify joins to
+    // present the IDENTICAL exchange subtree, which takes two measures
+    // (both plan-asserted in PlanSpec): the explicit isNotNull (the
+    // verify inner joins push isnotnull(id) into their legs — same as
+    // dedupMinHashPairsFrom), and computing the signature AFTER the
+    // exchange (were hsig below it, column pruning would specialize the
+    // band leg to (id, hsig) and the verify legs to (id, vec) — two
+    // different subtrees, vectors scanned twice). The vector crosses the
+    // one shared exchange anyway for verification; the signature is a
+    // narrow post-exchange map on the band leg only.
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(vecCol))
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col(idCol))
+    val withSig = base.select(col(idCol),
+      graft.functions.HyperplaneSig.sig(col(vecCol), dim, planes, seed).as("hsig"))
     val exploded = withSig.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -552,8 +572,8 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = bucketPairs(exploded, idCol, maxBucket)
     cands
-      .join(withSig.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
-      .join(withSig.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
       .withColumn("cosine", round(
         Similarity.dot(col("v1"), col("v2")) /
         (Similarity.norm(col("v1")) * Similarity.norm(col("v2"))), 4))

@@ -254,6 +254,56 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  // ---- reused-exchange single-computation guards (round 11) -------------
+  // The MinHash, cosine-LSH and uncapped-Jaccard operators compute their
+  // input lineage ONCE by plan shape: one explicit repartition whose
+  // exchange every consumer reuses. The r10 design relied on cache-fill
+  // ORDER instead (a persisted frame whose consumers raced to first-fill),
+  // which regressed 2.6× at sf1 the moment an incidental eager count()
+  // stopped materializing it first. These specs pin the plan property:
+  // the executed plan must carry a ReusedExchange and must NOT read any
+  // frame through an InMemoryTableScan. (AQE prints the final plan first;
+  // cut at the Initial Plan section so assertions see only what ran.)
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("d04 uncapped Jaccard: shingle exchange reused by both join legs, no cache") {
+    val p = finalPlan(graft.operators.Dedup.ngramJaccardPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.3))
+    assert(p.contains("ReusedExchange"),
+      s"expected the shingle repartition reused across the self-join legs:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"the uncapped branch must not persist anything:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"shingle lineage must be computed from one scan:\n$p")
+  }
+
+  test("d02 MinHash pairs: shingle frame reaches all three consumers via one exchange") {
+    val p = finalPlan(graft.operators.Dedup.dedupMinHashPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text"))
+    assert(p.contains("ReusedExchange"),
+      s"expected the id-keyed shingle exchange reused by the verify joins:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"no persisted frame belongs in this plan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"the corpus must be scanned and shingled once:\n$p")
+  }
+
+  test("d06 cosine LSH: signature frame reused, vectors scanned once, no cache") {
+    val p = finalPlan(graft.operators.Dedup.cosineNearDupLSH(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 32, bands = 4))
+    assert(p.contains("ReusedExchange"),
+      s"expected the id-keyed signature exchange reused by the verify joins:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"no persisted frame belongs in this plan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"the embeddings must be scanned and signed once:\n$p")
+  }
+
   test("withRowId auto-routes by size estimate: big → scaled, small → window") {
     // forcing the threshold to 0 routes any frame down the scale path —
     // the global-window footgun must be unreachable above the threshold
