@@ -19,18 +19,22 @@ import graft.functions.SimHash64
   *    uncapped hot bucket is a quadratic blowup on one executor
   *
   * Caching contract: operators that read an intermediate frame from
-  * several passes ([[dedupMinHashPairs]]/[[ngramJaccardPairs]]'s shingle
-  * frame on the multi-consumer branches, [[ngramJaccardPairsFrom]]'s
-  * capped inverted index, [[ngramJaccardIncremental]]'s capped path,
-  * [[cosineNearDupLSH]]) `persist()` it; the cache cannot be released
-  * inside the operator because the returned frame is lazy and still
-  * reads it. Every such persist is registered in [[OperatorCaches]] —
-  * the CALLER runs `OperatorCaches.release()` after consuming the
-  * result (Bench/Verify clear globally per query); in a long-lived
-  * session each un-released call otherwise pins executor storage
-  * memory. The low-threshold UNCAPPED Jaccard path is deliberately
-  * cache-free: its whole lineage is computed once inside a single
-  * reused exchange (see [[ngramJaccardPairsFrom]]), so it registers
+  * several passes and cannot express that as one exchange
+  * ([[ngramJaccardPairs]]'s shingle frame on the prefix-filter branch,
+  * [[ngramJaccardPairsFrom]]'s capped inverted index,
+  * [[ngramJaccardIncremental]]'s capped path) `persist()` it; the cache
+  * cannot be released inside the operator because the returned frame is
+  * lazy and still reads it. Every such persist is registered in
+  * [[OperatorCaches]] — the CALLER runs `OperatorCaches.release()`
+  * after consuming the result (Bench/Verify clear globally per query);
+  * in a long-lived session each un-released call otherwise pins
+  * executor storage memory. [[dedupMinHashPairs]], [[cosineNearDupLSH]]
+  * and the low-threshold UNCAPPED Jaccard path are deliberately
+  * cache-free: their whole input lineage is computed once inside a
+  * single explicitly-repartitioned exchange that every consumer reuses
+  * (plan-asserted in PlanSpec — see the in-method notes for the two
+  * Catalyst rewrites, null-filter pushdown and column pruning, that
+  * must be neutralized for ReuseExchange to fire), so they register
   * nothing. [[connectedComponents]] releases its per-round checkpoints
   * eagerly inside the loop and registers only the final one. Callers
   * that already hold a persisted [[shingleFrame]] should use the
