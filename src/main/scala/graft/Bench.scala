@@ -227,7 +227,11 @@ object Bench {
       val flg = loadFlagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
       val omitted = results.size - entries.size
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"load":"$loadVerdict","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      // "cpus" labels the measurement config: a local[4]-vs-local[32]
+      // mixup produced a 2.4x phantom regression at sf1 (r11, PERF.md
+      // parallelism-sizing section) — totals from different parallelism
+      // are not comparable and must carry their config
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift
