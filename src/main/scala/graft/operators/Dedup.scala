@@ -186,12 +186,22 @@ object Dedup {
     * stream) is what persists: doc sizes then come from `size(sh)` as a
     * narrow map instead of a count-per-id shuffle over the exploded
     * index. */
-  private def invFromShingles(withShingles: DataFrame, idCol: String): DataFrame =
+  private def invFromShingles(withShingles: DataFrame, idCol: String,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    // `carry` columns (e.g. the doc's distinct-gram count for inline
+    // Jaccard denominators) attach narrowly at explode time — a few
+    // bytes per index row through the shuffle instead of a separate
+    // size-aggregation join afterwards. This is the ONE place the
+    // pre-hashed/legacy `sh` encoding is dispatched; branches needing
+    // extra columns pass them here rather than re-implementing it.
+    val carried = carry.map { case (n, c) => c.as(n) }
     if (shPreHashed(withShingles))
-      withShingles.select(col(idCol), explode(col("sh")).as("shingle"))
+      withShingles.select(col(idCol) +: carried :+ explode(col("sh")).as("shingle"): _*)
     else
-      withShingles.select(col(idCol), explode(col("sh")).as("__s"))
-        .select(col(idCol), xxhash64(col("__s")).as("shingle"))
+      withShingles.select(col(idCol) +: carried :+ explode(col("sh")).as("__s"): _*)
+        .select(col(idCol) +: carry.map(c => col(c._1)) :+
+          xxhash64(col("__s")).as("shingle"): _*)
+  }
 
   /** Per-doc distinct-shingle counts, narrow (shingle arrays are distinct
     * by construction — ShingleWords emits each k-gram once). */
@@ -318,6 +328,24 @@ object Dedup {
     * its persist are never built; with any finite cap they always run. */
   val NoCap: Int = Int.MaxValue
 
+  /** Threshold at which [[ngramJaccardPairsFrom]] switches from the
+    * single-shuffle co-occurrence plan to the AllPairs prefix-filter
+    * plan (worth its extra shuffles only when the prefix is a small
+    * fraction of each doc's shingles — see the branch comment). */
+  val PrefixFilterThreshold: Double = 0.5
+
+  /** True when this (threshold, maxDocFreq) combination routes to a
+    * branch that reads the shingle frame from SEVERAL subtrees (prefix
+    * filter, sizes, verification arrays) and therefore benefits from a
+    * caller persist; the uncapped co-occurrence branch reads it exactly
+    * once through its own exchange and a cache would be pure write
+    * overhead. Shared by [[ngramJaccardPairs]]'s persist decision and
+    * [[ngramJaccardPairsFrom]]'s dispatch so the two cannot desync if
+    * the cutoff is ever tuned. */
+  private[operators] def jaccardMultiConsumer(
+      threshold: Double, maxDocFreq: Int): Boolean =
+    threshold >= PrefixFilterThreshold || maxDocFreq != NoCap
+
   /** All pairs with Jaccard ≥ threshold, found exactly: candidates =
     * pairs sharing ≥1 shingle (the only pairs with jaccard > 0), via an
     * inverted-index equi-join on the shingle. `maxDocFreq` drops shingles
@@ -335,7 +363,7 @@ object Dedup {
     // there is pure cache-write overhead; every other branch reads it
     // from several subtrees (prefix filter, sizes, verification arrays)
     val withShingles =
-      if (threshold < 0.5 && maxDocFreq == NoCap) sh
+      if (!jaccardMultiConsumer(threshold, maxDocFreq)) sh
       else OperatorCaches.track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
   }
@@ -362,7 +390,7 @@ object Dedup {
     lazy val dfCounts =
       if (maxDocFreq == NoCap) dfCountsAll
       else dfCountsAll.filter(col("__df") <= maxDocFreq)
-    if (threshold >= 0.5) {
+    if (threshold >= PrefixFilterThreshold) {
       // AllPairs prefix filter (Bayardo et al.): order each doc's
       // shingles by GLOBAL rarity; a pair with jaccard >= t must share
       // an element within the first |x| - ceil(t*|x|) + 1 shingles of
@@ -418,14 +446,8 @@ object Dedup {
       // to 13.5 s (every leg recomputed the corpus shingling); the
       // reused-exchange + inline-size plan runs 4.6 s with zero jobs at
       // construction and no reliance on the caller persisting anything.
-      val indexed =
-        if (shPreHashed(withShingles))
-          withShingles.select(col(idCol),
-            size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("shingle"))
-        else
-          withShingles.select(col(idCol),
-              size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("__s"))
-            .select(col(idCol), col("sz"), xxhash64(col("__s")).as("shingle"))
+      val indexed = invFromShingles(withShingles, idCol,
+        carry = Seq("sz" -> size(col("sh")).cast(LongType)))
       // explicit partition count: AQE coalesces a bare repartition(col)
       // to the ~64 MB advisory target, which at sf1 collapses the join's
       // sort parallelism to a handful of tasks; an explicit N is exempt
@@ -705,45 +727,69 @@ object Dedup {
     val shingled = tagged.select(col(idCol), col("__new"),
       graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
     // the persist pays off only on the capped path, where the index is a
-    // join read from several subtrees; the uncapped path computes the
-    // whole lineage exactly once inside its reused exchange (below), so
-    // a cache there is pure write overhead
+    // join read from several subtrees; the uncapped path reads this
+    // frame from ONE leg only (the full index below), so a cache there
+    // is pure write overhead
     val withShingles =
       if (maxDocFreq == NoCap) shingled
       else OperatorCaches.track(shingled.persist(StorageLevel.MEMORY_AND_DISK))
     // each index row carries its doc's distinct-gram count (narrow at
     // explode time); where a branch doesn't use it, column pruning
     // removes it before the shuffle
-    val inv = withShingles.select(col(idCol), col("__new"),
-      size(col("sh")).cast(LongType).as("sz"), explode(col("sh")).as("shingle"))
-    // same single-exchange + inline-size rule as ngramJaccardPairsFrom's
-    // uncapped branch (see the comment there for the r11 regression
-    // history): both join legs read the one repartition's output via
-    // ReuseExchange and the Jaccard denominators ride the index rows;
-    // with a finite cap the persisted capped index plays the sharing
-    // role instead. No job runs at construction time either way — the
-    // old corpus count() here was the exact driver-blocking pass a
-    // 100 TB pipeline would pay per ingest batch.
-    val capped =
-      if (maxDocFreq == NoCap) inv.repartition(col("shingle"))
-      else OperatorCaches.track(
-        inv.join(
-          inv.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= maxDocFreq).select(col("shingle")),
-          Seq("shingle"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    val inv = invFromShingles(withShingles, idCol,
+      carry = Seq("__new" -> col("__new"),
+        "sz" -> size(col("sh")).cast(LongType)))
     // "at least one side new" is enforced BEFORE the join, not filtered
-    // after: the left side is only the batch's index rows, so join volume
-    // is |batch-index| × df, not |full-index| × df — the difference
-    // between an incremental ingest and a full-corpus recompute when the
-    // batch is small against a 100 TB corpus. Each unordered pair is kept
-    // exactly once: (new, old) pairs only ever appear with the new doc on
-    // the left; (new, new) pairs appear twice and the id-order filter
-    // keeps the left-smaller orientation.
-    val newSide = capped.filter(col("__new"))
-    val paired = newSide.select(col("shingle"), col(idCol).as("__idn"),
+    // after: the probe side is only the batch's index rows, so join
+    // volume is |batch-index| × df, not |full-index| × df — the
+    // difference between an incremental ingest and a full-corpus
+    // recompute when the batch is small against a 100 TB corpus. Each
+    // unordered pair is kept exactly once: (new, old) pairs only ever
+    // appear with the new doc on the probe side; (new, new) pairs
+    // appear twice and the id-order filter keeps the left-smaller
+    // orientation.
+    //
+    // Honest computation-count accounting (an earlier revision claimed
+    // both legs shared one reused exchange — they never did: the __new
+    // filter pushes below a repartition, so the legs' exchange subtrees
+    // differ and ReuseExchange cannot unify them; a review pass caught
+    // the claim against the executed plan). The uncapped shape computes
+    // the CORPUS lineage exactly once (full-index leg only — the probe
+    // leg derives straight from `batch`, no anti-join, no union) and
+    // the batch shingling twice (once per leg) — the side an
+    // incremental pipeline keeps small by construction. Explicit
+    // partition counts on both legs keep the join's sort parallelism at
+    // the session's shuffle width (AQE coalesces bare repartitions to
+    // its ~64 MB advisory target — the same pathology
+    // ngramJaccardPairsFrom documents) and make the legs co-partitioned
+    // so the join adds no further exchange. With a finite cap the
+    // persisted capped index plays the sharing role instead. No job
+    // runs at construction time either way — the old corpus count()
+    // here was the exact driver-blocking pass a 100 TB pipeline would
+    // pay per ingest batch. Plan-asserted in PlanSpec (explicit-N
+    // repartitions, single anti-join, no cache on the uncapped path).
+    val shufflePartitions =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val (probeSide, fullSide) =
+      if (maxDocFreq == NoCap) {
+        val batchIdx = invFromShingles(
+          batch.select(col(idCol),
+            graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh")),
+          idCol, carry = Seq("sz" -> size(col("sh")).cast(LongType)))
+        (batchIdx.repartition(shufflePartitions, col("shingle")),
+         inv.repartition(shufflePartitions, col("shingle")))
+      } else {
+        val capped = OperatorCaches.track(
+          inv.join(
+            inv.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+              .filter(col("__df") <= maxDocFreq).select(col("shingle")),
+            Seq("shingle"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        (capped.filter(col("__new")), capped)
+      }
+    val paired = probeSide.select(col("shingle"), col(idCol).as("__idn"),
         col("sz").as("__szn"))
-      .join(capped.select(col("shingle"), col(idCol).as("__ido"),
+      .join(fullSide.select(col("shingle"), col(idCol).as("__ido"),
         col("sz").as("__szo"), col("__new").as("__no")), Seq("shingle"))
       .filter(col("__idn") =!= col("__ido") &&
         !(col("__no") && col("__ido") < col("__idn")))

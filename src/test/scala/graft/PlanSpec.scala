@@ -304,6 +304,35 @@ class PlanSpec extends SparkSpec {
       s"the embeddings must be scanned and signed once:\n$p")
   }
 
+  test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
+    // The uncapped incremental shape computes the corpus lineage once
+    // (full-index leg only: the probe leg derives straight from the
+    // batch) — so exactly ONE re-delivery anti-join may appear; both
+    // legs must go through explicit-partition-count repartitions (a bare
+    // repartition(col) gets AQE-coalesced to the advisory target,
+    // collapsing the join's sort parallelism at scale); and nothing may
+    // be persisted. A review pass caught this operator claiming (in
+    // comments) exchange reuse that never fired — these assertions pin
+    // what the plan actually guarantees instead.
+    // OVERLAPPING corpus/batch ranges: with disjoint ranges (the d09
+    // query's shape) Catalyst proves the anti-join's condition
+    // unsatisfiable from the filter constraints and eliminates it
+    // outright — the overlap here keeps the re-delivery semantics (and
+    // its single anti-join) in the plan under test
+    val docs = Tables.load(spark, sf, "documents")
+    val p = finalPlan(graft.operators.Dedup.ngramJaccardIncremental(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 300),
+      "doc_id", "text", k = 3, threshold = 0.1))
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"expected explicit-partition-count exchanges on both join legs:\n$p")
+    assert(!p.contains("REPARTITION_BY_COL"),
+      s"a bare repartition(col) is AQE-coalescible — use the explicit count:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      s"the re-delivery anti-join must appear once (full-index leg only):\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"the uncapped path must not persist anything:\n$p")
+  }
+
   test("withRowId auto-routes by size estimate: big → scaled, small → window") {
     // forcing the threshold to 0 routes any frame down the scale path —
     // the global-window footgun must be unreachable above the threshold
