@@ -306,6 +306,9 @@ class DedupSpec extends SparkSpec {
       Dedup.ngramJaccardIncremental(
         docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
         "doc_id", "text", threshold = 0.1)
+      Dedup.ngramJaccardIncremental(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", threshold = 0.1, maxDocFreq = 10)
       // the guarantee is family-wide: EVERY pipeline builder declares its
       // plan without touching the data (kmeansFit/ivfFit are excluded by
       // design — fitting IS computation)
@@ -609,6 +612,35 @@ class Round4OpsSpec extends SparkSpec {
         "doc_id", "text", k = 3, threshold = 0.1)
       .as[(Long, Long, Double)].collect().toSet
     assert(inc == full && inc.nonEmpty)
+  }
+
+  test("ngramJaccardIncremental (capped, non-monotone split) equals the capped full pair set") {
+    // Two independent hardenings of the monotone-split test above:
+    // (1) finite maxDocFreq routes the capped branch (persisted capped
+    //     index shared by both legs) — its df counts must equal the
+    //     from-scratch operator's, i.e. be computed over corpus∪batch,
+    //     not per side;
+    // (2) a modulo split breaks the id1<id2 ≡ "id2 is new" shortcut, so
+    //     pair orientation and the carried sizes must follow least/
+    //     greatest, not probe/full roles.
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+    val isBatch = $"doc_id" % 3 === 0
+    val batchIds = docs.filter(isBatch).select($"doc_id").as[Long].collect().toSet
+    def full(cap: Int) = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.1, maxDocFreq = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    val fullCapped = full(2).filter(p => batchIds(p._1) || batchIds(p._2))
+    val inc = Dedup.ngramJaccardIncremental(
+        docs.filter(!isBatch), docs.filter(isBatch),
+        "doc_id", "text", k = 3, threshold = 0.1, maxDocFreq = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == fullCapped && inc.nonEmpty)
+    // the cap must actually bind at these sizes, or the capped branch
+    // wasn't meaningfully exercised
+    val fullUncapped = full(Dedup.NoCap).filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(fullCapped != fullUncapped,
+      "maxDocFreq=2 dropped nothing — raise the corpus size or lower the cap")
+    graft.operators.OperatorCaches.release()
   }
 
   test("ngramJaccardIncremental: a re-delivered id does not double-count") {
