@@ -623,24 +623,30 @@ class Round4OpsSpec extends SparkSpec {
     // (2) a modulo split breaks the id1<id2 ≡ "id2 is new" shortcut, so
     //     pair orientation and the carried sizes must follow least/
     //     greatest, not probe/full roles.
-    val docs = Tables.load(spark, sf, "documents").limit(120)
+    // deterministic 120-doc subset: a filter, NOT limit() — an unordered
+    // GlobalLimit can pick a different row set in each of the several
+    // independent evaluations of this frame (corpus leg, batch leg,
+    // from-scratch runs), which would make the equivalence flaky
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 120)
     val isBatch = $"doc_id" % 3 === 0
-    val batchIds = docs.filter(isBatch).select($"doc_id").as[Long].collect().toSet
+    // batch membership is the split predicate itself — no collect job
+    def inBatch(id: Long) = id % 3 == 0
     def full(cap: Int) = Dedup.ngramJaccardPairs(
         docs, "doc_id", "text", k = 3, threshold = 0.1, maxDocFreq = cap)
       .as[(Long, Long, Double)].collect().toSet
-    val fullCapped = full(2).filter(p => batchIds(p._1) || batchIds(p._2))
-    val inc = Dedup.ngramJaccardIncremental(
-        docs.filter(!isBatch), docs.filter(isBatch),
-        "doc_id", "text", k = 3, threshold = 0.1, maxDocFreq = 2)
-      .as[(Long, Long, Double)].collect().toSet
-    assert(inc == fullCapped && inc.nonEmpty)
-    // the cap must actually bind at these sizes, or the capped branch
-    // wasn't meaningfully exercised
-    val fullUncapped = full(Dedup.NoCap).filter(p => batchIds(p._1) || batchIds(p._2))
-    assert(fullCapped != fullUncapped,
-      "maxDocFreq=2 dropped nothing — raise the corpus size or lower the cap")
-    graft.operators.OperatorCaches.release()
+    try {
+      val fullCapped = full(2).filter(p => inBatch(p._1) || inBatch(p._2))
+      val inc = Dedup.ngramJaccardIncremental(
+          docs.filter(!isBatch), docs.filter(isBatch),
+          "doc_id", "text", k = 3, threshold = 0.1, maxDocFreq = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(inc == fullCapped && inc.nonEmpty)
+      // the cap must actually bind at these sizes, or the capped branch
+      // wasn't meaningfully exercised
+      val fullUncapped = full(Dedup.NoCap).filter(p => inBatch(p._1) || inBatch(p._2))
+      assert(fullCapped != fullUncapped,
+        "maxDocFreq=2 dropped nothing — raise the corpus size or lower the cap")
+    } finally graft.operators.OperatorCaches.release()
   }
 
   test("ngramJaccardIncremental: a re-delivered id does not double-count") {
