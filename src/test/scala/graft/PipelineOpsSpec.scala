@@ -151,7 +151,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("fused MinHashSig equals the HOF and explode+agg signature forms") {
-    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 50)
       .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
     val fused = docs.select($"doc_id",
         graft.functions.MinHashSig.minhashSig($"sh", 16).as("sig"))
@@ -177,7 +177,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngramJaccard prefix-filter path (t>=0.5) is lossless vs brute force") {
-    val docs = Tables.load(spark, sf, "documents").limit(150)
+    // deterministic subset (see the capped-incremental test: an unordered
+    // limit() may resolve to different row sets across the frame's
+    // independent evaluations in the fast and brute paths)
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 150)
     val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
@@ -362,7 +365,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngramJaccard matches brute-force on the documents table") {
-    val docs = Tables.load(spark, sf, "documents").limit(100)
+    // deterministic subset — fast and brute evaluate the frame independently
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 100)
     val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     // brute force via cross join
