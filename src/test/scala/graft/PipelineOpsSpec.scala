@@ -505,7 +505,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures: partition-wise stub decode, deterministic") {
-    val docs = Tables.load(spark, sf, "documents").limit(10)
+    // deterministic subset — the pipeline is evaluated independently twice
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 10)
     val f1 = Multimodal.featurePipeline(spark, docs).orderBy($"media_id").collect()
     val f2 = Multimodal.featurePipeline(spark, docs).orderBy($"media_id").collect()
     assert(f1.sameElements(f2))

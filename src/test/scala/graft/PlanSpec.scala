@@ -42,11 +42,14 @@ class PlanSpec extends SparkSpec {
 
   test("registered SQL functions resolve and agree with Column API") {
     Graft.registerFunctions(spark)
-    Tables.load(spark, sf, "documents").limit(50).createOrReplaceTempView("d50")
+    // deterministic subset — the view and the Column-API frame evaluate
+    // independently; an unordered limit could pick different row sets
+    Tables.load(spark, sf, "documents").filter($"doc_id" < 50)
+      .createOrReplaceTempView("d50")
     val viaSql = spark.sql(
       "SELECT doc_id, lang_id(text) l, simhash64(tokenize_words(text)) s FROM d50")
       .orderBy($"doc_id").collect()
-    val viaCol = Tables.load(spark, sf, "documents").limit(50)
+    val viaCol = Tables.load(spark, sf, "documents").filter($"doc_id" < 50)
       .select($"doc_id", graft.operators.TextOps.langId($"text").as("l"),
         graft.functions.SimHash64.simhash64(
           graft.functions.TokenizeWords.tokenizeWords($"text")).as("s"))

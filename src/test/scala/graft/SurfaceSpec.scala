@@ -36,7 +36,9 @@ class SurfaceSpec extends SparkSpec {
     // default timestampFormat writes millis only — micro-precision event
     // times need the explicit 6-digit fraction on BOTH sides
     val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    val d = Tables.load(spark, sf, "events").limit(200)
+    // deterministic subset — the frame is evaluated once for the write
+    // and again for the comparison collect
+    val d = Tables.load(spark, sf, "events").filter($"event_id" < 200)
     d.write.mode("overwrite").option("timestampFormat", tsFmt).json(dir)
     val back = spark.read.schema(d.schema).option("timestampFormat", tsFmt).json(dir)
     assert(back.orderBy("event_id").collect().toSeq ==
