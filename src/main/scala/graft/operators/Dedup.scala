@@ -484,10 +484,17 @@ object Dedup {
       val shufflePartitions =
         withShingles.sparkSession.sessionState.conf.numShufflePartitions
       val part = indexed.repartition(shufflePartitions, col("shingle"))
+      // size-ratio prune between join and aggregation (same whole-stage
+      // codegen): J ≤ min/max of the sizes, so rows whose pair cannot
+      // reach the slacked threshold skip the partial-agg hash map.
+      // Lossless — the pruned pairs would fail the jaccard filter below.
+      val coSlackedT = (threshold - 0.00005) * (1.0 - 1e-12)
       part.select(col("shingle"), col(idCol).as("id1"), col("sz").as("__sz1"))
         .join(part.select(col("shingle"), col(idCol).as("id2"), col("sz").as("__sz2")),
           Seq("shingle"))
-        .filter(col("id1") < col("id2"))
+        .filter(col("id1") < col("id2") &&
+          least(col("__sz1"), col("__sz2")).cast(DoubleType) >=
+            lit(coSlackedT) * greatest(col("__sz1"), col("__sz2")).cast(DoubleType))
         .groupBy(col("id1"), col("id2"))
         // sz is constant within a pair group — first() just carries it
         .agg(count(lit(1)).as("__inter"),
@@ -819,8 +826,15 @@ object Dedup {
         col("sz").as("__szn"))
       .join(fullSide.select(col("shingle"), col(idCol).as("__ido"),
         col("sz").as("__szo"), col("__new").as("__no")), Seq("shingle"))
+      // size-ratio prune (J ≤ min/max; slacked, lossless vs the
+      // round(J,4) ≥ t admission below — same argument as the batch
+      // operator's co-occurrence branch) drops rows inside the join's
+      // codegen stage, before the partial aggregation
       .filter(col("__idn") =!= col("__ido") &&
-        !(col("__no") && col("__ido") < col("__idn")))
+        !(col("__no") && col("__ido") < col("__idn")) &&
+        least(col("__szn"), col("__szo")).cast(DoubleType) >=
+          lit((threshold - 0.00005) * (1.0 - 1e-12)) *
+            greatest(col("__szn"), col("__szo")).cast(DoubleType))
       // the carried sizes must follow the id1/id2 orientation
       .select(least(col("__idn"), col("__ido")).as("id1"),
               greatest(col("__idn"), col("__ido")).as("id2"),
