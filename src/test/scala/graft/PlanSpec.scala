@@ -77,6 +77,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
   }
 
+  test("t07: repetition signals run as one narrow pass — sort is the only exchange") {
+    val p = plan("t07_repetition")
+    assert(p.contains("repetition_stats"), "expected the fused RepetitionStats pass")
+    // the fused expression must be evaluated inside a Generate (single
+    // evaluation, tokenless docs dropped), never duplicated into a
+    // pushed-down filter
+    assert(p.contains("Generate explode"), s"expected explode of the stats array:\n$p")
+    // exactly one exchange: the query's final range-partitioned orderBy
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffle in a narrow map:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregation should remain:\n$p")
+  }
+
   test("q57: interval join plans as an equi-join, not BroadcastNestedLoopJoin") {
     val p = plan("q57_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
