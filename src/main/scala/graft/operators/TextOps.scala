@@ -122,29 +122,26 @@ object TextOps {
 
   /** Per-doc top-k terms by TF-IDF (idf = ln(N/df)).
     *
-    * Distributed shape: one narrow tokenize pass feeds two partial+final
-    * aggregations (per-doc term counts; corpus document frequency), the
-    * corpus size joins in as a broadcast 1-row frame (never a driver-side
-    * `count()` baked into a literal), and the per-doc top-k is a window
-    * over the doc partition. The df side is the piece to persist at
-    * 100 TB — it's corpus-global and reused by every downstream query. */
+    * Distributed shape: the per-(doc, term) counts come out of the fused
+    * single-pass [[graft.functions.TermCounts]] expression — the tf frame
+    * is a NARROW explode of pre-counted entries (one row per distinct
+    * term per doc, not per token), so the old groupBy(doc, term) shuffle
+    * and the persist that amortized it are gone. The remaining shuffles
+    * are the genuinely corpus-global ones: document frequency and the
+    * per-doc top-k window. The corpus size joins in as a broadcast 1-row
+    * frame (never a driver-side `count()` baked into a literal). The df
+    * side is the piece to persist at 100 TB — it's corpus-global and
+    * reused by every downstream query. tf's two consumers each re-run
+    * the narrow pass; that's one extra text walk, cheaper than a
+    * persisted materialization of the whole tf frame (the r11 measured
+    * ~2 s persist-overhead rule). */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "))
-          .as("term"))
-      .filter(col("term") =!= "")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TermCounts.termCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.cnt").as("tf"))
     // tf IS the distinct (doc, term) set with counts attached, so the
-    // document frequency derives from it directly — the former
-    // toks.distinct() shuffle over the raw token stream was recomputing
-    // what the tf aggregation already establishes. Persisting tf (the
-    // per-doc vocabulary, far smaller than the exploded token stream the
-    // old code cached) lets both its consumers — the tfidf join's left
-    // side and the df aggregation — read one materialization (r11 sf1
-    // A/B, median-of-5 adjacent sessions: 7.5 → 4.9 s).
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    OperatorCaches.track(tf)
+    // document frequency derives from it directly
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -209,10 +206,13 @@ object TextOps {
     * rank, and cumulative corpus-coverage fraction — the Zipf table that
     * feeds tokenizer/BPE vocab selection and stopword discovery.
     *
-    * Distributed shape: one narrow tokenize feeds ONE partial+final
-    * aggregation keyed by term (map-side combine collapses each partition
-    * to its local vocabulary before the shuffle — the only full-corpus
-    * pass). The global top-K is then taken with an ordered limit
+    * Distributed shape: the fused [[graft.functions.TermCounts]] pass
+    * pre-counts each doc's terms inside the scan stage, so the ONE
+    * partial+final aggregation keyed by term starts from one row per
+    * distinct term per doc (not per token; map-side combine then
+    * collapses each partition to its local vocabulary before the
+    * shuffle — the only full-corpus pass). The global top-K is then
+    * taken with an ordered limit
     * (`TakeOrderedAndProject`: per-partition top-K heaps, driver merge —
     * never a full sort), and ONLY those ≤ topK survivors see the
     * rank/cumulative-sum window. The top-K rows by `(cnt desc, term)` are
@@ -227,10 +227,8 @@ object TextOps {
   def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String,
       topK: Int): org.apache.spark.sql.DataFrame = {
     val counts = docs.select(
-        explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), " "))
-          .as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+        explode(graft.functions.TermCounts.termCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.term").as("term")).agg(sum(col("tc.cnt")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window

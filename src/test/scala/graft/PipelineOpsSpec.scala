@@ -643,6 +643,36 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("termCounts: fused expression matches the explode-groupBy composition") {
+    import org.apache.spark.sql.functions._
+    // the pre-fusion tf derivation, verbatim — differential oracle for
+    // the single-pass TermCounts expression (t05's tf frame and t08's
+    // vocabulary input both reduce to it)
+    def composed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs.select(col("doc_id"),
+          explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " "))
+            .as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    def fused(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs.select(col("doc_id"),
+          explode(graft.functions.TermCounts.termCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.cnt").as("cnt"))
+    val edge = Seq(
+      (1L, "Hello, WORLD! hello world hello"),
+      (2L, "123 456 --- !!!"), (3L, ""), (5L, "single"),
+      (6L, "a a a a a"), (7L, "ΣΙΣΥΦΟΣ Straße İstanbul"),
+      (8L, "ab-cd ab cd ab-cd"),
+      (10L, "  leading   trailing  ")).toDF("doc_id", "text")
+      .union(Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
+    val corpus = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    for (docs <- Seq(edge, corpus)) {
+      val got = fused(docs).as[(Long, String, Long)].collect().toSet
+      val want = composed(docs).as[(Long, String, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
   test("contamination: only docs sharing a full 5-gram with bench flag") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-grams with bench
