@@ -29,9 +29,13 @@ object TextOps {
 
   /** BPE-ish token estimate: word pieces + digits + punctuation as
     * separate tokens (a cheap stand-in for a real BPE vocab; determinstic
-    * and identical in the oracle SQL). */
+    * and identical in the oracle SQL). Fused single-pass counter
+    * ([[graft.functions.BpeishCount]]); [[bpeishTokenCountComposed]] is
+    * its regex twin and differential oracle. */
   val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def bpeishTokenCount(text: Column): Column =
+    graft.functions.TextCounts.bpeishCount(text)
+  def bpeishTokenCountComposed(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
   /** Normalized text: lowercase, collapsed whitespace — the canonical form
@@ -53,13 +57,23 @@ object TextOps {
       (acc, h) => pmod(acc * lit(31L) + h, lit(RollingHashPrime)))
 
   /** Punctuation ratio, alpha ratio, stopword ratio, mean word length —
-    * the classic cheap quality signals. */
+    * the classic cheap quality signals. The match counters are fused
+    * single-pass expressions (graft.functions.TextCounts — each replaces
+    * a `size(regexp_extract_all(…))` that materialized every match just
+    * to count it); the `*Composed` twins are kept as their differential
+    * oracles and as the forms the DuckDB oracle SQL mirrors textually. */
   def punctRatio(text: Column): Column =
+    graft.functions.TextCounts.punctCount(text).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+  def punctRatioComposed(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast(DoubleType) /
       greatest(length(text).cast(DoubleType), lit(1.0))
 
   val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  def stopwordRatioFor(text: Column, words: Seq[String]): Column = {
+  def stopwordRatioFor(text: Column, words: Seq[String]): Column =
+    graft.functions.TextCounts.stopwordCount(lower(text), words).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+  def stopwordRatioForComposed(text: Column, words: Seq[String]): Column = {
     val pat = "\\b(" + words.mkString("|") + ")\\b"
     size(regexp_extract_all(lower(text), lit(pat), lit(0))).cast(DoubleType) /
       greatest(tokenCount(text).cast(DoubleType), lit(1.0))

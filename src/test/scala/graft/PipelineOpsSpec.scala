@@ -673,6 +673,47 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("fused text counters match their regex twins") {
+    import org.apache.spark.sql.functions._
+    // adversarial rows: prefix words (a/and, the/theory), words at string
+    // edges, underscores (word chars to \b), CJK profile words adjacent
+    // and non-adjacent to ASCII word chars, non-ASCII whitespace (U+00A0
+    // is NOT \s to Java regex), an astral emoji (one code point, one
+    // match), digit runs (one match PER digit), empty and null text
+    val edge = Seq(
+      (1L, "a and land the theory of_the a"),
+      (2L, "of the"), (3L, "the"), (5L, "x y"),
+      (6L, "hi 😀! ok"), (7L, "abc123 45.6!!"),
+      (8L, "a的b 我的书 的"),
+      (9L, "The Quick (brown) fox-es _and_ and"),
+      (10L, "  \t\n  "),
+      // U+1D41A (astral LETTER): word char to \b, so "the𝐚"
+      // has no trailing boundary and must NOT count
+      (11L, "the𝐚 the 𝐚的")).toDF("doc_id", "text")
+      .union(Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
+    val corpus = Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+    val zh = TextOps.LangProfiles.find(_._1 == "zh").get._2
+    for (docs <- Seq(edge, corpus)) {
+      val rows = docs.select($"doc_id",
+          TextOps.bpeishTokenCount($"text").as("bf"),
+          TextOps.bpeishTokenCountComposed($"text").as("bc"),
+          TextOps.punctRatio($"text").as("pf"),
+          TextOps.punctRatioComposed($"text").as("pc"),
+          TextOps.stopwordRatioFor($"text", TextOps.Stopwords).as("sf_"),
+          TextOps.stopwordRatioForComposed($"text", TextOps.Stopwords).as("sc"),
+          TextOps.stopwordRatioFor($"text", zh).as("zf"),
+          TextOps.stopwordRatioForComposed($"text", zh).as("zc"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.get(1) == r.get(2), s"bpeish mismatch on doc ${r.get(0)}: $r")
+        assert(r.get(3) == r.get(4), s"punct mismatch on doc ${r.get(0)}: $r")
+        assert(r.get(5) == r.get(6), s"stopword mismatch on doc ${r.get(0)}: $r")
+        assert(r.get(7) == r.get(8), s"zh stopword mismatch on doc ${r.get(0)}: $r")
+      }
+    }
+  }
+
   test("contamination: only docs sharing a full 5-gram with bench flag") {
     val train = Seq(
       (1L, "one two three four five six"),   // shares 5-grams with bench
