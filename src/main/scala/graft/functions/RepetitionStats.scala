@@ -67,10 +67,10 @@ object RepetitionStats {
   def eval(text: UTF8String): ArrayData = {
     // Spark's `lower()` is UTF8String.toLowerCase under the default
     // collation — using the same call keeps any non-ASCII lowercasing
-    // (e.g. U+0130) identical to the old column derivation.
+    // (e.g. U+0130) identical to the old column derivation. The token
+    // walk itself is the shared AzTokens contract (one definition for
+    // this expression and TermCounts).
     val s = text.toLowerCase.toString
-    val n = s.length
-    var i = 0
     var nWords = 0L
     var sumLen = 0L
     var topCnt = 0L
@@ -79,23 +79,18 @@ object RepetitionStats {
     val termCnt = new java.util.HashMap[String, Long](64)
     val seenBg = new java.util.HashSet[String](64)
     val bg = new java.lang.StringBuilder(48)
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c >= 'a' && c <= 'z') {
-        val start = i
-        while (i < n && { val d = s.charAt(i); d >= 'a' && d <= 'z' }) i += 1
-        val tok = s.substring(start, i)
-        nWords += 1
-        sumLen += tok.length
-        val cnt = termCnt.merge(tok, 1L, (a, b) => a + b)
-        if (cnt > topCnt) topCnt = cnt
-        if (prev != null) {
-          bg.setLength(0)
-          bg.append(prev).append(' ').append(tok)
-          if (!seenBg.add(bg.toString)) dupBigrams += 1
-        }
-        prev = tok
-      } else i += 1
+    AzTokens.foreachRun(s) { (start, end) =>
+      val tok = s.substring(start, end)
+      nWords += 1
+      sumLen += tok.length
+      val cnt = termCnt.merge(tok, 1L, (a, b) => a + b)
+      if (cnt > topCnt) topCnt = cnt
+      if (prev != null) {
+        bg.setLength(0)
+        bg.append(prev).append(' ').append(tok)
+        if (!seenBg.add(bg.toString)) dupBigrams += 1
+      }
+      prev = tok
     }
     if (nWords == 0L) empty
     else new GenericArrayData(Array[Any](new GenericInternalRow(

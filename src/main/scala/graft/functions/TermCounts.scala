@@ -43,6 +43,29 @@ case class TermCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The one definition of the shared tokenizer contract ("Spark `lower`,
+  * then tokens are maximal [a-z] runs") used by [[TermCounts]] and
+  * [[RepetitionStats]] — a single walk both expressions call so the
+  * contract cannot drift between them (review finding: the loop was
+  * previously duplicated character-for-character in both files). */
+private[functions] object AzTokens {
+  /** Calls `f(start, end)` for every maximal [a-z] run of the ALREADY
+    * LOWERCASED string `s` (callers lowercase via UTF8String.toLowerCase
+    * to match Spark's `lower` exactly). */
+  @inline def foreachRun(s: String)(f: (Int, Int) => Unit): Unit = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        val start = i
+        while (i < n && { val d = s.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+        f(start, i)
+      } else i += 1
+    }
+  }
+}
+
 object TermCounts {
   val structType: StructType = StructType(Seq(
     StructField("term", StringType, nullable = false),
@@ -51,16 +74,9 @@ object TermCounts {
 
   def eval(text: UTF8String): ArrayData = {
     val s = text.toLowerCase.toString
-    val n = s.length
-    var i = 0
     val counts = new java.util.LinkedHashMap[String, Long](64)
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c >= 'a' && c <= 'z') {
-        val start = i
-        while (i < n && { val d = s.charAt(i); d >= 'a' && d <= 'z' }) i += 1
-        counts.merge(s.substring(start, i), 1L, (a, b) => a + b)
-      } else i += 1
+    AzTokens.foreachRun(s) { (start, end) =>
+      counts.merge(s.substring(start, end), 1L, (a, b) => a + b)
     }
     val out = new Array[Any](counts.size)
     val it = counts.entrySet().iterator()

@@ -65,6 +65,13 @@ case class PunctCount(child: Expression) extends UnaryExpression {
   * literal list — part of the expression, not a child. */
 case class StopwordCount(child: Expression, words: Seq[String])
     extends UnaryExpression {
+  // the fused scan matches words as LITERALS; the composed regex twin
+  // (and the oracle SQL) splices them into an alternation — a regex
+  // metacharacter or empty entry would make the two silently diverge,
+  // so reject such lists at construction instead (review finding)
+  require(words.nonEmpty && words.forall(w =>
+    w.nonEmpty && w.forall(c => !"\\^$.|?*+()[]{}".contains(c))),
+    s"stopword list entries must be non-empty regex-literal words, got: $words")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "stopword_count"
   @transient private lazy val wordArr: Array[String] = words.toArray

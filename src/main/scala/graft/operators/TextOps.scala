@@ -148,7 +148,15 @@ object TextOps {
     * reused by every downstream query. tf's two consumers each re-run
     * the narrow pass; that's one extra text walk, cheaper than a
     * persisted materialization of the whole tf frame (the r11 measured
-    * ~2 s persist-overhead rule). */
+    * ~2 s persist-overhead rule).
+    *
+    * Caller contract (same as the dedup builders'): `docs` must be a
+    * DETERMINISTIC frame — the tf join leg and the df aggregation
+    * evaluate its lineage independently, so a non-deterministic input
+    * (an unordered `limit`, a fresh `rand()` sample) could yield a df
+    * computed over a different row set than the tf rows it idf-weights.
+    * Persist such a frame first; plain scans/filters (every in-tree
+    * caller) are deterministic and need nothing. */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
     val tf = docs.select(col(idCol).as("doc_id"),
@@ -191,7 +199,7 @@ object TextOps {
     * All re-aggregated state was per-document, so it fits in the
     * expression's per-row hash map by construction. Measured at sf1
     * (defended, median-of-3, full-materialization timing): 15–23 s →
-    * ~1 s. Tokenizer contract is unchanged and shared with the oracle
+    * 1.9–2.7 s. Tokenizer contract is unchanged and shared with the oracle
     * SQL; the ratio/rounding columns are the same `round`/`cast` calls
     * as the old derivation, so results are bit-identical (sf1
     * set-compare: 50,000/50,000 rows). */
