@@ -223,6 +223,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("t08_vocabulary")
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"expected map-side partial aggregation of term counts:\n$p")
+    assert(p.contains("term_counts"),
+      s"expected the fused per-doc TermCounts pass feeding the corpus agg:\n$p")
+  }
+
+  test("t05: tf is a narrow fused explode — no per-doc count shuffle, no cache") {
+    val p = plan("t05_tfidf")
+    assert(p.contains("term_counts"),
+      s"expected the fused TermCounts pass:\n$p")
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      s"the tf persist was removed — no cache should appear:\n$p")
+    // remaining aggregates: the df count (partial+final) and nothing
+    // keyed per (doc, term) — the old groupBy(doc_id, term) would add a
+    // third/fourth HashAggregate pair
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs <= 5, s"unexpected aggregation stages (old per-doc count shuffle back?):\n$p")
   }
 
   test("t10: packing's running sum windows per stream, never globally") {
