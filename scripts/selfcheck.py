@@ -86,8 +86,21 @@ def main():
                 # relative term are reported so the bound stays visible.
                 av, bv = a[c].fillna(-9e99), b[c].fillna(-9e99)
                 diff = (av - bv).abs()
-                tol = 1e-9 + 1e-12 * pd.concat([av.abs(), bv.abs()], axis=1).max(axis=1)
-                same = (diff <= tol).all()
+                mag = pd.concat([av.abs(), bv.abs()], axis=1).max(axis=1)
+                tol = 1e-9 + 1e-12 * mag
+                # Third tier, same noise class one step later: when the
+                # query itself cent-ROUNDS a large sum (round(x, 2)), the
+                # 1e-13-relative summation-order difference is AMPLIFIED
+                # to exactly one cent whenever the unrounded sums straddle
+                # a cent boundary (sf1: q54 revenue 71626750.05 vs .04 —
+                # 1.4e-10 relative, far above the raw-sum rtol but still
+                # pure ordering noise). Accept a <=0.011 absolute diff on
+                # cells of >=1e6 magnitude — i.e. one cent at <=1e-8
+                # relative; a real wrong answer differs by far more than
+                # the last cent of an 8+-digit aggregate. Reported like
+                # the rtol tier so the bound stays visible per query.
+                cent = (diff <= 0.011) & (mag >= 1e6)
+                same = (diff <= tol).all() or (((diff <= tol) | cent).all())
                 if same and (diff >= 1e-9).any():
                     rtol_cols.append(c)
             else:
