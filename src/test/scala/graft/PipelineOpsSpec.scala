@@ -826,6 +826,75 @@ class Round4OpsSpec extends SparkSpec {
     assert(diff.isEmpty, s"divergence on: ${diff.take(5).mkString(", ")}")
   }
 
+  test("fused text counters ≡ regex twins on fuzz strings") {
+    import org.apache.spark.sql.functions._
+    // random strings over a charset chosen to exercise every boundary
+    // class the counters care about: ASCII letters/digits/punct, ASCII
+    // whitespace, underscore (word char to \b), non-ASCII whitespace
+    // (U+00A0: NOT \s), a CJK letter (word char to \b, punct to the
+    // char classes), an astral letter (surrogate pair), and stopword
+    // fragments so \b(the|a|of)\b hits prefix/edge cases
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("the", "a", "of", "and", " ", "\t", "\n", " ",
+      "_", ".", "!", "7", "x", "的", "𝐚", "ab", "-")
+    val fuzz = Seq.fill(600)(
+      Seq.fill(rnd.nextInt(10))(atoms(rnd.nextInt(atoms.length))).mkString)
+    val words = Seq("the", "a", "of", "的")
+    val df = fuzz.toDF("s").select(
+      TextOps.bpeishTokenCount($"s").as("bf"),
+      TextOps.bpeishTokenCountComposed($"s").as("bc"),
+      TextOps.punctRatio($"s").as("pf"),
+      TextOps.punctRatioComposed($"s").as("pc"),
+      TextOps.stopwordRatioFor($"s", words).as("sf_"),
+      TextOps.stopwordRatioForComposed($"s", words).as("sc"),
+      $"s")
+    val diff = df.filter(!($"bf" <=> $"bc") || !($"pf" <=> $"pc") ||
+      !($"sf_" <=> $"sc")).collect()
+    assert(diff.isEmpty, s"divergence on: ${diff.take(5).mkString(", ")}")
+  }
+
+  test("fused tokenizing expressions ≡ compositions on fuzz strings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    // same generator idea for the [a-z]-run tokenizer family: uppercase
+    // (lowering must match Spark's lower), separators, runs, repeats —
+    // repetition/term-count compositions recomputed per row
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("a", "b", "ab", "Ab", "THE", " ", ".", "1", "的", "-", "aa")
+    val fuzz = Seq.tabulate(400)(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.length))).mkString))
+    val docs = fuzz.toDF("doc_id", "text")
+    // TermCounts vs explode-groupBy
+    val tcF = docs.select($"doc_id",
+        explode(graft.functions.TermCounts.termCounts($"text")).as("tc"))
+      .select($"doc_id", $"tc.term", $"tc.cnt")
+      .as[(Long, String, Long)].collect().toSet
+    val tcC = docs.select($"doc_id",
+        explode(split(trim(regexp_replace(lower($"text"), "[^a-z]+", " ")), " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(tcF == tcC)
+    // RepetitionStats raw counters vs independent per-string recompute
+    val rs = docs.select($"doc_id",
+        explode(graft.functions.RepetitionStats.repetitionStats($"text")).as("r"))
+      .select($"doc_id", $"r.n_words", $"r.sum_len", $"r.top_cnt",
+        $"r.n_bigrams", $"r.dup_bigrams")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5, t._6)).toMap
+    fuzz.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) assert(!rs.contains(id), s"doc $id should be dropped")
+      else {
+        val grouped = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val want = (toks.size.toLong, toks.map(_.length.toLong).sum,
+          grouped.values.max, bgs.size.toLong, (bgs.size - bgs.distinct.size).toLong)
+        assert(rs(id) == want, s"doc $id '$text': ${rs(id)} != $want")
+      }
+    }
+  }
+
   test("packByBudget: concat-and-chunk offsets, boundary straddle, empty doc") {
     // one stream (ids all ≡ 0 mod 1), capacity 10: docs of 4/8/0/5 tokens
     // lay out at offsets 0/4/12/12 — the 8-token doc straddles chunks 0→1,
