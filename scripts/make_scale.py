@@ -43,7 +43,7 @@ COPY (
               ELSE array_to_string(list_transform(string_split(d.text, ' '),
                      w -> 'r' || r.i || w), ' ') END) AS BIGINT) AS n_chars
   FROM '{src}/documents.parquet' d, range({R}) r(i)
-) TO '{out}/documents.parquet' (FORMAT PARQUET)
+) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
 con.execute(f"""
