@@ -95,14 +95,24 @@ def main():
                 # a cent boundary (sf1: q54 revenue 71626750.05 vs .04 —
                 # 1.4e-10 relative, far above the raw-sum rtol but still
                 # pure ordering noise). Accept a <=0.011 absolute diff on
-                # cells of >=1e6 magnitude — i.e. one cent at <=1e-8
-                # relative; a real wrong answer differs by far more than
-                # the last cent of an 8+-digit aggregate. Reported like
-                # the rtol tier so the bound stays visible per query.
-                cent = (diff <= 0.011) & (mag >= 1e6)
-                same = (diff <= tol).all() or (((diff <= tol) | cent).all())
+                # cells of >=1e6 magnitude ONLY when (a) both engines'
+                # values are themselves cent-rounded (the amplification
+                # mechanism requires round(x, 2) — an unrounded aggregate
+                # stays under the raw-sum rtol and must keep failing on a
+                # real 1-cent error), and (b) at most max(1, 1% of rows)
+                # cells in the column need the tier — ordering noise hits
+                # isolated boundary cells, a systematic error hits many.
+                # Reported distinctly so the bound stays visible per query.
+                def _centish(v):
+                    return ((v * 100).round() - v * 100).abs() <= 1e-6 * (1 + v.abs())
+                cent = ((diff <= 0.011) & (mag >= 1e6)
+                        & _centish(av) & _centish(bv))
+                needed = (diff > tol) & cent
+                if needed.sum() > max(1, len(a) // 100):
+                    cent &= False
+                same = ((diff <= tol) | cent).all()
                 if same and (diff >= 1e-9).any():
-                    rtol_cols.append(c)
+                    rtol_cols.append(c + (" (cent)" if needed.any() else ""))
             else:
                 same = (a[c].fillna("<N>").astype(str) == b[c].fillna("<N>").astype(str)).all()
             if not same:

@@ -25,6 +25,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Graft.enableOptimizations(spark)
+    Graft.tuneLocalScanSplits(spark)
     // warm-up: pay JVM/codegen/parquet-footer costs before any timing.
     // The first query to run a given physical shape (parquet scan →
     // project → HashAggregate → Exchange → Sort) pays its whole-stage

@@ -19,21 +19,30 @@ object Graft {
     val strats = spark.experimental.extraStrategies
     if (!strats.exists(_.isInstanceOf[graft.plans.AsofJoinStrategy]))
       spark.experimental.extraStrategies = strats :+ new graft.plans.AsofJoinStrategy
-    // Scan-split sizing for CPU-heavy narrow passes: Spark computes
-    // maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-    // totalBytes / minPartitionNum)), so the default 4 MB open-cost floor
-    // caps an 18 MB file at ~5 splits — the fused text expressions then
-    // run on 5 of 32 cores (measured: t07 at 3× sf1 docs reads 6.8 s on
-    // ~5 splits; the work is embarrassingly parallel). 256 KB keeps the
-    // floor high enough that a many-small-files table still coalesces,
-    // while totalBytes/defaultParallelism governs whenever one file
-    // carries real data. At cluster scale files are ≥128 MB and this
-    // floor never binds — it is the LOCAL sizing rule made explicit
-    // (only set if the session still carries the default, so a caller's
-    // deliberate tuning wins).
-    if (spark.conf.get("spark.sql.files.openCostInBytes", "4194304") == "4194304")
-      spark.conf.set("spark.sql.files.openCostInBytes", 262144L)
   }
+
+  /** Scan-split sizing for small-file local runs — called by the
+    * HARNESS mains (Bench/Verify/StreamBench/tests), deliberately NOT by
+    * [[enableOptimizations]]: registering optimizer rules must not
+    * mutate a user session's scan configuration as a side effect (an
+    * operator like `Relational.asofJoinNative` calls
+    * enableOptimizations implicitly — review finding).
+    *
+    * Spark computes maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / minPartitionNum)), so the
+    * default 4 MB open-cost floor caps an 18 MB file at ~5 splits — a
+    * CPU-heavy fused pass then runs on 5 of 32 cores (measured: t07 at
+    * 3× sf1 docs, 6.8 s on ~5 splits of work that is embarrassingly
+    * parallel). 256 KB keeps the floor high enough that a
+    * many-small-files table still coalesces, while
+    * totalBytes/defaultParallelism governs whenever one file carries
+    * real data. At cluster scale files are ≥128 MB and this floor never
+    * binds — it is the LOCAL sizing rule made explicit. Note split math
+    * is necessary, not sufficient: parallelism is ALSO bounded by row
+    * groups per file (PERF.md round-11) — corpora must be written with
+    * row groups sized to the per-file core budget. */
+  def tuneLocalScanSplits(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.files.openCostInBytes", 262144L)
 
   def registerFunctions(spark: SparkSession): Unit = {
     glue.registerFunction(spark, "simhash64", es => SimHash64(es.head))

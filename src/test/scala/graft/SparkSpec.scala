@@ -21,6 +21,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Graft.enableOptimizations(s)
+    Graft.tuneLocalScanSplits(s)
     s
   }
 }
