@@ -13,6 +13,7 @@ dropped, so the run's coverage stays visible.
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -103,8 +104,20 @@ def main():
                 # cells in the column need the tier — ordering noise hits
                 # isolated boundary cells, a systematic error hits many.
                 # Reported distinctly so the bound stays visible per query.
+                # "cent-rounded" = v*100 sits within a few ulps of an
+                # integer. The bound must scale with ulp(v*100), NOT with
+                # |v| (an |v|-proportional 1e-6 bound exceeds the maximum
+                # possible residual 0.5 at the tier's own >=1e6 magnitude
+                # gate, accepting every value — r11 ADVICE). A genuinely
+                # round(x,2)'d double is nearest(k/100), so v*100 lands
+                # within ~2.3e-16 relative of k; 4 ulps covers that plus
+                # the v*100 multiply's own rounding, while an unrounded
+                # aggregate's residual is uniform in [0, 0.5] — at least
+                # 5 orders of magnitude above the bound until |v| ~ 1e13,
+                # where doubles stop resolving cents at all.
                 def _centish(v):
-                    return ((v * 100).round() - v * 100).abs() <= 1e-6 * (1 + v.abs())
+                    x = v * 100
+                    return (x.round() - x).abs() <= 4 * np.spacing(x.abs())
                 cent = ((diff <= 0.011) & (mag >= 1e6)
                         & _centish(av) & _centish(bv))
                 needed = (diff > tol) & cent

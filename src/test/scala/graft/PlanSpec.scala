@@ -73,8 +73,11 @@ class PlanSpec extends SparkSpec {
   test("q55: posexplode stays a narrow Generate (no shuffle before the sort)") {
     val p = plan("q55_posexplode_words")
     assert(p.contains("Generate posexplode"), "expected the built-in Generator")
-    // exactly one exchange: the final range-partitioned sort
-    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected extra shuffles:\n$p")
+    // EXACTLY one exchange: the final range-partitioned sort. The count
+    // is over the initial physical plan (pre-AQE-replan), which is
+    // deterministic — the old <=2 slack would have let a reintroduced
+    // mid-plan shuffle pass unnoticed (r11 ADVICE).
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly the sort exchange:\n$p")
   }
 
   test("t07: repetition signals run as one narrow pass — sort is the only exchange") {
@@ -84,8 +87,9 @@ class PlanSpec extends SparkSpec {
     // evaluation, tokenless docs dropped), never duplicated into a
     // pushed-down filter
     assert(p.contains("Generate explode"), s"expected explode of the stats array:\n$p")
-    // exactly one exchange: the query's final range-partitioned orderBy
-    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected shuffle in a narrow map:\n$p")
+    // EXACTLY one exchange: the query's final range-partitioned orderBy
+    // (initial pre-AQE plan, deterministic — exact count per r11 ADVICE)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly the orderBy exchange:\n$p")
     assert(!p.contains("HashAggregate"), s"no aggregation should remain:\n$p")
   }
 
@@ -233,11 +237,14 @@ class PlanSpec extends SparkSpec {
       s"expected the fused TermCounts pass:\n$p")
     assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
       s"the tf persist was removed — no cache should appear:\n$p")
-    // remaining aggregates: the df count (partial+final) and nothing
-    // keyed per (doc, term) — the old groupBy(doc_id, term) would add a
-    // third/fourth HashAggregate pair
+    // remaining aggregates: EXACTLY two partial+final pairs — the
+    // document-frequency groupBy(term) and the broadcast corpus-size
+    // count — and nothing keyed per (doc, term); the old
+    // groupBy(doc_id, term) added a further pair.
+    // Exact count (initial pre-AQE plan) per r11 ADVICE: the old <=5
+    // slack would have admitted one reintroduced pair.
     val aggs = "HashAggregate".r.findAllIn(p).size
-    assert(aggs <= 5, s"unexpected aggregation stages (old per-doc count shuffle back?):\n$p")
+    assert(aggs == 4, s"unexpected aggregation stages (old per-doc count shuffle back?):\n$p")
   }
 
   test("t10: packing's running sum windows per stream, never globally") {
