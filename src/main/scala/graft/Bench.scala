@@ -125,6 +125,19 @@ object Bench {
       spark.range(8L * 1000 * 1000).selectExpr("sum(id % 1000003)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // The persisted IDLE floor for the control query (r11 verdict #1):
+    // median of a 30-sample distribution measured on an idle box
+    // (min 0.070, p50 0.086, p90 0.102 — PERF.md round-11). The ratio
+    // control_min / floor is the BOX-SPEED FACTOR: ~1.0 on an idle box
+    // of this class, >1 when the box is slower or diffusely loaded for
+    // the whole sweep (which per-rep drift detection cannot see — its
+    // documented detection floor). Totals from different
+    // sessions/boxes divide by their own box_speed before comparison;
+    // the JSON carries both the factor and the normalized total so a
+    // round's three sweeps (builder/judge/driver) finally read on one
+    // scale. The floor is hardware-calibrated once and versioned here —
+    // re-measure if the control query or reference box changes.
+    val idleControlFloor = 0.086
     controlOnce() // pay the control's own first-compile before baselining
     val controlBase = Vector.fill(5)(controlOnce()).sorted.apply(2)
     var controlMax = controlBase
@@ -226,13 +239,18 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val flg = loadFlagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // box_speed floors at 1.0: a box can't beat the idle floor by
+      // being unloaded, only by being faster hardware — and a sub-1
+      // divisor would INFLATE total_norm on such hardware instead of
+      // leaving the honest raw total
+      val boxSpeed = math.max(1.0, controlMin / idleControlFloor)
       val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
       val omitted = results.size - entries.size
       // "cpus" labels the measurement config: a local[4]-vs-local[32]
       // mixup produced a 2.4x phantom regression at sf1 (r11, PERF.md
       // parallelism-sizing section) — totals from different parallelism
       // are not comparable and must carry their config
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict","box_speed":${ms(boxSpeed)},"total_norm":${ms(total / boxSpeed)},"idle_floor":$idleControlFloor,"control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift

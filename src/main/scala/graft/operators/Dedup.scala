@@ -251,6 +251,7 @@ object Dedup {
       withShingles: DataFrame, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    InputContracts.requireDeterministic(withShingles, "dedupMinHashPairsFrom")
     // the explicit isNotNull matters for plan reuse, not just semantics:
     // the verify inner joins push isnotnull(id) into their legs, and
     // without it here the signature leg's exchange subtree differs by
@@ -379,6 +380,7 @@ object Dedup {
   def ngramJaccardPairsFrom(
       withShingles: DataFrame, idCol: String,
       threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
+    InputContracts.requireDeterministic(withShingles, "ngramJaccardPairsFrom")
     val inv = invFromShingles(withShingles, idCol)
     val sizes = sizesFromShingles(withShingles, idCol)
     // global document frequencies: the prefix filter needs them for its
@@ -600,6 +602,7 @@ object Dedup {
   def cosineNearDupLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 16, bands: Int = 4,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
+    InputContracts.requireDeterministic(df, "cosineNearDupLSH")
     // fused signature (one long, native pass — the composed per-plane
     // expression tree exceeded codegen limits); the frame reaches its
     // three consumers (band explode + both verify joins) through one
@@ -661,6 +664,10 @@ object Dedup {
     * component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
+    // pairs is read by BOTH union legs below before the checkpoint
+    // materializes anything — a random pair list would seed asymmetric
+    // edges
+    InputContracts.requireDeterministic(pairs, "connectedComponents")
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     // edges checkpoint AFTER a hash-repartition on the join key: the
     // checkpointed LogicalRDD keeps its outputPartitioning, so the
@@ -751,6 +758,8 @@ object Dedup {
   def ngramJaccardIncremental(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
+    InputContracts.requireDeterministic(corpus, "ngramJaccardIncremental(corpus)")
+    InputContracts.requireDeterministic(batch, "ngramJaccardIncremental(batch)")
     // Re-delivered ids (present in both sides — the normal at-least-once
     // ingest case) must not double their shingles in the index: the batch
     // copy supersedes the corpus copy (anti-join, broadcast-able batch

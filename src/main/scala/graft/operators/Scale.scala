@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Scale utilities: bucketed co-located joins and skew salting — the two
   * shuffle-elimination levers the DataFrame API doesn't hand you
   * directly.
@@ -159,6 +161,106 @@ object Scale {
     val outCols = "column_name, n_null, approx_distinct, min_value, max_value" +
       (if (withExact) ", exact_distinct" else "")
     one.selectExpr(s"stack(${cols.size}, $fields) AS ($outCols)")
+  }
+
+  /** Parquet-layout audit — the round-11 ingest rule
+    * ("scan parallelism is bounded by ROW GROUPS per file, not split
+    * math"; PERF.md) as an operator instead of a post-mortem. Per table
+    * directly under `dir` (a bare `t.parquet` file or a directory of
+    * part files): file count, row count, bytes, row-group count and
+    * min/max per file, the split-math task count Spark would plan with
+    * the CURRENT session conf (FilePartition.maxSplitBytes formula),
+    * the usable parallelism = min(splits, row groups), and a verdict
+    * against the session's core budget:
+    *
+    *  - `row_group_bound` — split math wants more tasks than row groups
+    *    exist and the row groups can't feed every core: rewrite the
+    *    table with smaller/more row groups (this is the layout that
+    *    serialized the r11 sf1 corpus: 1 row group/file ⇒ a 32-core
+    *    narrow pass ran on 3 tasks);
+    *  - `split_bound` — row groups are plentiful but the session's
+    *    maxPartitionBytes/openCostInBytes caps splits under the core
+    *    budget: tune the session, not the files;
+    *  - `small` — the whole table is under one default split, serial by
+    *    nature (dimension tables; nothing to fix);
+    *  - `ok` — the scan can feed every core.
+    *
+    * Footers only — no data pages are read. The footer reads are
+    * DISTRIBUTED (one task per file batch): at 100 TB a table is tens
+    * of thousands of files and the driver should aggregate, not read.
+    * Only per-table aggregates return to the driver. */
+  def rowGroupAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val tables = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    // (table, file path, file length) — leaf data files per table
+    val files: Seq[(String, String, Long)] = tables.flatMap { st =>
+      val t = st.getPath.getName.stripSuffix(".parquet")
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (t, f.getPath.toString, f.getLen))
+      else Seq((t, st.getPath.toString, st.getLen))
+    }
+    require(files.nonEmpty, s"rowGroupAudit: no *.parquet under $dir")
+    // session split math, per table (FilePartition.maxSplitBytes)
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val coreBudget = spark.sparkContext.defaultParallelism
+    val minPartitionNum = spark.sessionState.conf.filesMinPartitionNum
+      .getOrElse(coreBudget)
+    // footer reads run as a distributed map; the hadoop conf rides a
+    // broadcast (SerializableWritable — Configuration itself is not
+    // serializable)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(hconf))
+    val perFile = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, coreBudget)))
+      .map { case (t, path, len) =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(path), bcConf.value.value))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          val nGroups = blocks.size().toLong
+          val nRows = blocks.asScala.map(_.getRowCount).sum
+          (t, len, nGroups, nRows)
+        } finally reader.close()
+      }
+      .toDF("table", "bytes", "row_groups", "rows")
+    val agg = perFile.groupBy($"table").agg(
+      count(lit(1)).as("n_files"),
+      sum($"rows").as("n_rows"),
+      sum($"bytes").as("total_bytes"),
+      sum($"row_groups").as("n_row_groups"),
+      min($"row_groups").as("min_row_groups_per_file"),
+      max($"row_groups").as("max_row_groups_per_file"),
+      // split-math tasks under the current session conf: per file
+      // ceil(len / maxSplitBytes), maxSplitBytes =
+      // min(maxPartitionBytes, max(openCost, (Σ(len+openCost))/minPartitionNum))
+      sum($"bytes" + openCost).as("__padded"))
+    agg
+      .withColumn("__maxSplit",
+        least(lit(maxPartitionBytes),
+          greatest(lit(openCost), ($"__padded" / minPartitionNum).cast("long"))))
+      // per-file ceil would need the per-file lengths; bound it with the
+      // table-total ceil, exact for the common one-file-per-table layout
+      // and within n_files of exact otherwise
+      .withColumn("split_tasks",
+        greatest(ceil($"total_bytes" / $"__maxSplit"), $"n_files"))
+      .withColumn("usable_tasks", least($"split_tasks", $"n_row_groups"))
+      .withColumn("core_budget", lit(coreBudget.toLong))
+      .withColumn("verdict",
+        when($"total_bytes" <= $"__maxSplit", lit("small"))
+          .when($"usable_tasks" >= $"core_budget", lit("ok"))
+          .when($"n_row_groups" < $"split_tasks", lit("row_group_bound"))
+          .otherwise(lit("split_bound")))
+      .drop("__padded", "__maxSplit")
+      .orderBy($"table")
   }
 
   /** Scope Spark's runtime bloom-filter join pruning (Spark ≥ 3.4,

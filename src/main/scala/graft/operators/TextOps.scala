@@ -150,15 +150,15 @@ object TextOps {
     * persisted materialization of the whole tf frame (the r11 measured
     * ~2 s persist-overhead rule).
     *
-    * Caller contract (same as the dedup builders'): `docs` must be a
-    * DETERMINISTIC frame — the tf join leg and the df aggregation
-    * evaluate its lineage independently, so a non-deterministic input
-    * (an unordered `limit`, a fresh `rand()` sample) could yield a df
-    * computed over a different row set than the tf rows it idf-weights.
-    * Persist such a frame first; plain scans/filters (every in-tree
-    * caller) are deterministic and need nothing. */
+    * The tf join leg and the df aggregation evaluate the input lineage
+    * independently, so a non-deterministic `docs` (a fresh `rand()`
+    * sample) could yield a df computed over a different row set than
+    * the tf rows it idf-weights — enforced fail-fast by
+    * [[InputContracts.requireDeterministic]] (persist such a frame
+    * first); plain scans/filters (every in-tree caller) pass. */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    InputContracts.requireDeterministic(docs, "tfidfTopTerms")
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.TermCounts.termCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.cnt").as("tf"))

@@ -27,6 +27,18 @@ object glue {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** The analyzed plan with persisted fragments substituted by their
+    * `InMemoryRelation` leaves — computed FRESH from the cache manager,
+    * unlike `queryExecution.withCachedData`, a lazy val that freezes the
+    * substitution as of its first access (a persist() issued after that
+    * first access would be invisible through it). Used by
+    * graft.operators.InputContracts to honor "persist() first" remedies
+    * applied at any point before the contract check. */
+  def withCachedData(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.useCachedData(analyzed(df).clone())
+
   /** Unload every loaded state-store provider on this JVM (closes the
     * underlying stores). With the RocksDB provider this closes the native
     * DBs and their JNI logger callbacks BEFORE JVM exit — without it, a

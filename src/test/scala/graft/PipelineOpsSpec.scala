@@ -380,6 +380,47 @@ class DedupSpec extends SparkSpec {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(fast == brute)
   }
+
+  test("multi-consumer builders fail fast on non-deterministic input (shared contract)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    // rand-sampled frame: Catalyst marks Rand non-deterministic even
+    // with a fixed seed — each evaluation of the lineage can keep a
+    // different row set
+    val tainted = docs.filter(rand(42) >= 0.0)
+    val builders: Seq[(String, org.apache.spark.sql.DataFrame => Any)] = Seq(
+      "tfidfTopTerms" -> (d => TextOps.tfidfTopTerms(d, "doc_id", "text", 2)),
+      "dedupMinHashPairsFrom" -> (d =>
+        Dedup.dedupMinHashPairsFrom(Dedup.shingleFrame(d, "doc_id", "text"), "doc_id")),
+      "ngramJaccardPairsFrom" -> (d =>
+        Dedup.ngramJaccardPairsFrom(Dedup.shingleFrame(d, "doc_id", "text"), "doc_id")),
+      "cosineNearDupLSH" -> (d =>
+        Dedup.cosineNearDupLSH(d.select($"doc_id", array(lit(1.0f)).as("v")),
+          "doc_id", "v", 0.5, dim = 1)),
+      "ngramJaccardIncremental" -> (d =>
+        Dedup.ngramJaccardIncremental(docs, d, "doc_id", "text")),
+      "connectedComponents" -> (d =>
+        Dedup.connectedComponents(d.select($"doc_id".as("a"), ($"doc_id" + 1).as("b")),
+          "a", "b")))
+    for ((name, build) <- builders) {
+      val e = intercept[IllegalArgumentException](build(tainted))
+      assert(e.getMessage.contains("non-deterministic"), s"$name: ${e.getMessage}")
+    }
+    // current_timestamp is rejected too: Catalyst flags it deterministic
+    // (pinned per execution), but multi-consumer builders may span
+    // several executions, each pinning a different instant
+    val timeTainted = docs.filter($"doc_id" <
+      unix_timestamp(current_timestamp()))
+    val e = intercept[IllegalArgumentException](
+      TextOps.tfidfTopTerms(timeTainted, "doc_id", "text", 2))
+    assert(e.getMessage.contains("non-deterministic"))
+    // the documented remedy is accepted: a persisted random frame
+    // materializes once, so the consumers agree by construction
+    val persisted = tainted.persist()
+    try {
+      val out = TextOps.tfidfTopTerms(persisted, "doc_id", "text", 2)
+      assert(out.count() > 0)
+    } finally { persisted.unpersist(); () }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -128,6 +128,53 @@ class ScaleSpec extends SparkSpec {
     assert(back.count() == li.count())
   }
 
+  test("rowGroupAudit: flags the 1-row-group layout, passes the well-split one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgaudit").toString
+    try {
+      // incompressible ~256 B/row payload (unique hashes) so the parquet
+      // files carry real megabytes, not a snappy-collapsed constant
+      val payload = repeat(md5($"id".cast("string")), 8).as("p")
+      // serial.parquet: ~1 MB in ONE row group (default 128 MB block) —
+      // the exact layout that serialized the r11 sf1 corpus scan
+      spark.range(20000).select($"id", payload)
+        .coalesce(1).write.parquet(s"$dir/serial.parquet")
+      // split.parquet: same data, 64 KB row groups — many groups, so the
+      // scan can feed every core the split math offers
+      spark.range(20000).select($"id", payload)
+        .coalesce(1).write.option("parquet.block.size", "65536")
+        .option("parquet.page.size", "16384")
+        .parquet(s"$dir/split.parquet")
+      // dim.parquet: a bare single-file table under one split — serial
+      // by nature, nothing to fix
+      spark.range(5).select($"id").coalesce(1)
+        .write.parquet(s"$dir/_stage")
+      val part = new java.io.File(s"$dir/_stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Path.of(dir, "dim.parquet"))
+      val out = Scale.rowGroupAudit(spark, dir).collect()
+        .map(r => r.getAs[String]("table") -> r).toMap
+      assert(out.keySet == Set("serial", "split", "dim"))
+      assert(out("serial").getAs[Long]("n_rows") == 20000L)
+      assert(out("serial").getAs[Long]("n_row_groups") == 1L)
+      assert(out("split").getAs[Long]("n_row_groups") > 4L)
+      assert(out("dim").getAs[String]("verdict") == "small")
+      assert(out("serial").getAs[String]("verdict") == "row_group_bound",
+        s"1-row-group MB-scale file must be flagged: ${out("serial")}")
+      assert(out("split").getAs[String]("verdict") == "ok", s"${out("split")}")
+      // usable parallelism is capped by row groups on the serial table
+      assert(out("serial").getAs[Long]("usable_tasks") == 1L)
+      assert(out("split").getAs[Long]("usable_tasks") >=
+        out("split").getAs[Long]("core_budget"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("runtime bloom filter semi-prunes the fact side of a filtered dim join") {
     val li = Tables.load(spark, sf, "lineitem")
     val sup = Tables.load(spark, sf, "supplier").filter($"s_acctbal" > 9000)
