@@ -216,8 +216,12 @@ object Core3 {
       val stream = EventStreams.readEventStream(s, dir)
       val deduped = EventStreams.dedupEventsWithinWatermark(stream.union(stream))
         .select($"event_id", $"event_type", $"value")
-      EventStreams.withShufflePartitions(s, 4) {
-        EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+      // first-seen rows emit inside the data batch (TTL eviction is the
+      // only thing the trailing trigger advances) — drop it
+      EventStreams.withDataBatchesOnly(s) {
+        EventStreams.withShufflePartitions(s, 4) {
+          EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+        }
       }.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
         .orderBy($"event_type")

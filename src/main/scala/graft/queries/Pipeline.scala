@@ -609,8 +609,13 @@ object Pipeline {
       val stream = EventStreams.readEventStream(s, dir)
       val deduped = EventStreams.dedupEvents(stream.union(stream))
         .select($"event_id", $"event_type", $"value")
-      EventStreams.withShufflePartitions(s, 4) {
-        EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+      // first-seen rows emit inside the data batch — the trailing
+      // watermark-advance trigger is pure state-GC cost on a finite
+      // replay (see withDataBatchesOnly)
+      EventStreams.withDataBatchesOnly(s) {
+        EventStreams.withShufflePartitions(s, 4) {
+          EventStreams.runToMemory(s, deduped, name, OutputMode.Append())
+        }
       }.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
         .orderBy($"event_type")
@@ -631,9 +636,14 @@ object Pipeline {
       val attributed = EventStreams.clickAttribution(stream, windowSec = 3600)
       // interval joins keep 4 state stores per partition and every
       // micro-batch commits all of them; 4 partitions fit this stream's
-      // ~150 users (32 tripled the runtime in pure commit overhead)
-      EventStreams.withShufflePartitions(s, 4) {
-        EventStreams.runToMemory(s, attributed, name, OutputMode.Append())
+      // ~150 users (32 tripled the runtime in pure commit overhead).
+      // INNER matches emit inside their data batch, so the trailing
+      // no-data trigger — a full 16-store commit cycle, −35% here —
+      // is dropped (see withDataBatchesOnly; e09's OUTER twin keeps it)
+      EventStreams.withDataBatchesOnly(s) {
+        EventStreams.withShufflePartitions(s, 4) {
+          EventStreams.runToMemory(s, attributed, name, OutputMode.Append())
+        }
       }.groupBy($"user_id")
         .agg(count(lit(1)).as("n_attr"), round(sum($"value"), 2).as("attr_value"))
         .orderBy($"user_id")

@@ -240,9 +240,18 @@ object EventStreams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    lastRunProgress = q.recentProgress.toSeq
     q.stop()
     spark.table(name)
   }
+
+  /** Per-batch progress of the most recent [[runToMemory]] run in this
+    * JVM — the query object is stopped and discarded inside, so this is
+    * the only window into trigger counts and durationMs breakdowns.
+    * Diagnostic surface for perf work (StreamingSpec/PERF.md); not part
+    * of the operator contract. */
+  @volatile var lastRunProgress
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
 
   // ---- streaming multimodal (codec decode inside a micro-batch) ---------
 
@@ -522,6 +531,25 @@ object EventStreams {
       runToMemory(spark, out.toDF(), name, OutputMode.Append())
     }
   }
+
+  /** Disable the trailing NO-DATA micro-batch for queries whose output
+    * is fully emitted inside data batches. Spark fires one extra
+    * trigger after the last data batch purely to advance the watermark
+    * — which only matters to state GC (irrelevant on a finite replay
+    * that discards state at stop) and to operators that EMIT on
+    * watermark advance. Append-mode dedup (rows emit on first sight)
+    * and INNER interval joins (matches emit in their data batch) lose
+    * nothing: measured result-identical at sf0.01 and sf0.1, and the
+    * dropped trigger is a full state-commit cycle (e04 −35%, e03/e05
+    * −16% — PERF.md round-12). Do NOT use for outer joins (e09: the
+    * null-extended rows only emit once the watermark proves no match)
+    * or timer/timeout sessionization (e12: trailing sessions close on
+    * the watermark-advance batch). At 100 TB the same rule reads: an
+    * always-on stream pays no such trigger per batch — benchmarks that
+    * replay finite sources must not bill one against bounded-emission
+    * operators. */
+  def withDataBatchesOnly[T](spark: SparkSession)(f: => T): T =
+    withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled", "false")(f)
 
   /** transformWithState needs the RocksDB state store provider; scope it
     * (plus any other conf) to one query and restore after. */
