@@ -9,26 +9,39 @@ per-query maps and prints queries sorted by time ratio (worst first),
 marking entries whose ratio exceeds the data-scale factor
 (super-linear candidates). Totals are also shown normalized by each
 run's box_speed so two sweeps from differently-loaded sessions still
-compare.
-"""
-import json, re, sys
+compare (box_speed is null when the sweep ran at non-canonical cpus —
+then the raw total is used and labeled as such).
 
-def load(path):
-    txt = open(path, errors="replace").read()
-    for ln in reversed(txt.splitlines()):
-        m = re.search(r'\{"metric":"total".*\}', ln)
-        if m:
-            return json.loads(m.group(0))
-    sys.exit(f"no bench JSON in {path}")
+Caveats surfaced rather than swallowed (r12 review pass):
+ - a sweep with omitted>0 trimmed its per-query map to fit the
+   driver's tail budget — the dropped queries are exactly the
+   fast-at-small ones a super-linear hunt needs, so WARN loudly
+   (re-run with SPARK_GRAFT_BUDGET=100000 for analysis sweeps);
+ - errored queries (value -1.0) are listed separately, never ranked.
+"""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from benchjson import load, split_queries
+
 
 def main():
     small, big, k = load(sys.argv[1]), load(sys.argv[2]), float(sys.argv[3])
-    qs = sorted(set(small["queries"]) & set(big["queries"]),
-                key=lambda q: -(big["queries"][q] / max(small["queries"][q], 1e-9)))
+    for lbl, d in (("small", small), ("big", big)):
+        if d.get("omitted", 0) > 0:
+            print(f"WARNING: {lbl} run omitted {d['omitted']} per-query entries "
+                  f"(fit budget) — the joined table is NOT a full-suite curve; "
+                  f"re-run with SPARK_GRAFT_BUDGET=100000")
+    s_ok, s_err = split_queries(small)
+    b_ok, b_err = split_queries(big)
+    if s_err or b_err:
+        print(f"ERRORED (excluded from ratios): small={s_err} big={b_err}")
+    qs = sorted(set(s_ok) & set(b_ok),
+                key=lambda q: -(b_ok[q] / max(s_ok[q], 1e-9)))
     print(f"{'query':<28}{'small':>8}{'big':>8}{'ratio':>7}  note")
     sup = []
     for q in qs:
-        a, b = small["queries"][q], big["queries"][q]
+        a, b = s_ok[q], b_ok[q]
         r = b / max(a, 1e-9)
         note = ""
         if r > k and b - a > 0.5:
@@ -40,10 +53,14 @@ def main():
               f"box_speed={d.get('box_speed')} load={d['load']} "
               f"errors={d['errors']} flagged={d['control'].get('flagged')}")
     tr = big["value"] / small["value"]
-    trn = (big.get("total_norm", big["value"]) /
-           max(small.get("total_norm", small["value"]), 1e-9))
-    print(f"total ratio raw={tr:.2f} normalized={trn:.2f} on {k:.0f}x data")
+    # box_speed/total_norm are null at non-canonical cpus — fall back to raw
+    bn = big.get("total_norm") or big["value"]
+    sn = small.get("total_norm") or small["value"]
+    norm_lbl = "normalized" if (big.get("total_norm") and small.get("total_norm")) \
+        else "RAW-FALLBACK (a run lacks box_speed)"
+    print(f"total ratio raw={tr:.2f} {norm_lbl}={bn / max(sn, 1e-9):.2f} on {k:.0f}x data")
     print(f"super-linear candidates: {sup or 'none'}")
+
 
 if __name__ == "__main__":
     main()

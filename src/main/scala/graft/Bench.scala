@@ -169,6 +169,10 @@ object Bench {
         c > math.max(1.5 * controlMin, controlMin + 0.2)
       } catch { case _: Throwable => true }
     val maxAttempts = 3
+    // stderr marker for external orchestration (scripts/chaos_bench.py
+    // keys its load-injection window off this line — timing from sbt
+    // launch is unreliable across cold/warm compiles)
+    System.err.println(s"BENCH SWEEP BEGIN n=${selected.size} reps=$reps")
     val sweepT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       var times = Vector.empty[Double]
@@ -251,15 +255,23 @@ object Bench {
       // normalize slow boxes but not fast ones, leaving cross-session
       // totals asymmetric. If the baseline itself was load-spiked the
       // sweep is already "flagged" (baselineLoaded) and total_norm is
-      // to be read as an underestimate.
-      val boxSpeed = controlBase / idleControlFloor
+      // to be read as an underestimate. The floor is only calibrated
+      // at cpus=32 (the control is partition-overhead-bound): at any
+      // other parallelism emit null rather than a silently
+      // mis-normalized figure — downstream tooling falls back to the
+      // raw total (r12 review pass).
+      val boxSpeedJson =
+        if (cpus == "32") {
+          val b = controlBase / idleControlFloor
+          s""""box_speed":${ms(b)},"total_norm":${ms(total / b)}"""
+        } else """"box_speed":null,"total_norm":null"""
       val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
       val omitted = results.size - entries.size
       // "cpus" labels the measurement config: a local[4]-vs-local[32]
       // mixup produced a 2.4x phantom regression at sf1 (r11, PERF.md
       // parallelism-sizing section) — totals from different parallelism
       // are not comparable and must carry their config
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict","box_speed":${ms(boxSpeed)},"total_norm":${ms(total / boxSpeed)},"idle_floor":$idleControlFloor,"control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, Expression, LocalTimestamp, Now}
+import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, Expression, LocalTimestamp, Now, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Shared input contracts for multi-consumer operator builders.
   *
@@ -51,15 +52,8 @@ object InputContracts {
     // fresh substitution, not queryExecution.withCachedData: that lazy
     // val freezes at first access, so a persist() applied after an
     // earlier plan inspection would be invisible through it
-    val offending = org.apache.spark.sql.graft.glue.withCachedData(df).collect {
-      case node =>
-        node.expressions.flatMap(_.collect {
-          case e: Expression
-              if !e.deterministic && e.children.forall(_.deterministic) => e
-          case e @ (_: CurrentTimestamp | _: Now | _: CurrentDate |
-              _: LocalTimestamp) => e
-        })
-    }.flatten
+    val offending =
+      offendingIn(org.apache.spark.sql.graft.glue.withCachedData(df))
     require(offending.isEmpty,
       s"$operator: input lineage contains non-deterministic expressions " +
         s"(${offending.map(_.sql).distinct.take(3).mkString(", ")}) but is " +
@@ -68,4 +62,24 @@ object InputContracts {
         "materializes once.")
     df
   }
+
+  /** Offending expressions anywhere in `plan`, INCLUDING inside
+    * subquery-expression plans (scalar/IN/EXISTS/lateral): Catalyst
+    * marks a `SubqueryExpression` deterministic from its outer-reference
+    * children only, so a `rand()` buried in a scalar subquery is
+    * invisible to a flat walk — yet the subquery re-executes (and
+    * re-draws) per query execution, exactly the multi-consumer hazard
+    * (r12 review pass). Note the cache substitution is applied to the
+    * OUTER plan only; a caller persisting a fragment inside a subquery
+    * should materialize the subquery result outside it instead. */
+  private def offendingIn(plan: LogicalPlan): Seq[Expression] =
+    plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case e: Expression
+            if !e.deterministic && e.children.forall(_.deterministic) => Seq(e)
+        case e @ (_: CurrentTimestamp | _: Now | _: CurrentDate |
+            _: LocalTimestamp) => Seq(e)
+        case s: SubqueryExpression => offendingIn(s.plan)
+      }.flatten)
+    }.flatten
 }

@@ -413,6 +413,17 @@ class DedupSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TextOps.tfidfTopTerms(timeTainted, "doc_id", "text", 2))
     assert(e.getMessage.contains("non-deterministic"))
+    // rand() buried in a SCALAR SUBQUERY: Catalyst derives the subquery
+    // expression's determinism from its outer-reference children only,
+    // so a flat expression walk never sees it — the contract must
+    // recurse into subquery plans (r12 review pass)
+    docs.createOrReplaceTempView("ic_docs")
+    val subqueryTainted = spark.sql(
+      "SELECT * FROM ic_docs WHERE doc_id <= " +
+        "(SELECT max(doc_id) FROM ic_docs WHERE rand(7) >= 0.0)")
+    val es = intercept[IllegalArgumentException](
+      TextOps.tfidfTopTerms(subqueryTainted, "doc_id", "text", 2))
+    assert(es.getMessage.contains("non-deterministic"))
     // the documented remedy is accepted: a persisted random frame
     // materializes once, so the consumers agree by construction
     val persisted = tainted.persist()
