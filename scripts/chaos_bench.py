@@ -51,20 +51,23 @@ def hog():
         pass
 
 
-def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True):
+def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True,
+              cpus="32", queries=QUERIES, reps="3"):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
-               SPARK_GRAFT_CPUS="32", SPARK_GRAFT_REPS="3",
+               SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_REPS=reps,
                SPARK_GRAFT_BUDGET="100000",
-               SPARK_GRAFT_ONLY=QUERIES)
+               SPARK_GRAFT_ONLY=queries)
     hogs = []
     lock = threading.Lock()
+    armed = []  # non-empty iff start_hogs actually fired (r12 ADVICE)
 
     def start_hogs():
         with lock:
             hogs.extend(Process(target=hog, daemon=True) for _ in range(n_hogs))
             for h in hogs:
                 h.start()
+            armed.append(len(hogs))
         print(f"[{label}] {len(hogs)} hogs ON", flush=True)
 
     def stop_hogs():
@@ -107,7 +110,7 @@ def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True):
             proc.kill()
             print(f"[{label}] TIMED OUT after {TIMEOUT_S}s — counting as FAIL",
                   flush=True)
-            return None
+            return None, bool(armed)
         try:
             proc.wait(60)
         except subprocess.TimeoutExpired:
@@ -122,16 +125,22 @@ def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True):
     if d is None:
         tail = "".join(lines)[-800:]
         print(f"[{label}] no bench JSON found; tail: {tail}", flush=True)
-    return d
+    return d, bool(armed)
 
 
 def main():
-    results = {}
-    results["idle"] = run_bench("idle")
-    results["midload"] = run_bench("midload", hogs_at=MID_START,
-                                   hogs_for=MID_DUR, n_hogs=N_HOGS)
-    results["fullload"] = run_bench("fullload", hogs_at=0, hogs_for=10 ** 6,
-                                    n_hogs=N_HOGS, from_marker=False)
+    results, armed = {}, {}
+    results["idle"], armed["idle"] = run_bench("idle")
+    results["midload"], armed["midload"] = run_bench(
+        "midload", hogs_at=MID_START, hogs_for=MID_DUR, n_hogs=N_HOGS)
+    results["fullload"], armed["fullload"] = run_bench(
+        "fullload", hogs_at=0, hogs_for=10 ** 6, n_hogs=N_HOGS,
+        from_marker=False)
+    # r12 verdict #6: the box_speed floor is only calibrated at cpus=32;
+    # at any other parallelism Bench must emit box_speed/total_norm null
+    # rather than a mis-normalized figure. One tiny run asserts that path.
+    results["noncanon"], armed["noncanon"] = run_bench(
+        "noncanon", cpus="8", queries="q01_pricing_summary", reps="1")
     for k, v in results.items():
         if v is None:
             print(f"JSON {k}: <no result>")
@@ -140,7 +149,7 @@ def main():
                 ("value", "load", "box_speed", "total_norm", "control")}
         print(f"JSON {k}: {json.dumps(slim)}")
 
-    checks = [("all three runs produced a bench line",
+    checks = [("all four runs produced a bench line",
                all(v is not None for v in results.values()))]
     if checks[0][1]:
         idle, mid, full = results["idle"], results["midload"], results["fullload"]
@@ -148,8 +157,18 @@ def main():
         checks.append(("idle box_speed ~1 (0.6-1.6)",
                        idle.get("box_speed") is not None
                        and 0.6 <= idle["box_speed"] <= 1.6))
-        defended = (mid["control"]["reruns"] > 0 or mid["load"] == "flagged")
-        checks.append(("mid-sweep load triggers reruns and/or flagged", defended))
+        # distinguish "load was never injected" from "harness failed to
+        # defend" (r12 ADVICE): a midload run whose hogs never armed —
+        # marker line changed, stdout buffering — is INCONCLUSIVE, and
+        # must not read as a defense failure.
+        if not armed["midload"]:
+            checks.append(("midload hogs never started — load was never "
+                           "injected (INCONCLUSIVE, not a defense failure); "
+                           "check the 'BENCH SWEEP BEGIN' marker", False))
+        else:
+            defended = (mid["control"]["reruns"] > 0 or mid["load"] == "flagged")
+            checks.append(("mid-sweep load triggers reruns and/or flagged",
+                           defended))
         # medians of reps the control accepted must stay comparable: compare
         # per-query medians idle vs midload, excluding queries the harness
         # itself kept-and-flagged and queries errored in either run. Band is
@@ -162,9 +181,18 @@ def main():
                and t > 2.0 * idle_ok[q] + 0.3]
         checks.append((f"unflagged midload medians within band (outliers: {bad})",
                        not bad))
-        checks.append(("full-load box_speed moves up >=1.5x idle",
-                       full.get("box_speed") is not None
-                       and full["box_speed"] >= 1.5 * idle["box_speed"]))
+        if not armed["fullload"]:
+            checks.append(("fullload hogs never started — load was never "
+                           "injected (INCONCLUSIVE, not a defense failure)",
+                           False))
+        else:
+            checks.append(("full-load box_speed moves up >=1.5x idle",
+                           full.get("box_speed") is not None
+                           and full["box_speed"] >= 1.5 * idle["box_speed"]))
+        nc = results["noncanon"]
+        checks.append(("non-canonical cpus emits box_speed/total_norm null",
+                       nc.get("box_speed") is None
+                       and nc.get("total_norm") is None))
     ok = True
     for name, passed in checks:
         print(f"{'PASS' if passed else 'FAIL'} {name}")

@@ -46,6 +46,19 @@ COPY (
 ) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
+def rg_size(table):
+    """Row-group size targeting ~64 groups per written table, so every
+    scan can feed a 32-core budget with margin. This corpus exists to
+    measure LOCAL parallelism — size groups by count here; a real 100 TB
+    ingest sizes them by bytes (~64-128 MB). r13: the r12 corpus shipped
+    embeddings as ONE row group (duckdb's 122880-row default > the whole
+    table), serializing every pre-shuffle signature/decode stage of the
+    s/d05/d06 block; the audit below now fails generation on that."""
+    n = con.execute(f"SELECT count(*) FROM '{src}/{table}.parquet'"
+                    ).fetchone()[0] * R
+    return max(512, n // 64)
+
+
 con.execute(f"""
 COPY (
   SELECT e.vec_id + r.i * (SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet') AS vec_id,
@@ -54,7 +67,7 @@ COPY (
            AS FLOAT[]) AS embedding,
          e.label
   FROM '{src}/embeddings.parquet' e, range({R}) r(i)
-) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg_size("embeddings")})
 """)
 
 # key columns to shift per replicated table: (primary keys + foreign keys
@@ -100,7 +113,7 @@ for t in replicated:
     COPY (
       SELECT {', '.join(exprs)}
       FROM '{src}/{t}.parquet' t, range({R}) r(i)
-    ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+    ) TO '{out}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg_size(t)})
     """)
 
 # DuckDB writes TIMESTAMP as µs/NTZ — the same physical encoding the
@@ -118,3 +131,39 @@ for t in linked:
 for t in ["documents", "embeddings"] + replicated:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
+
+# Post-write layout assertion (r12 verdict #4): the rowGroupAudit rule —
+# scan parallelism is bounded by ROW GROUPS per file, not split math — as
+# a generation-time guardrail. A beyond-one-split table written with
+# fewer row groups than the core budget serializes a 32-core scan (the
+# r11 sf1 incident: 1 row group/file => a narrow pass ran on 3 tasks).
+# Fail HERE instead of costing a measurement session. Deeper audit:
+#   sbt "runMain graft.AuditMain <out>"
+import pyarrow.parquet as pq
+CORE_BUDGET = 32
+MAX_PARTITION_BYTES = 128 * 1024 * 1024  # spark defaults
+OPEN_COST = 4 * 1024 * 1024
+bad = []
+for t in ["documents", "embeddings"] + replicated:
+    path = f"{out}/{t}.parquet"
+    groups = pq.ParquetFile(path).metadata.num_row_groups
+    size = os.path.getsize(path)
+    # FilePartition.maxSplitBytes at spark defaults, minPartitionNum=cores:
+    # for mid-size tables the split shrinks to ~total/cores, so split math
+    # plans ~core-budget tasks — the 128 MB constant alone is too lenient
+    # (a 200 MB / 2-row-group file would pass it yet scan on 2 tasks)
+    max_split = min(MAX_PARTITION_BYTES,
+                    max(OPEN_COST, (size + OPEN_COST) // CORE_BUDGET))
+    splits = -(-size // max_split)  # ceil: tasks split math would plan
+    # ok = under one split (small/serial by nature), or row groups can
+    # feed every core, or row groups aren't the binding constraint
+    # (groups >= splits => split_bound, a session knob, not a file fix)
+    ok = size <= max_split or groups >= min(CORE_BUDGET, splits)
+    print(f"{t}: {groups} row groups, {size / 1e6:.1f} MB "
+          f"{'ok' if ok else 'ROW_GROUP_BOUND'}")
+    if not ok:
+        bad.append(t)
+if bad:
+    sys.exit(f"LAYOUT REGRESSION: {bad} written with too few row groups "
+             f"to feed {CORE_BUDGET} cores — lower ROW_GROUP_SIZE in the "
+             f"COPY above; not shipping a serialized-scan corpus")

@@ -53,11 +53,14 @@ def main():
               f"box_speed={d.get('box_speed')} load={d['load']} "
               f"errors={d['errors']} flagged={d['control'].get('flagged')}")
     tr = big["value"] / small["value"]
-    # box_speed/total_norm are null at non-canonical cpus — fall back to raw
-    bn = big.get("total_norm") or big["value"]
-    sn = small.get("total_norm") or small["value"]
-    norm_lbl = "normalized" if (big.get("total_norm") and small.get("total_norm")) \
-        else "RAW-FALLBACK (a run lacks box_speed)"
+    # box_speed/total_norm are null at non-canonical cpus — if EITHER run
+    # lacks total_norm, use raw values for BOTH sides of the ratio (a
+    # mixed normalized/raw ratio is on two different scales; r12 ADVICE)
+    if big.get("total_norm") and small.get("total_norm"):
+        bn, sn, norm_lbl = big["total_norm"], small["total_norm"], "normalized"
+    else:
+        bn, sn = big["value"], small["value"]
+        norm_lbl = "RAW-FALLBACK (a run lacks box_speed; BOTH sides raw)"
     print(f"total ratio raw={tr:.2f} {norm_lbl}={bn / max(sn, 1e-9):.2f} on {k:.0f}x data")
     print(f"super-linear candidates: {sup or 'none'}")
 

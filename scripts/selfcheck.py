@@ -115,6 +115,13 @@ def main():
                 # aggregate's residual is uniform in [0, 0.5] — at least
                 # 5 orders of magnitude above the bound until |v| ~ 1e13,
                 # where doubles stop resolving cents at all.
+                # CAVEAT (r12 ADVICE): the 4-ulp bound assumes cent
+                # rounding is the LAST operation in the query. A column
+                # that sums pre-rounded cent values without a final
+                # round(.,2) accumulates many ulps and drops out of the
+                # tier — if such a column is ever added, re-round in the
+                # query (preferred) or widen the bound by a row-count-
+                # scaled factor here. All current tier queries round last.
                 def _centish(v):
                     x = v * 100
                     return (x.round() - x).abs() <= 4 * np.spacing(x.abs())

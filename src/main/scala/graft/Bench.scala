@@ -145,6 +145,30 @@ object Bench {
     // changes (the control is partition-overhead-bound, so its time
     // varies with the thread count).
     val idleControlFloor = 0.086
+    // provenance stamp for the floor constant, carried in the JSON so a
+    // stale calibration is visible where the numbers are read (r12
+    // verdict #6). Re-measure via SPARK_GRAFT_CALIBRATE when the box
+    // class, cpus, or the control query changes.
+    val floorCal = "p50/30 idle cpus=32 r11, reconfirmed r13"
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Scripted re-calibration mode (r12 verdict #6): sample the control
+    // N times on what should be an idle box and print the distribution
+    // as one JSON line — the PERF.md round-11 procedure as a command.
+    // The reader compares p50 against idle_floor and updates the
+    // constant (and this stamp) if the box class drifted.
+    sys.env.get("SPARK_GRAFT_CALIBRATE").foreach { s =>
+      val n = scala.util.Try(s.toInt).toOption.filter(_ > 0).getOrElse(30)
+      controlOnce() // pay the control's own first-compile
+      val xs = Vector.fill(n)(controlOnce()).sorted
+      def pct(p: Double): Double = xs(math.min(n - 1, (p * (n - 1)).round.toInt))
+      try spark.stop() catch { case _: Throwable => () }
+      println(s"""{"metric":"control_floor","n":$n,"cpus":"$cpus","min":${ms(
+        xs.head)},"p50":${ms(pct(0.5))},"p90":${ms(pct(0.9))},"max":${ms(
+        xs.last)},"current_floor":$idleControlFloor,"floor_cal":"$floorCal"}""")
+      System.out.flush()
+      sys.exit(0)
+    }
     controlOnce() // pay the control's own first-compile before baselining
     val controlBase = Vector.fill(5)(controlOnce()).sorted.apply(2)
     var controlMax = controlBase
@@ -223,7 +247,6 @@ object Bench {
       n -> (if (ts.isEmpty) -1.0 else median(ts))
     }
     val total = medians.map(_._2).filter(_ >= 0).sum
-    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // a run that strays ≥1.5× AND ≥1s from the median is external load,
     // not the query — surface it instead of letting it hide in a total.
     // Value = the RAW rep times in run order (r9 verdict: the old
@@ -271,7 +294,7 @@ object Bench {
       // mixup produced a 2.4x phantom regression at sf1 (r11, PERF.md
       // parallelism-sizing section) — totals from different parallelism
       // are not comparable and must carry their config
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"floor_cal":"$floorCal","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query streaming-floor decomposition (r12 verdict #5): runs each
+  * e-block query end-to-end and splits its wall time into the engine's
+  * own StreamingQueryProgress components, so PERF.md can publish a floor
+  * budget per query — what is attackable (trigger count, state commits)
+  * vs irreducible (semantic watermark-advance emission, planning).
+  *
+  * One JSON line per query:
+  *   {"query":"e04_...","wall_sec":...,"triggers":N,
+  *    "addBatch_ms":..,"getBatch_ms":..,"latestOffset_ms":..,
+  *    "queryPlanning_ms":..,"walCommit_ms":..,"commitOffsets_ms":..,
+  *    "triggerExecution_ms":..,"stateCommit_ms":..,"stateRows":..,
+  *    "outside_engine_ms":..}
+  *
+  * `outside_engine_ms` = wall − Σ triggerExecution − the setup cost the
+  * progress log can't see (source listing, sink/query start, stop, the
+  * downstream batch aggregation over the materialized result). Each
+  * query runs `reps` times; the MINIMUM wall run is reported (the first
+  * run pays whole-stage codegen + state-store provider init, which an
+  * always-on stream amortizes to zero).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamFloor [reps]"
+  */
+object StreamFloor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/data_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = if (args.nonEmpty) args(0).toInt else 2
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.enableOptimizations(spark)
+    Graft.tuneLocalScanSplits(spark)
+    val eQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("e"))
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    eQueries.foreach { case (name, fn) =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, graft.streaming.EventStreams.lastRunProgress)
+      }
+      val (wall, prog) = runs.minBy(_._1)
+      val keys = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+        "walCommit", "commitOffsets", "triggerExecution")
+      val sums = keys.map { k =>
+        k -> prog.map(p => Option(p.durationMs.get(k)).map(_.toLong)
+          .getOrElse(0L)).sum
+      }.toMap
+      val stateCommit = prog.flatMap(_.stateOperators.toSeq)
+        .map(_.commitTimeMs).sum
+      val stateRows = prog.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).maxOption.getOrElse(0L)
+      val outside = wall - sums("triggerExecution") / 1000.0
+      println(s"""{"query":"$name","wall_sec":${ms(wall)},"triggers":${
+        prog.size},${keys.map(k => s""""${k}_ms":${sums(k)}""").mkString(",")
+        },"stateCommit_ms":$stateCommit,"stateRows":$stateRows,"outside_engine_sec":${
+        ms(outside)}}""")
+      System.out.flush()
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+    try spark.stop() catch { case _: Throwable => () }
+  }
+}

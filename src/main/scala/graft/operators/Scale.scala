@@ -197,8 +197,16 @@ object Scale {
     val fs = root.getFileSystem(hconf)
     val tables = fs.listStatus(root).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
+    // A hive-partitioned table (key=val subdirectories inside t.parquet/)
+    // would contribute zero files — or partially count if it mixes
+    // layouts — and silently vanish from the audit (r12 ADVICE). Skip it
+    // with an explicit verdict row instead; this audit's split math is
+    // per-leaf-directory anyway, so run it on the leaf dirs directly.
+    val (nested, flat) = tables.partition { st =>
+      st.isDirectory && fs.listStatus(st.getPath).exists(_.isDirectory)
+    }
     // (table, file path, file length) — leaf data files per table
-    val files: Seq[(String, String, Long)] = tables.flatMap { st =>
+    val files: Seq[(String, String, Long)] = flat.flatMap { st =>
       val t = st.getPath.getName.stripSuffix(".parquet")
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
@@ -206,7 +214,8 @@ object Scale {
           .map(f => (t, f.getPath.toString, f.getLen))
       else Seq((t, st.getPath.toString, st.getLen))
     }
-    require(files.nonEmpty, s"rowGroupAudit: no *.parquet under $dir")
+    require(files.nonEmpty || nested.nonEmpty,
+      s"rowGroupAudit: no *.parquet under $dir")
     // session split math, per table (FilePartition.maxSplitBytes)
     val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
@@ -243,7 +252,7 @@ object Scale {
       // ceil(len / maxSplitBytes), maxSplitBytes =
       // min(maxPartitionBytes, max(openCost, (Σ(len+openCost))/minPartitionNum))
       sum($"bytes" + openCost).as("__padded"))
-    agg
+    val audited = agg
       .withColumn("__maxSplit",
         least(lit(maxPartitionBytes),
           greatest(lit(openCost), ($"__padded" / minPartitionNum).cast("long"))))
@@ -260,7 +269,27 @@ object Scale {
           .when($"n_row_groups" < $"split_tasks", lit("row_group_bound"))
           .otherwise(lit("split_bound")))
       .drop("__padded", "__maxSplit")
-      .orderBy($"table")
+    val withSkipped =
+      if (nested.isEmpty) audited
+      else {
+        // one null-metric row per skipped table so the omission is visible
+        val skipped = nested
+          .map(_.getPath.getName.stripSuffix(".parquet"))
+          .toDF("table")
+          .select($"table",
+            lit(null).cast("long").as("n_files"),
+            lit(null).cast("long").as("n_rows"),
+            lit(null).cast("long").as("total_bytes"),
+            lit(null).cast("long").as("n_row_groups"),
+            lit(null).cast("long").as("min_row_groups_per_file"),
+            lit(null).cast("long").as("max_row_groups_per_file"),
+            lit(null).cast("long").as("split_tasks"),
+            lit(null).cast("long").as("usable_tasks"),
+            lit(coreBudget.toLong).as("core_budget"),
+            lit("skipped: nested layout").as("verdict"))
+        audited.unionByName(skipped)
+      }
+    withSkipped.orderBy($"table")
   }
 
   /** Scope Spark's runtime bloom-filter join pruning (Spark ≥ 3.4,

@@ -153,9 +153,16 @@ class ScaleSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Path.of(dir, "dim.parquet"))
+      // hive.parquet: partitioned by k → key=val subdirectories. The
+      // audit's one-level listing can't see its leaves; it must surface
+      // an explicit skipped row, not silently omit the table (r12 ADVICE)
+      spark.range(100).selectExpr("id", "id % 2 AS k")
+        .write.partitionBy("k").parquet(s"$dir/hive.parquet")
       val out = Scale.rowGroupAudit(spark, dir).collect()
         .map(r => r.getAs[String]("table") -> r).toMap
-      assert(out.keySet == Set("serial", "split", "dim"))
+      assert(out.keySet == Set("serial", "split", "dim", "hive"))
+      assert(out("hive").getAs[String]("verdict") == "skipped: nested layout")
+      assert(out("hive").isNullAt(out("hive").fieldIndex("n_files")))
       assert(out("serial").getAs[Long]("n_rows") == 20000L)
       assert(out("serial").getAs[Long]("n_row_groups") == 1L)
       assert(out("split").getAs[Long]("n_row_groups") > 4L)
