@@ -137,33 +137,50 @@ for t in ["documents", "embeddings"] + replicated:
 # a generation-time guardrail. A beyond-one-split table written with
 # fewer row groups than the core budget serializes a 32-core scan (the
 # r11 sf1 incident: 1 row group/file => a narrow pass ran on 3 tasks).
-# Fail HERE instead of costing a measurement session. Deeper audit:
+# DuckDB clamps ROW_GROUP_SIZE to ~2048-row multiples, so a table whose
+# target group is smaller (embeddings: 312 rows) still comes out bound —
+# those are REWRITTEN in place with pyarrow (lossless arrow round-trip,
+# honors arbitrary group sizes), then re-checked; a table still bound
+# after the rewrite fails generation. Deeper audit:
 #   sbt "runMain graft.AuditMain <out>"
 import pyarrow.parquet as pq
 CORE_BUDGET = 32
-MAX_PARTITION_BYTES = 128 * 1024 * 1024  # spark defaults
-OPEN_COST = 4 * 1024 * 1024
-bad = []
-for t in ["documents", "embeddings"] + replicated:
-    path = f"{out}/{t}.parquet"
+MAX_PARTITION_BYTES = 128 * 1024 * 1024
+# the BENCH session's conf (Graft.tuneLocalScanSplits), not the spark
+# default 4 MB: the lower open cost plans more splits, making row groups
+# the binding constraint more often — "ok" here must mean "ok in the
+# sweeps this corpus exists for"
+OPEN_COST = 262144
+
+
+def layout_verdict(path):
     groups = pq.ParquetFile(path).metadata.num_row_groups
     size = os.path.getsize(path)
-    # FilePartition.maxSplitBytes at spark defaults, minPartitionNum=cores:
-    # for mid-size tables the split shrinks to ~total/cores, so split math
+    # FilePartition.maxSplitBytes with minPartitionNum=cores: for
+    # mid-size tables the split shrinks to ~total/cores, so split math
     # plans ~core-budget tasks — the 128 MB constant alone is too lenient
-    # (a 200 MB / 2-row-group file would pass it yet scan on 2 tasks)
     max_split = min(MAX_PARTITION_BYTES,
                     max(OPEN_COST, (size + OPEN_COST) // CORE_BUDGET))
     splits = -(-size // max_split)  # ceil: tasks split math would plan
     # ok = under one split (small/serial by nature), or row groups can
     # feed every core, or row groups aren't the binding constraint
     # (groups >= splits => split_bound, a session knob, not a file fix)
-    ok = size <= max_split or groups >= min(CORE_BUDGET, splits)
+    return groups, size, size <= max_split or groups >= min(CORE_BUDGET, splits)
+
+
+bad = []
+for t in ["documents", "embeddings"] + replicated:
+    path = f"{out}/{t}.parquet"
+    groups, size, ok = layout_verdict(path)
+    if not ok:
+        tbl = pq.read_table(path)
+        pq.write_table(tbl, path,
+                       row_group_size=max(256, tbl.num_rows // 64))
+        groups, size, ok = layout_verdict(path)
     print(f"{t}: {groups} row groups, {size / 1e6:.1f} MB "
           f"{'ok' if ok else 'ROW_GROUP_BOUND'}")
     if not ok:
         bad.append(t)
 if bad:
-    sys.exit(f"LAYOUT REGRESSION: {bad} written with too few row groups "
-             f"to feed {CORE_BUDGET} cores — lower ROW_GROUP_SIZE in the "
-             f"COPY above; not shipping a serialized-scan corpus")
+    sys.exit(f"LAYOUT REGRESSION: {bad} still row-group-bound after the "
+             f"pyarrow rewrite — not shipping a serialized-scan corpus")

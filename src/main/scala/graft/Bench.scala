@@ -149,7 +149,12 @@ object Bench {
     // stale calibration is visible where the numbers are read (r12
     // verdict #6). Re-measure via SPARK_GRAFT_CALIBRATE when the box
     // class, cpus, or the control query changes.
-    val floorCal = "p50/30 idle cpus=32 r11, reconfirmed r13"
+    // r13 scripted re-measure (3×30 samples, idle): p50 0.095/0.101/
+    // 0.112 — today's box session runs 1.1-1.3× the reference floor,
+    // which box_speed absorbs by design. The constant stays pinned to
+    // the r11 REFERENCE box class; re-pinning it to the current session
+    // would reset box_speed to 1.0 and break cross-session totals.
+    val floorCal = "ref p50/30 idle cpus=32 r11; r13 re-measure p50 0.095-0.112"
     def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Scripted re-calibration mode (r12 verdict #6): sample the control
@@ -182,15 +187,34 @@ object Bench {
     var controlMin = controlBase
     var controlReruns = 0
     var loadFlagged = Set.empty[String]
+    // Drift threshold (r13): the old absolute floor (min + 0.2) was sized
+    // for a ~60 ms control but this box's control runs 0.07–0.11 s, so
+    // the floor allowed ~3.9× drift unflagged — an r13 sf3 session
+    // recorded a 77 s rep of a 14 s-warm query into a "clean" sweep
+    // (PERF.md round-13, the d07 adjudication). Tightened to min + 0.1;
+    // the idle tail (calibration p90 up to 0.138 vs min ~0.075) is
+    // absorbed by CONFIRMATION instead of the loose floor: a suspicious
+    // first sample triggers two more and the median-of-3 decides, so a
+    // one-sample scheduler blip costs 0.2 s, not a rerun, while a
+    // sustained stall still reads high across all three.
+    def driftBar: Double = math.max(1.5 * controlMin, controlMin + 0.1)
     def controlDrifted(): Boolean =
       // a control that cannot even run (heap pressure after a heavy rep,
       // transient executor death) is the strongest drift signal there is
       // — and must not abort a 400-second sweep (r11 review pass)
       try {
-        val c = controlOnce()
-        if (c > controlMax) controlMax = c
-        if (c < controlMin) controlMin = c
-        c > math.max(1.5 * controlMin, controlMin + 0.2)
+        def sample(): Double = {
+          val c = controlOnce()
+          if (c > controlMax) controlMax = c
+          if (c < controlMin) controlMin = c
+          c
+        }
+        val c1 = sample()
+        if (c1 <= driftBar) false
+        else {
+          val cs = Vector(c1, sample(), sample()).sorted
+          cs(1) > driftBar
+        }
       } catch { case _: Throwable => true }
     val maxAttempts = 3
     // stderr marker for external orchestration (scripts/chaos_bench.py
@@ -263,7 +287,7 @@ object Bench {
     // inflated (final min well below the initial base ⇒ the box was
     // loaded while baselining, and early reps were judged too leniently);
     // "flagged" = some query kept a possibly-loaded measurement
-    val baselineLoaded = controlBase > math.max(1.5 * controlMin, controlMin + 0.2)
+    val baselineLoaded = controlBase > driftBar
     val loadVerdict =
       if (loadFlagged.nonEmpty || baselineLoaded) "flagged" else "clean"
     def line(entries: Seq[(String, Double)]): String = {

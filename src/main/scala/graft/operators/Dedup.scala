@@ -592,13 +592,40 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** Bucket-count sizing for [[cosineNearDupLSH]] (r13): with FIXED
+    * planes the per-band bucket count is constant, so candidate pairs
+    * grow as n²/2^rowsPerBand — quadratic in corpus size. The r13 sf3
+    * sweep measured exactly that: 3× vectors → 16.5× runtime at the old
+    * fixed planes=32/bands=4 (256 buckets/band). Holding bucket
+    * OCCUPANCY constant instead makes verify cost ~n·occupancy·bands/2 —
+    * linear in n. Returns planes = bands × rowsPerBand with
+    * rowsPerBand = clamp(log2(n/targetOccupancy), 4, 63/bands).
+    *
+    * The explicit trade (callers pick per corpus): growing bits holds
+    * COST constant but lowers per-band recall (P(band match) =
+    * p^rowsPerBand, p = 1 − θ/π); growing BANDS holds recall and costs
+    * linearly. One 64-bit signature long caps bands × rowsPerBand at
+    * 63 — beyond ~2^16 buckets/band at 4 bands, add bands in a second
+    * signature word rather than bits. */
+  def hyperplanePlanesFor(nRows: Long, bands: Int,
+      targetOccupancy: Int = 32): Int = {
+    require(bands >= 1 && bands <= 15, s"bands out of range: $bands")
+    val needed = math.ceil(
+      math.log(math.max(2.0, nRows.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt
+    val rowsPerBand = math.max(4, math.min(63 / bands, needed))
+    bands * rowsPerBand
+  }
+
   /** LSH-bucketed (approximate) cosine near-dup: random-hyperplane sign
     * bands generate candidates, exact cosine verifies. The scale path:
     * only (id, band, bucket) rows enter the candidate shuffle
     * ([[bucketPairs]], single capped aggregation) — the embedding
     * vectors are heavy per row and join back by id ONLY for the
     * surviving candidate pairs. At 100 TB this keeps the wide payload
-    * out of the one shuffle that fans out per band. */
+    * out of the one shuffle that fans out per band. Size `planes` to the
+    * corpus via [[hyperplanePlanesFor]] — fixed planes are quadratic in
+    * n (see its doc). */
   def cosineNearDupLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 16, bands: Int = 4,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {

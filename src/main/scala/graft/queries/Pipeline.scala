@@ -484,8 +484,14 @@ object Pipeline {
     QueryDef("d06_cosine_lsh", (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      // size bucket bits to the corpus (metadata-fast count): fixed
+      // planes made candidates quadratic in n — the r13 sf3 sweep read
+      // 16.5× on 3× data before this (PERF.md round-13). The gate query
+      // below keeps fixed 32/4 — it validates the band machinery, not
+      // this call's sizing.
+      val planes = Dedup.hyperplanePlanesFor(emb.count(), bands = 4)
       val found = Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
-        threshold = 0.4, dim = 64, planes = 32, bands = 4)
+        threshold = 0.4, dim = 64, planes = planes, bands = 4)
       val checked = found
         .join(emb.select($"vec_id".as("id1"), $"embedding".as("e1")), "id1")
         .join(emb.select($"vec_id".as("id2"), $"embedding".as("e2")), "id2")

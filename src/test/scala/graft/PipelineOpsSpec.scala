@@ -1006,4 +1006,25 @@ class Round4OpsSpec extends SparkSpec {
     // label 1 mean = (6, 5): tie between 4 and 5 (d2 = 1) -> lowest id
     assert(got == Map(0 -> 3L, 1 -> 4L))
   }
+
+  test("hyperplanePlanesFor holds bucket occupancy, clamps to one long") {
+    // occupancy target 32: buckets/band = 2^rowsPerBand must track
+    // n/32 within one doubling (the constant-occupancy rule that keeps
+    // candidate volume linear in n — r13 sf3 finding)
+    for (n <- Seq(2000L, 20000L, 60000L, 1000000L)) {
+      val planes = Dedup.hyperplanePlanesFor(n, bands = 4)
+      assert(planes % 4 == 0)
+      val buckets = 1L << (planes / 4)
+      val occupancy = n.toDouble / buckets
+      assert(occupancy <= 32.0 && occupancy > 8.0,
+        s"n=$n planes=$planes occupancy=$occupancy")
+    }
+    // floor: tiny corpora keep a usable minimum band width
+    assert(Dedup.hyperplanePlanesFor(10L, bands = 4) == 16)
+    // ceiling: bands x rowsPerBand never exceeds the 64-bit signature
+    val big = Dedup.hyperplanePlanesFor(Long.MaxValue, bands = 4)
+    assert(big / 4 * 4 == big && big <= 63)
+    // divisibility for non-power bands
+    assert(Dedup.hyperplanePlanesFor(60000L, bands = 3) % 3 == 0)
+  }
 }
