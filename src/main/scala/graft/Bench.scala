@@ -191,13 +191,16 @@ object Bench {
     // for a ~60 ms control but this box's control runs 0.07–0.11 s, so
     // the floor allowed ~3.9× drift unflagged — an r13 sf3 session
     // recorded a 77 s rep of a 14 s-warm query into a "clean" sweep
-    // (PERF.md round-13, the d07 adjudication). Tightened to min + 0.1;
-    // the idle tail (calibration p90 up to 0.138 vs min ~0.075) is
-    // absorbed by CONFIRMATION instead of the loose floor: a suspicious
+    // (PERF.md round-13, the d07 adjudication), and the first chaos run
+    // showed 24 hogs inflating queries +20% while the control (0.15–0.17)
+    // still cleared a min+0.1 bar. Floor tightened to min + 0.05, which
+    // makes 1.5×min binding for this control class; the idle tail
+    // (calibration p90 up to 0.138, single samples to 0.21 vs min ~0.075)
+    // is absorbed by CONFIRMATION instead of a loose floor: a suspicious
     // first sample triggers two more and the median-of-3 decides, so a
-    // one-sample scheduler blip costs 0.2 s, not a rerun, while a
-    // sustained stall still reads high across all three.
-    def driftBar: Double = math.max(1.5 * controlMin, controlMin + 0.1)
+    // one-sample scheduler blip costs 0.2 s, not a rerun, while sustained
+    // load reads high across all three.
+    def driftBar: Double = math.max(1.5 * controlMin, controlMin + 0.05)
     def controlDrifted(): Boolean =
       // a control that cannot even run (heap pressure after a heavy rep,
       // transient executor death) is the strongest drift signal there is
