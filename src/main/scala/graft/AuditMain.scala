@@ -27,9 +27,19 @@ object AuditMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // audit under the BENCH session's split conf — the default 4 MB
+    // openCost plans far fewer splits and would green-light layouts
+    // that serialize in the sweeps this guardrail protects (r13 review)
+    Graft.tuneLocalScanSplits(spark)
     val audit = graft.operators.Scale.rowGroupAudit(spark, dir)
     val rows = audit.collect()
-    audit.show(100, truncate = false)
+    // print from the collected rows — a second action would re-read
+    // every footer in the corpus
+    val header = audit.schema.fieldNames
+    println(header.mkString(" | "))
+    rows.foreach(r => println(header.indices
+      .map(i => if (r.isNullAt(i)) "null" else r.get(i).toString)
+      .mkString(" | ")))
     val bound = rows.filter(_.getAs[String]("verdict") == "row_group_bound")
       .map(_.getAs[String]("table"))
     try spark.stop() catch { case _: Throwable => () }

@@ -41,6 +41,10 @@ object Graft {
     * is necessary, not sufficient: parallelism is ALSO bounded by row
     * groups per file (PERF.md round-11) — corpora must be written with
     * row groups sized to the per-file core budget. */
+  // NOTE: scripts/make_scale.py's layout guardrail duplicates this
+  // constant (OPEN_COST=262144) and the canonical core budget (32) in
+  // its split math — change them TOGETHER or corpus generation will
+  // judge layouts against a stale session model (r13 review).
   def tuneLocalScanSplits(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.files.openCostInBytes", 262144L)
 

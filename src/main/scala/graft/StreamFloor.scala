@@ -13,9 +13,9 @@ import org.apache.spark.sql.SparkSession
   *    "addBatch_ms":..,"getBatch_ms":..,"latestOffset_ms":..,
   *    "queryPlanning_ms":..,"walCommit_ms":..,"commitOffsets_ms":..,
   *    "triggerExecution_ms":..,"stateCommit_ms":..,"stateRows":..,
-  *    "outside_engine_ms":..}
+  *    "outside_engine_sec":..}
   *
-  * `outside_engine_ms` = wall − Σ triggerExecution − the setup cost the
+  * `outside_engine_sec` = wall − Σ triggerExecution — the setup cost the
   * progress log can't see (source listing, sink/query start, stop, the
   * downstream batch aggregation over the materialized result). Each
   * query runs `reps` times; the MINIMUM wall run is reported (the first
@@ -46,12 +46,20 @@ object StreamFloor {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     eQueries.foreach { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
+        // reset before each run: a query that never routes through
+        // runToMemory (batch-shaped e02; e07's foreachBatch sink) must
+        // report "no stream progress", not the previous query's numbers
+        graft.streaming.EventStreams.lastRunProgress = Nil
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
         (wall, graft.streaming.EventStreams.lastRunProgress)
       }
       val (wall, prog) = runs.minBy(_._1)
+      if (prog.isEmpty) {
+        println(s"""{"query":"$name","wall_sec":${ms(wall)},"triggers":0,"note":"no runToMemory progress (batch query or external sink) — no floor decomposition"}""")
+        System.out.flush()
+      } else {
       val keys = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
         "walCommit", "commitOffsets", "triggerExecution")
       val sums = keys.map { k =>
@@ -68,6 +76,7 @@ object StreamFloor {
         },"stateCommit_ms":$stateCommit,"stateRows":$stateRows,"outside_engine_sec":${
         ms(outside)}}""")
       System.out.flush()
+      }
       spark.sharedState.cacheManager.clearCache()
       System.gc()
     }
