@@ -324,12 +324,18 @@ object Bench {
           s""""box_speed":${ms(b)},"total_norm":${ms(total / b)}"""
         } else """"box_speed":null,"total_norm":null"""
       val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
+      // auto-sized LSH configs chosen during the sweep (r13 ADVICE:
+      // cross-sf totals compare different recall regimes unless the
+      // chosen banding travels with the numbers)
+      val lsh = graft.operators.LshParamsLog.snapshot.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
       val omitted = results.size - entries.size
       // "cpus" labels the measurement config: a local[4]-vs-local[32]
       // mixup produced a 2.4x phantom regression at sf1 (r11, PERF.md
       // parallelism-sizing section) — totals from different parallelism
       // are not comparable and must carry their config
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"floor_cal":"$floorCal","control":$ctl,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"floor_cal":"$floorCal","control":$ctl,"lsh":$lsh,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift

@@ -54,6 +54,56 @@ case class HyperplaneSig(child: Expression, dim: Int, planes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Banded random-hyperplane signature: array<long> of length `bands`,
+  * element b = the `rowsPerBand` sign bits of band b's OWN hyperplanes
+  * (plane indexes b·rowsPerBand … b·rowsPerBand+rowsPerBand−1) packed
+  * into one long. Lifts [[HyperplaneSig]]'s one-long cap: bands and
+  * rowsPerBand no longer share a 63-bit budget, so the band count can
+  * grow with the corpus (the recall lever — see
+  * `Dedup.hyperplaneLshParamsFor`) while each band's bucket width grows
+  * too (the occupancy/cost lever). Bit layout is compatible: at the same
+  * (dim, bands·rowsPerBand, seed), element b equals
+  * `(HyperplaneSig >> b·rowsPerBand) & ((1<<rowsPerBand)−1)`
+  * (spec-pinned in SimilaritySpec). One fused pass over the vector, same
+  * element-width adaptivity as [[HyperplaneSig]]. */
+case class HyperplaneBandBuckets(child: Expression, dim: Int, bands: Int,
+    rowsPerBand: Int, seed: Long) extends UnaryExpression {
+  require(bands >= 1, s"bands must be positive: $bands")
+  require(rowsPerBand >= 1 && rowsPerBand <= 62,
+    s"rowsPerBand must fit one signed long bucket (1..62): $rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_buckets"
+
+  private def elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSig.evalBands(input.asInstanceOf[ArrayData],
+      HyperplaneSig.planesFor(dim, bands * rowsPerBand, seed), rowsPerBand,
+      elemIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hplanes",
+      HyperplaneSig.planesFor(dim, bands * rowsPerBand, seed), "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSig$$.MODULE$$.evalBands($c, $ref, $rowsPerBand, $elemIsDouble)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandBuckets =
+    copy(child = newChild)
+}
+
 object HyperplaneSig {
   private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]
 
@@ -82,6 +132,41 @@ object HyperplaneSig {
     sig
   }
 
+  /** [[HyperplaneBandBuckets]] eval: planes.length = bands·rowsPerBand;
+    * band b packs sign bits of planes b·rowsPerBand+j at bit j. */
+  def evalBands(vec: ArrayData, planes: Array[Array[Double]],
+      rowsPerBand: Int, elemIsDouble: Boolean): ArrayData = {
+    val bands = planes.length / rowsPerBand
+    val out = new Array[Long](bands)
+    val n = vec.numElements()
+    var b = 0
+    var idx = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val p = planes(idx)
+        val d = math.min(n, p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val x = if (elemIsDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+          acc += x * p(i); i += 1
+        }
+        if (acc >= 0) sig |= (1L << j)
+        j += 1; idx += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def sig(vec: Column, dim: Int, planes: Int, seed: Long = 7L): Column =
     glue.toColumn(HyperplaneSig(glue.toExpression(vec), dim, planes, seed))
+
+  def bandBuckets(vec: Column, dim: Int, bands: Int, rowsPerBand: Int,
+      seed: Long = 7L): Column =
+    glue.toColumn(HyperplaneBandBuckets(glue.toExpression(vec), dim, bands,
+      rowsPerBand, seed))
 }

@@ -48,6 +48,8 @@ import graft.functions.SimHash64
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---- shingling --------------------------------------------------------
 
   /** Distinct word k-grams of the normalized text — fused native
@@ -614,7 +616,80 @@ object Dedup {
       math.log(math.max(2.0, nRows.toDouble / targetOccupancy)) /
         math.log(2.0)).toInt
     val rowsPerBand = math.max(4, math.min(63 / bands, needed))
+    // r13 ADVICE: past ~targetOccupancy·2^(63/bands) rows the one-long
+    // budget clamps rowsPerBand and occupancy — hence candidate volume —
+    // silently goes quadratic again. Signal it: the banded sizer below
+    // has no shared budget and is the scale path.
+    if (needed > 63 / bands) log.warn(
+      s"hyperplanePlanesFor: rowsPerBand clamped to ${63 / bands} (needed " +
+      s"$needed) by the one-long signature at n=$nRows, bands=$bands — " +
+      "bucket occupancy now grows with n. Use hyperplaneLshParamsFor + " +
+      "cosineNearDupLSHBanded (per-band longs, no shared bit budget).")
     bands * rowsPerBand
+  }
+
+  /** Parameters for [[cosineNearDupLSHBanded]], sized by
+    * [[hyperplaneLshParamsFor]]. `predictedRecall` is the model's
+    * probability that a pair AT the threshold boundary shares ≥1 band;
+    * `clamped` is true when the recall floor was unreachable within
+    * `maxBands` (the sizer warns and returns its best effort — the
+    * honest flag r13's one-long clamp lacked). */
+  case class HyperplaneLshParams(bands: Int, rowsPerBand: Int,
+      predictedRecall: Double, clamped: Boolean) {
+    /** Total hyperplanes drawn: each band has its own independent set. */
+    def planes: Int = bands * rowsPerBand
+  }
+
+  /** Joint (bands, rowsPerBand) sizing holding BOTH the r13 occupancy
+    * rule (cost) and a recall floor at the threshold boundary (quality —
+    * the r13 verdict's `weak`: growing band BITS alone held cost linear
+    * but dropped boundary recall 23%→2.5%→0.4% as n went 2k→60k→10⁹).
+    *
+    *  - rowsPerBand = log₂(n / targetOccupancy): buckets per band track
+    *    n, so per-band candidate volume stays ~n·occupancy/2 — the cost
+    *    lever, unchanged from r13.
+    *  - bands from the floor: a boundary pair (cosine = θ) agrees with
+    *    one plane w.p. p = 1 − arccos(θ)/π, with a whole band w.p.
+    *    p^rowsPerBand, so bands ≥ ln(1−floor)/ln(1−p^rowsPerBand) —
+    *    the recall lever, new in r14. Each band carries its own long
+    *    ([[graft.functions.HyperplaneBandBuckets]]), so there is no
+    *    63-bit budget forcing the r13 trade.
+    *
+    * The cost law this buys (measured in PERF.md round-14): bands grow
+    * like n^ρ with ρ = ln(1/p)/ln 2, so total candidate volume is
+    * n^(1+ρ) — θ=0.9 → n^1.22 (≈linear), θ=0.7 → n^1.43, θ=0.4 →
+    * n^1.66. Guaranteed-recall LSH at a LOW boundary is intrinsically
+    * super-linear (the classic n^(1+ρ) bound); the caller picks the
+    * (threshold, floor, maxBands) point per corpus, and `clamped` says
+    * when the floor didn't fit the cost cap. */
+  def hyperplaneLshParamsFor(nRows: Long, threshold: Double,
+      recallFloor: Double = 0.95, targetOccupancy: Int = 32,
+      maxBands: Int = 4096): HyperplaneLshParams = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1): $threshold")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0,1): $recallFloor")
+    require(targetOccupancy >= 2, s"targetOccupancy too small: $targetOccupancy")
+    require(maxBands >= 2, s"maxBands too small: $maxBands")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val rowsPerBand = math.min(62, math.max(4, math.ceil(
+      math.log(math.max(2.0, nRows.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    val pBand = math.pow(p, rowsPerBand)
+    // 1−(1−pBand)^b ≥ floor  ⇔  b ≥ ln(1−floor)/ln(1−pBand); +Inf when
+    // pBand underflows to 0 (negative/−0.0), caught by the !(≤) test
+    val needed = math.log1p(-recallFloor) / math.log1p(-pBand)
+    val bands =
+      if (!(needed <= maxBands)) maxBands
+      else math.max(2, math.ceil(needed).toInt)
+    val predicted = 1.0 - math.pow(1.0 - pBand, bands.toDouble)
+    val clamped = predicted < recallFloor
+    if (clamped) log.warn(f"hyperplaneLshParamsFor: recall floor " +
+      f"$recallFloor%.2f at threshold $threshold%.2f unreachable within " +
+      f"maxBands=$maxBands for n=$nRows (needs ${math.ceil(needed)}%.0f " +
+      f"bands; predicted recall $predicted%.4f). Raise maxBands (cost " +
+      "grows linearly in bands) or raise the threshold.")
+    HyperplaneLshParams(bands, rowsPerBand, predicted, clamped)
   }
 
   /** LSH-bucketed (approximate) cosine near-dup: random-hyperplane sign
@@ -661,6 +736,44 @@ object Dedup {
           shiftright(col("hsig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = bucketPairs(exploded, idCol, maxBucket)
+    cands
+      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .withColumn("cosine", round(
+        Similarity.dot(col("v1"), col("v2")) /
+        (Similarity.norm(col("v1")) * Similarity.norm(col("v2"))), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** [[cosineNearDupLSH]] with jointly-sized banding
+    * ([[hyperplaneLshParamsFor]]): the signature is array<long> — one
+    * long PER BAND ([[graft.functions.HyperplaneBandBuckets]]) — so
+    * bands can grow with n to hold the recall floor while rowsPerBand
+    * grows to hold bucket occupancy; neither steals bits from the other
+    * (the r13 one-long clamp that silently traded recall for cost).
+    * Identical distributed shape to [[cosineNearDupLSH]]: only
+    * (id, band, bucket) rows enter the one candidate shuffle, vectors
+    * re-join by id for verification of surviving pairs, and the base
+    * frame reaches its three consumers through one reused id-keyed
+    * exchange (same isNotNull + signature-after-exchange measures,
+    * plan-asserted in PlanSpec). */
+  def cosineNearDupLSHBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, params: HyperplaneLshParams,
+      seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
+    InputContracts.requireDeterministic(df, "cosineNearDupLSHBanded")
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
+    // signature computed AFTER the exchange (column pruning would
+    // otherwise specialize the band leg's subtree and break reuse —
+    // see cosineNearDupLSH); posexplode's position IS the band id
+    val exploded = base.select(col(idCol),
+        graft.functions.HyperplaneSig.bandBuckets(col(vecCol), dim,
+          params.bands, params.rowsPerBand, seed).as("hbb"))
+      .select(col(idCol), posexplode(col("hbb")).as(Seq("band", "bucket")))
     val cands = bucketPairs(exploded, idCol, maxBucket)
     cands
       .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
@@ -915,5 +1028,21 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+}
+
+/** Per-query record of the auto-sized LSH parameters chosen during this
+  * session, carried into the bench JSON (r13 ADVICE: round-over-round
+  * totals at different sf compare different recall regimes unless the
+  * chosen config travels with the numbers). Tiny and driver-side only. */
+object LshParamsLog {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, String]
+  def record(name: String, p: Dedup.HyperplaneLshParams): Unit = {
+    m.put(name, s"b${p.bands}r${p.rowsPerBand}")
+    ()
+  }
+  def snapshot: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
   }
 }

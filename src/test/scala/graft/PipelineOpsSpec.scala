@@ -322,6 +322,9 @@ class DedupSpec extends SparkSpec {
       Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.5)
       Dedup.cosineNearDupLSH(emb, "vec_id", "embedding",
         threshold = 0.5, dim = 64)
+      Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
+        threshold = 0.5, dim = 64,
+        params = Dedup.hyperplaneLshParamsFor(2000L, 0.5))
       Dedup.contamination(docs, docs.limit(5), "doc_id", "text")
       // flush the (ordered) bus: once the post-construction sentinel's
       // JobStart is delivered, any construction-time JobStart would have
@@ -396,6 +399,10 @@ class DedupSpec extends SparkSpec {
       "cosineNearDupLSH" -> (d =>
         Dedup.cosineNearDupLSH(d.select($"doc_id", array(lit(1.0f)).as("v")),
           "doc_id", "v", 0.5, dim = 1)),
+      "cosineNearDupLSHBanded" -> (d =>
+        Dedup.cosineNearDupLSHBanded(d.select($"doc_id", array(lit(1.0f)).as("v")),
+          "doc_id", "v", 0.5, dim = 1,
+          params = Dedup.hyperplaneLshParamsFor(100L, 0.5))),
       "ngramJaccardIncremental" -> (d =>
         Dedup.ngramJaccardIncremental(docs, d, "doc_id", "text")),
       "connectedComponents" -> (d =>
@@ -478,6 +485,36 @@ class SimilaritySpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       bad.select(HyperplaneSig.sig($"u", 3, 16)).collect()
     }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(HyperplaneSig.bandBuckets($"u", 3, 4, 4)).collect()
+    }
+  }
+
+  test("HyperplaneBandBuckets matches HyperplaneSig banding bit-for-bit") {
+    // compat contract (doc-pinned): at the same (dim, bands·rowsPerBand,
+    // seed), band b's bucket equals the one-long signature's bits
+    // [b·rowsPerBand, (b+1)·rowsPerBand) — the two expressions draw the
+    // same planes in the same order, so the banded form is a drop-in
+    // replacement with no 63-bit budget.
+    import graft.functions.HyperplaneSig
+    val rows = Tables.load(spark, sf, "embeddings").limit(64)
+      .select($"vec_id",
+        HyperplaneSig.sig($"embedding", 64, 32, 7L).as("sig"),
+        HyperplaneSig.bandBuckets($"embedding", 64, 4, 8, 7L).as("bb"))
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(rows.length == 64)
+    for ((_, sig, bb) <- rows) {
+      assert(bb.length == 4)
+      for (b <- 0 until 4)
+        assert(bb(b) == ((sig >>> (b * 8)) & 0xffL))
+    }
+    // wide mode: more than 64 total bits (the whole point) — 10 bands of
+    // 20 rows = 200 planes; buckets stay within the band width
+    val wide = Tables.load(spark, sf, "embeddings").limit(8)
+      .select(HyperplaneSig.bandBuckets($"embedding", 64, 10, 20, 7L).as("bb"))
+      .as[Seq[Long]].collect()
+    assert(wide.forall(bb => bb.length == 10 &&
+      bb.forall(b => b >= 0 && b < (1L << 20))))
   }
 
   test("bruteForceTopK: k results per query, self excluded, rank ordered") {
@@ -1005,6 +1042,59 @@ class Round4OpsSpec extends SparkSpec {
     // label 0 mean = (1.033, 0): vec 3 at 1.1 is closest
     // label 1 mean = (6, 5): tie between 4 and 5 (d2 = 1) -> lowest id
     assert(got == Map(0 -> 3L, 1 -> 4L))
+  }
+
+  test("hyperplaneLshParamsFor: recall floor holds across n=10^3..10^9 or is flagged") {
+    // the r13 `weak` closed: the joint sizer's predicted recall at the
+    // threshold boundary never silently drops below the floor — either
+    // it holds (bands grew with n) or `clamped` says the floor didn't
+    // fit maxBands. Sweep six decades × thresholds × floors.
+    for (exp <- 3 to 9; theta <- Seq(0.4, 0.6, 0.8, 0.9);
+         floor <- Seq(0.9, 0.95)) {
+      val n = math.pow(10, exp).toLong
+      val p = Dedup.hyperplaneLshParamsFor(n, theta, recallFloor = floor)
+      if (!p.clamped)
+        assert(p.predictedRecall >= floor, s"n=$n theta=$theta floor=$floor: $p")
+      // the r13 occupancy rule stays intact: buckets/band track n/32
+      val occ = n.toDouble / (1L << p.rowsPerBand)
+      assert(occ <= 32.0, s"n=$n theta=$theta: occupancy $occ")
+      assert(p.rowsPerBand >= 4 && p.rowsPerBand <= 62)
+      assert(p.planes == p.bands * p.rowsPerBand)
+    }
+    // true near-dup regime (θ ≥ 0.8, ρ ≤ 0.33): floor reachable at ANY
+    // scale within the default band budget — the 100 TB configuration
+    for (exp <- 3 to 9; theta <- Seq(0.8, 0.9)) {
+      val p = Dedup.hyperplaneLshParamsFor(math.pow(10, exp).toLong, theta)
+      assert(!p.clamped && p.predictedRecall >= 0.95,
+        s"theta=$theta n=10^$exp: $p")
+    }
+    // clamp honesty: an unreachable floor is flagged, never silent
+    val c = Dedup.hyperplaneLshParamsFor(1000000000L, 0.4,
+      recallFloor = 0.95, maxBands = 64)
+    assert(c.clamped && c.predictedRecall < 0.95 && c.bands == 64)
+    // bands grow with n at a fixed threshold (the n^ρ cost lever)
+    assert(Dedup.hyperplaneLshParamsFor(60000L, 0.4).bands >
+           Dedup.hyperplaneLshParamsFor(20000L, 0.4).bands)
+  }
+
+  test("cosineNearDupLSHBanded: auto-sized measured recall >= 0.9 at the 0.4 boundary") {
+    // the d06_recall_gate assertion, runnable in-suite: the PRODUCTION
+    // sizing (threshold 0.4, design floor 0.95) against the exact pair
+    // list. Planes are seed-fixed, so the measured value is
+    // deterministic for this corpus.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val params = Dedup.hyperplaneLshParamsFor(emb.count(), 0.4,
+      recallFloor = 0.95)
+    assert(!params.clamped && params.predictedRecall >= 0.95)
+    val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(found.subsetOf(exact), "exact-verified output can't exceed exact")
+    val recall = (found & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"measured recall $recall over ${exact.size} pairs")
   }
 
   test("hyperplanePlanesFor holds bucket occupancy, clamps to one long") {

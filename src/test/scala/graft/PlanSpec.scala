@@ -341,6 +341,22 @@ class PlanSpec extends SparkSpec {
       s"the embeddings must be scanned and signed once:\n$p")
   }
 
+  test("d06 banded cosine LSH: signature frame reused, vectors scanned once, no cache") {
+    // the r14 recall-safe variant keeps the same plan contract as the
+    // one-long form: one embeddings scan, one id-keyed exchange reused
+    // by the band leg and both verify joins, nothing persisted
+    val p = finalPlan(graft.operators.Dedup.cosineNearDupLSHBanded(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, dim = 64,
+      params = graft.operators.Dedup.hyperplaneLshParamsFor(500L, 0.4)))
+    assert(p.contains("ReusedExchange"),
+      s"expected the id-keyed signature exchange reused by the verify joins:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"no persisted frame belongs in this plan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"the embeddings must be scanned and signed once:\n$p")
+  }
+
   test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
     // The uncapped incremental shape computes the corpus lineage once
     // (full-index leg only: the probe leg derives straight from the
