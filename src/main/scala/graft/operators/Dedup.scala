@@ -228,8 +228,44 @@ object Dedup {
     df.select(col(idCol),
       graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
 
+  /** (bands, rowsPerBand) for [[dedupMinHashPairsFrom]] holding recall ≥
+    * `recallFloor` for pairs AT the Jaccard threshold boundary. A band
+    * of r minhash rows matches w.p. j^r, so boundary recall =
+    * 1−(1−t^r)^bands. The DEFAULT 64-hash/16-band config (r = 4) holds
+    * 0.95 recall only for j ≥ 0.645 — the proven regime its callers run
+    * in (d02 at t = 0.8, where the corpus's engineered dups sit at
+    * j ≥ 0.9) — and reads ~4% at a t = 0.2 boundary (r13 verdict #3;
+    * spec-measured on synthetic boundary pairs). For lower thresholds
+    * size with THIS: r is chosen MAXIMAL subject to bands(r)·r ≤
+    * maxHashes, because r is the background-rejection lever (candidate
+    * volume ~ bands·n²·E[j_bg^r]) while bands then hold the floor.
+    * Fails fast when the floor cannot fit maxHashes even at r = 1 —
+    * a sizer that silently under-delivers recall is the r13 defect. */
+  def minHashParamsFor(threshold: Double, recallFloor: Double = 0.95,
+      maxHashes: Int = 256): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1): $threshold")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0,1): $recallFloor")
+    def bandsFor(r: Int): Int = math.max(1, math.ceil(
+      math.log1p(-recallFloor) / math.log1p(-math.pow(threshold, r))).toInt)
+    require(bandsFor(1) <= maxHashes,
+      s"minHashParamsFor: recall floor $recallFloor at threshold " +
+      s"$threshold needs ${bandsFor(1)} bands even at rowsPerBand=1 — " +
+      s"raise maxHashes (now $maxHashes) or lower the floor")
+    val r = (1 to 32).takeWhile(r => bandsFor(r).toLong * r <= maxHashes).last
+    (bandsFor(r), r)
+  }
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification.
-    * Returns (id1, id2, jaccard) for pairs ≥ threshold. */
+    * Returns (id1, id2, jaccard) for pairs ≥ threshold.
+    *
+    * Recall regime of the DEFAULT banding (64 hashes / 16 bands of 4):
+    * ≥ 0.95 for pairs with j ≥ 0.645, near-total at the proven t = 0.8
+    * operating point, but decaying fast below — at a t = 0.2 boundary a
+    * pair is found w.p. ~4%. For thresholds under ~0.65 pass banding
+    * from [[minHashParamsFor]] instead (measured: d02_recall_gate and
+    * the boundary-recall spec in PipelineOpsSpec). */
   def dedupMinHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -549,7 +585,25 @@ object Dedup {
     * fingerprint is one long, so it rides the candidate shuffle. */
   def dedupSimHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      nRows: Option[Long] = None): DataFrame = {
+    // r13 verdict #2: 4×16-bit bands = 65,536 buckets/band FOREVER, the
+    // same fixed-bucket-space structure the r13 d06 fix removed. Beyond
+    // [[simHashSaturationDocs]] the expected occupancy exceeds the
+    // collector cap and the saturated-bucket filter silently drops real
+    // candidates (spec-pinned at a synthetic over-occupancy bucket).
+    // Fail fast when the caller states the corpus size; construction
+    // stays job-free, so an unstated size cannot be checked here —
+    // the bound is documented on both operators.
+    nRows.foreach { n =>
+      require(n <= simHashSaturationDocs(maxBucket),
+        s"dedupSimHashPairs: n=$n exceeds the 64-bit fingerprint's " +
+        s"band-space saturation bound (${simHashSaturationDocs(maxBucket)} " +
+        s"docs at maxBucket=$maxBucket) — expected bucket occupancy " +
+        "n/2^16 passes the collector cap and real candidate pairs would " +
+        "be silently dropped. Use dedupSimHashPairsWide (128-bit " +
+        "fingerprint, occupancy-sized bands).")
+    }
     val sigs = df.select(col(idCol),
       SimHash64.simhash64(
         graft.functions.TokenizeWords.tokenizeWords(col(textCol))).as("sig"))
@@ -571,6 +625,79 @@ object Dedup {
         bit_count(col("__a._2").bitwiseXOR(col("__b._2"))).as("hamming"))
       .filter(col("id1") < col("id2")) // no self-pairs from duplicate ids
       .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Corpus size at which [[dedupSimHashPairs]]'s fixed 16-bit band
+    * space saturates: expected bucket occupancy n/2^16 reaches
+    * `maxBucket`, past which the capped collector's saturated-bucket
+    * filter drops real candidates silently (~6.5×10⁸ docs at the
+    * default cap). */
+  def simHashSaturationDocs(maxBucket: Int = 10000): Long =
+    maxBucket.toLong << 16
+
+  /** (bands, bandBits) for [[dedupSimHashPairsWide]]: bandBits from the
+    * r13 occupancy rule (buckets/band = 2^bandBits tracks
+    * n/targetOccupancy, clamped to [16, 32]); bands = every
+    * non-overlapping bandBits-wide slice the two 64-bit words hold
+    * (2·⌊64/bandBits⌋: 8 at 16 bits, 6 at 17–21, 4 at 22–32). The trade
+    * is explicit and monotone: more docs → wider buckets (cost/
+    * saturation: bound grows to maxBucket·2^32 ≈ 4×10¹³ docs) → fewer
+    * bands, so the pigeonhole guarantee "hamming ≤ bands−1 ⇒ found"
+    * narrows 7→3 while recall beyond it stays probabilistic. */
+  def simHashBandsFor(nRows: Long, targetOccupancy: Int = 32): (Int, Int) = {
+    require(targetOccupancy >= 2, s"targetOccupancy too small: $targetOccupancy")
+    val bits = math.min(32, math.max(16, math.ceil(
+      math.log(math.max(2.0, nRows.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    (2 * (64 / bits), bits)
+  }
+
+  /** SimHash near-dup pairs over a 128-bit fingerprint
+    * ([[graft.functions.SimHash128]]) — the scale tier of
+    * [[dedupSimHashPairs]] for corpora past [[simHashSaturationDocs]]
+    * (~6.5×10⁸ docs), where the 64-bit form's fixed 65,536-bucket bands
+    * saturate the collector cap. Bands are sized to the stated corpus
+    * size by [[simHashBandsFor]]; `maxHamming` is measured on 128 bits
+    * (≈ double the 64-bit radius for the same similarity). Same
+    * single-candidate-shuffle shape as the cosine path: the narrow
+    * (id, sig) frame is computed BEFORE one id-keyed exchange that all
+    * three consumers (band explode + both verify joins) reuse, and only
+    * (id, band, bucket) rows fan out per band. */
+  def dedupSimHashPairsWide(
+      df: DataFrame, idCol: String, textCol: String, nRows: Long,
+      maxHamming: Int = 16, targetOccupancy: Int = 32,
+      maxBucket: Int = 10000): DataFrame = {
+    InputContracts.requireDeterministic(df, "dedupSimHashPairsWide")
+    val (bands, bits) = simHashBandsFor(nRows, targetOccupancy)
+    val perWord = bands / 2
+    val mask = (1L << bits) - 1
+    // sig computed BEFORE the exchange: every consumer needs exactly
+    // (id, sig), so the exchange carries 16 bytes/doc (not the text) and
+    // column pruning can't specialize the subtrees apart
+    val sigs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.SimHash128.simhash128(
+          graft.functions.TokenizeWords.tokenizeWords(col(textCol))).as("sig"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
+    val exploded = sigs.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        val w = b / perWord
+        val j = b % perWord
+        struct(lit(b).as("band"),
+          shiftright(element_at(col("sig"), w + 1), j * bits)
+            .bitwiseAND(lit(mask)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = bucketPairs(exploded, idCol, maxBucket)
+    cands
+      .join(sigs.select(col(idCol).as("id1"), col("sig").as("s1")), "id1")
+      .join(sigs.select(col(idCol).as("id2"), col("sig").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        (bit_count(element_at(col("s1"), 1).bitwiseXOR(element_at(col("s2"), 1))) +
+         bit_count(element_at(col("s1"), 2).bitwiseXOR(element_at(col("s2"), 2))))
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

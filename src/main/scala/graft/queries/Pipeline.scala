@@ -222,6 +222,54 @@ object Pipeline {
         UNION ALL SELECT 'recall_ge_90pct', 1) m
       ORDER BY metric""")),
 
+    // r13 verdict #3 — the t<0.8 regime measured at SOUND parameters:
+    // the gate above pins the fixed 64/16 banding's invariants; THIS one
+    // runs the auto-sized banding (minHashParamsFor at the t=0.2
+    // boundary, floor 0.95 → 74 bands of 2) and asserts recall ≥ 90%
+    // against the uncapped exact pair list. On this corpus every exact
+    // pair sits at j ≥ 0.8 (boundary recall at j≈0.2 is additionally
+    // spec-measured on synthetic boundary pairs in PipelineOpsSpec,
+    // where the default banding reads ~4% and the auto sizing ≥ 90%);
+    // here the gate pins the production path end-to-end: sizer →
+    // banding → capped candidates → exact verification. CORRECTNESS-only.
+    QueryDef("d02_recall_gate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (bands, rows) = Dedup.minHashParamsFor(0.2, recallFloor = 0.95)
+      val sh = Dedup.shingleFrame(docs, "doc_id", "text", k = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = Dedup.dedupMinHashPairsFrom(sh, "doc_id",
+        numHashes = bands * rows, bands = bands, threshold = 0.2)
+        .select($"id1", $"id2")
+      val exact = Dedup.ngramJaccardPairsFrom(sh, "doc_id",
+        threshold = 0.2, maxDocFreq = Int.MaxValue).select($"id1", $"id2")
+      val nExact = exact.agg(count(lit(1)).as("value"))
+        .select(lit("exact_pairs").as("metric"), $"value")
+      val fps = lsh.join(exact, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("false_positives").as("metric"), $"value")
+      val recall = lsh.join(exact, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("nf"))
+        .crossJoin(exact.agg(count(lit(1)).as("ne")))
+        .select(lit("recall_ge_90pct").as("metric"),
+          when($"ne" === 0 || $"nf" * 100 >= $"ne" * 90, 1L).otherwise(0L)
+            .as("value"))
+      nExact.unionByName(fps).unionByName(recall).orderBy($"metric")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array($duckNorm, ' ') AS w FROM documents),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sh FROM t),
+      p AS (SELECT round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      SELECT metric, value FROM (
+        SELECT 'exact_pairs' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM p WHERE jaccard >= 0.2
+        UNION ALL SELECT 'false_positives', 0
+        UNION ALL SELECT 'recall_ge_90pct', 1) m
+      ORDER BY metric""")),
+
     // SimHash, benched as the PRODUCTION path only: the banding operator
     // plus an O(found) self-integrity check — recompute each found
     // pair's hamming from the signatures (two id-equi-joins over the

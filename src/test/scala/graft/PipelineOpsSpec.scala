@@ -345,6 +345,141 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minHashParamsFor: boundary recall >= floor across thresholds, budget respected") {
+    for (t <- Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.8, 0.9); floor <- Seq(0.9, 0.95)) {
+      val (b, r) = Dedup.minHashParamsFor(t, floor)
+      val predicted = 1 - math.pow(1 - math.pow(t, r), b.toDouble)
+      assert(predicted >= floor, s"t=$t floor=$floor b=$b r=$r: $predicted")
+      assert(b * r <= 256 && b >= 1 && r >= 1)
+    }
+    // the documented restriction of the DEFAULT 64/16 banding: 0.95
+    // recall holds at j=0.8 (the proven d02 regime), not at j=0.6
+    assert(1 - math.pow(1 - math.pow(0.8, 4), 16.0) >= 0.95)
+    assert(1 - math.pow(1 - math.pow(0.6, 4), 16.0) < 0.95)
+    // an unreachable floor fails fast, never silently under-delivers
+    intercept[IllegalArgumentException](
+      Dedup.minHashParamsFor(0.05, 0.95, maxHashes = 16))
+  }
+
+  test("minhash boundary recall: auto sizing >= 0.9 where the default banding collapses") {
+    // 60 synthetic pairs engineered AT the t=0.2 boundary: docs of 40
+    // words sharing a 16-word prefix → 14 shared 3-gram shingles of ~38
+    // per doc → jaccard ≈ 0.226. The r13 verdict's computed decay, made
+    // measurable: the default 64/16 banding finds such a pair w.p.
+    // 1−(1−j⁴)¹⁶ ≈ 4%, the boundary-sized banding (74 bands of 2) w.p.
+    // ≈ 98%. Hashing is seed-fixed, so both measurements are
+    // deterministic.
+    val docs = (0 until 60).flatMap { i =>
+      val shared = (0 until 16).map(k => s"p${i}s$k").mkString(" ")
+      val ua = (0 until 24).map(k => s"p${i}a$k").mkString(" ")
+      val ub = (0 until 24).map(k => s"p${i}b$k").mkString(" ")
+      Seq((i.toLong * 2, s"$shared $ua"), (i.toLong * 2 + 1, s"$shared $ub"))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", k = 3).persist()
+    try {
+      val exact = Dedup.ngramJaccardPairsFrom(sh, "doc_id", threshold = 0.2,
+          maxDocFreq = Int.MaxValue)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      assert(exact.size == 60, s"engineered pairs off: ${exact.size}")
+      def recallOf(bands: Int, rows: Int): Double = {
+        val found = Dedup.dedupMinHashPairsFrom(sh, "doc_id",
+            numHashes = bands * rows, bands = bands, threshold = 0.2)
+          .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+        assert(found.subsetOf(exact)) // exact-verified: no false positives
+        (found & exact).size.toDouble / exact.size
+      }
+      val (autoBands, autoRows) = Dedup.minHashParamsFor(0.2, 0.95)
+      val autoRecall = recallOf(autoBands, autoRows)
+      val defaultRecall = recallOf(16, 4)
+      assert(autoRecall >= 0.9,
+        s"auto ($autoBands x $autoRows) measured $autoRecall")
+      assert(defaultRecall <= 0.5,
+        s"default 16x4 should collapse at the boundary, measured $defaultRecall")
+    } finally { sh.unpersist(); () }
+  }
+
+  test("dedupSimHashPairs: over-occupancy bucket drops silently; stated-size guard refuses") {
+    // (a) the structural defect the r14 bound guards (r13 verdict #2):
+    // a bucket past the collector cap is dropped WHOLE — identical docs
+    // produce ZERO pairs at maxBucket=10 even though all 435 pairs are
+    // true dups. This is the silent candidate loss the 64-bit band
+    // space hits at ~6.5×10⁸ docs corpus-wide.
+    val dups = spark.range(30)
+      .select($"id".as("doc_id"), lit("the same text repeated here").as("text"))
+    assert(Dedup.dedupSimHashPairs(dups, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10).count() == 0)
+    // an adequate cap emits every pair — the drop above was the cap
+    assert(Dedup.dedupSimHashPairs(dups, "doc_id", "text",
+      maxHamming = 3, maxBucket = 100).count() == 435)
+    // (b) fail-fast: a stated corpus size past the saturation bound
+    val bound = Dedup.simHashSaturationDocs(10000)
+    assert(bound == 10000L << 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupSimHashPairs(dups, "doc_id", "text",
+        nRows = Some(bound + 1))
+    }
+    assert(e.getMessage.contains("dedupSimHashPairsWide"))
+    // at the bound: accepted (construction only — no job runs)
+    Dedup.dedupSimHashPairs(dups, "doc_id", "text", nRows = Some(bound))
+  }
+
+  test("simHashBandsFor: occupancy widens bands monotonically, never below 4") {
+    assert(Dedup.simHashBandsFor(1000L) == (8, 16))
+    assert(Dedup.simHashBandsFor(2000000L) == (8, 16))
+    assert(Dedup.simHashBandsFor(6000000000L) == (4, 28))
+    assert(Dedup.simHashBandsFor(Long.MaxValue) == (4, 32))
+    val seq = (10 to 45).map(e => Dedup.simHashBandsFor(1L << e))
+    for (i <- 1 until seq.size) {
+      assert(seq(i)._2 >= seq(i - 1)._2, s"bits shrank at step $i: $seq")
+      assert(seq(i)._1 <= seq(i - 1)._1, s"bands grew at step $i: $seq")
+      assert(seq(i)._1 >= 4)
+    }
+  }
+
+  test("dedupSimHashPairsWide: exact 128-bit hamming, pigeonhole radius complete, lo word = SimHash64") {
+    import graft.functions.{SimHash128, SimHash64, TokenizeWords}
+    val base = Tables.load(spark, sf, "documents").filter($"doc_id" < 300)
+      .select($"doc_id", $"text")
+    // plant an exact dup so the guaranteed radius is non-vacuous
+    val docs = base.union(base.filter($"doc_id" === 1)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")).persist()
+    try {
+      val found = Dedup.dedupSimHashPairsWide(docs, "doc_id", "text",
+          nRows = 301L, maxHamming = 16)
+        .as[(Long, Long, Int)].collect()
+      val sigs = docs.select($"doc_id",
+        SimHash128.simhash128(TokenizeWords.tokenizeWords($"text")).as("sig"))
+      val brute = sigs.select($"doc_id".as("id1"), $"sig".as("s1"))
+        .join(sigs.select($"doc_id".as("id2"), $"sig".as("s2")),
+          col("id1") < col("id2"))
+        .select($"id1", $"id2",
+          (bit_count(element_at($"s1", 1).bitwiseXOR(element_at($"s2", 1))) +
+           bit_count(element_at($"s1", 2).bitwiseXOR(element_at($"s2", 2))))
+            .as("hamming"))
+        .as[(Long, Long, Int)].collect()
+      val bruteMap = brute.map(t => (t._1, t._2) -> t._3).toMap
+      // exact: every emitted pair's hamming matches brute, bound holds
+      assert(found.nonEmpty)
+      found.foreach { case (a, b, h) =>
+        assert(bruteMap((a, b)) == h && h <= 16, s"($a,$b,$h)")
+      }
+      // pigeonhole: at n=301 → (8 bands, 16 bits), hamming ≤ 7 shares a
+      // band by construction and MUST be emitted (the planted dup at 0)
+      val mustFind = brute.filter(_._3 <= 7).map(t => (t._1, t._2)).toSet
+      val foundSet = found.map(t => (t._1, t._2)).toSet
+      assert(mustFind.contains((1L, 100001L)))
+      assert(mustFind.subsetOf(foundSet),
+        s"missed ${(mustFind -- foundSet).size} guaranteed pairs")
+      // embedding contract: word 0 of the wide fingerprint IS SimHash64
+      val both = docs.select(
+        SimHash64.simhash64(TokenizeWords.tokenizeWords($"text")).as("s64"),
+        element_at(SimHash128.simhash128(
+          TokenizeWords.tokenizeWords($"text")), 1).as("lo"))
+        .as[(Long, Long)].collect()
+      assert(both.nonEmpty && both.forall { case (a, b) => a == b })
+    } finally { docs.unpersist(); () }
+  }
+
   test("ngramJaccardPairsFrom: maxDocFreq cap drops high-DF pairs; MaxValue is exact") {
     // Four docs whose ONLY overlap is one shingle with doc-frequency 4:
     // every pair has jaccard 1/3. A cap below 4 drops that shingle from
