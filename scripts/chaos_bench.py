@@ -60,15 +60,22 @@ def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True,
                SPARK_GRAFT_ONLY=queries)
     hogs = []
     lock = threading.Lock()
-    armed = []  # non-empty iff start_hogs actually fired (r12 ADVICE)
+    # arm state (r12 ADVICE + r13 ADVICE): records not just THAT
+    # start_hogs fired but WHEN relative to the sweep window — a Timer
+    # that fires after the bench already printed its final JSON (short
+    # sweep, late marker) injected no load into any measured rep, and
+    # must read as INCONCLUSIVE, not as a defense failure.
+    armed = []          # "armed" or "late" per start_hogs firing
+    json_seen = []      # non-empty once the final bench JSON was read
 
     def start_hogs():
         with lock:
             hogs.extend(Process(target=hog, daemon=True) for _ in range(n_hogs))
             for h in hogs:
                 h.start()
-            armed.append(len(hogs))
-        print(f"[{label}] {len(hogs)} hogs ON", flush=True)
+            state = "late" if json_seen else "armed"
+            armed.append(state)
+        print(f"[{label}] {len(hogs)} hogs ON ({state})", flush=True)
 
     def stop_hogs():
         with lock:
@@ -110,6 +117,8 @@ def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True,
             # sweep (r13: midload measured zero inflation twice)
             for ln in iter(proc.stdout.readline, ""):
                 lines.append(ln)
+                if '"metric":"total"' in ln:
+                    json_seen.append(True)
                 if (hogs_at is not None and from_marker
                         and "BENCH SWEEP BEGIN" in ln and not timers):
                     arm(hogs_at)
@@ -120,7 +129,7 @@ def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True,
             proc.kill()
             print(f"[{label}] TIMED OUT after {TIMEOUT_S}s — counting as FAIL",
                   flush=True)
-            return None, bool(armed)
+            return None, "late" if "late" in armed else ("armed" if armed else "never")
         try:
             proc.wait(60)
         except subprocess.TimeoutExpired:
@@ -135,7 +144,7 @@ def run_bench(label, hogs_at=None, hogs_for=0, n_hogs=0, from_marker=True,
     if d is None:
         tail = "".join(lines)[-800:]
         print(f"[{label}] no bench JSON found; tail: {tail}", flush=True)
-    return d, bool(armed)
+    return d, "late" if "late" in armed else ("armed" if armed else "never")
 
 
 def main():
@@ -171,10 +180,13 @@ def main():
         # defend" (r12 ADVICE): a midload run whose hogs never armed —
         # marker line changed, stdout buffering — is INCONCLUSIVE, and
         # must not read as a defense failure.
-        if not armed["midload"]:
-            checks.append(("midload hogs never started — load was never "
-                           "injected (INCONCLUSIVE, not a defense failure); "
-                           "check the 'BENCH SWEEP BEGIN' marker", False))
+        if armed["midload"] != "armed":
+            why = ("hogs fired only after the final bench JSON — no "
+                   "measured rep saw load" if armed["midload"] == "late"
+                   else "hogs never started — check the 'BENCH SWEEP "
+                   "BEGIN' marker")
+            checks.append((f"midload {why} (INCONCLUSIVE, not a defense "
+                           "failure)", False))
         else:
             defended = (mid["control"]["reruns"] > 0 or mid["load"] == "flagged")
             checks.append(("mid-sweep load triggers reruns and/or flagged",
@@ -191,10 +203,10 @@ def main():
                and t > 2.0 * idle_ok[q] + 0.3]
         checks.append((f"unflagged midload medians within band (outliers: {bad})",
                        not bad))
-        if not armed["fullload"]:
-            checks.append(("fullload hogs never started — load was never "
-                           "injected (INCONCLUSIVE, not a defense failure)",
-                           False))
+        if armed["fullload"] != "armed":
+            checks.append(("fullload hogs never/late started — load was "
+                           "never injected (INCONCLUSIVE, not a defense "
+                           "failure)", False))
         else:
             # absolute + relative: a pure 1.5x-idle ratio is flaky when
             # the idle box itself wobbles (r13: idle box_speed read 1.17

@@ -35,6 +35,12 @@ object StreamFloor {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r13 ADVICE: recentProgress retains only this many entries
+      // (default 100) — a >100-trigger run would silently undercount the
+      // triggerExecution/addBatch sums and inflate outside_engine_sec.
+      // Raise far past any e-block trigger count, and emit the retained
+      // count per query so truncation would be visible where it matters.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,8 +77,15 @@ object StreamFloor {
       val stateRows = prog.flatMap(_.stateOperators.toSeq)
         .map(_.numRowsTotal).maxOption.getOrElse(0L)
       val outside = wall - sums("triggerExecution") / 1000.0
+      // retained-vs-true trigger visibility: recentProgress is a bounded
+      // buffer; if last_batch_id+1 > triggers the buffer truncated and
+      // the _ms sums above undercount (can't happen under the 10000-cap
+      // conf for these queries, but the reader shouldn't have to trust
+      // that)
+      val lastBatch = prog.map(_.batchId).max
       println(s"""{"query":"$name","wall_sec":${ms(wall)},"triggers":${
-        prog.size},${keys.map(k => s""""${k}_ms":${sums(k)}""").mkString(",")
+        prog.size},"last_batch_id":$lastBatch,${
+        keys.map(k => s""""${k}_ms":${sums(k)}""").mkString(",")
         },"stateCommit_ms":$stateCommit,"stateRows":$stateRows,"outside_engine_sec":${
         ms(outside)}}""")
       System.out.flush()

@@ -202,8 +202,17 @@ object Scale {
     // layouts — and silently vanish from the audit (r12 ADVICE). Skip it
     // with an explicit verdict row instead; this audit's split math is
     // per-leaf-directory anyway, so run it on the leaf dirs directly.
+    // ...but only NON-HIDDEN subdirectories count as nesting: a batch
+    // table carrying Spark bookkeeping (_spark_metadata from a streaming
+    // writer, a leftover _temporary) has flat, auditable data files and
+    // must not silently fall out of the audit (r13 ADVICE). Matches
+    // Spark's own hidden-path filter (leading '_' or '.'); hive key=val
+    // partition dirs never start with either.
     val (nested, flat) = tables.partition { st =>
-      st.isDirectory && fs.listStatus(st.getPath).exists(_.isDirectory)
+      st.isDirectory && fs.listStatus(st.getPath).exists { d =>
+        val n = d.getPath.getName
+        d.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
     }
     // (table, file path, file length) — leaf data files per table
     val files: Seq[(String, String, Long)] = flat.flatMap { st =>

@@ -158,9 +158,19 @@ class ScaleSpec extends SparkSpec {
       // an explicit skipped row, not silently omit the table (r12 ADVICE)
       spark.range(100).selectExpr("id", "id % 2 AS k")
         .write.partitionBy("k").parquet(s"$dir/hive.parquet")
+      // meta.parquet: a flat batch table carrying Spark bookkeeping
+      // (_spark_metadata, as a streaming writer leaves behind). Hidden
+      // subdirs are NOT hive nesting — the table's data files are flat
+      // and must be audited, not skipped (r13 ADVICE)
+      spark.range(5).select($"id").coalesce(1)
+        .write.parquet(s"$dir/meta.parquet")
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Path.of(dir, "meta.parquet", "_spark_metadata"))
       val out = Scale.rowGroupAudit(spark, dir).collect()
         .map(r => r.getAs[String]("table") -> r).toMap
-      assert(out.keySet == Set("serial", "split", "dim", "hive"))
+      assert(out.keySet == Set("serial", "split", "dim", "hive", "meta"))
+      assert(out("meta").getAs[String]("verdict") == "small")
+      assert(out("meta").getAs[Long]("n_rows") == 5L)
       assert(out("hive").getAs[String]("verdict") == "skipped: nested layout")
       assert(out("hive").isNullAt(out("hive").fieldIndex("n_files")))
       assert(out("serial").getAs[Long]("n_rows") == 20000L)
