@@ -1,6 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** The control-drift defense's pure decision math, extracted so the
+  * suite pins the constants the r13 chaos runs calibrated (chaos
+  * finding #3: the old min+0.2 absolute floor was sized for a ~60 ms
+  * control but this box's control runs 0.07–0.11 s, so a 77 s rep of a
+  * 14 s-warm query recorded into a "clean" sweep, and 24 hogs inflating
+  * queries +20% cleared a min+0.1 bar). Bench.main supplies the running
+  * control state; these decide. */
+object BenchDefense {
+  /** Per-rep drift bar over the running unloaded minimum: 1.5×min with
+    * a +0.05 s absolute floor — makes the ratio binding for this
+    * control class (0.07–0.11 s idle). */
+  def driftBar(controlMin: Double): Double =
+    math.max(1.5 * controlMin, controlMin + 0.05)
+
+  /** Median-of-3 confirmation for a suspicious first sample: a single
+    * scheduler blip (idle tail reaches ~0.21 s) costs 0.2 s of extra
+    * sampling, not a rerun; sustained load reads high across all
+    * three. */
+  def confirmed(c1: Double, c2: Double, c3: Double, bar: Double): Boolean =
+    Vector(c1, c2, c3).sorted.apply(1) > bar
+
+  /** Baseline-was-loaded test — a slightly wider bar than per-rep (the
+    * base is a median of 5 with no confirmation retry, and controlMin
+    * converges DOWN over a long sweep). Calibrated against observed
+    * data: idle bases 0.089–0.134 stay clean, chaos fullload bases
+    * 0.155/0.222 flag (min ~0.072). */
+  def baselineLoaded(controlBase: Double, controlMin: Double): Boolean =
+    controlBase > math.max(1.75 * controlMin, controlMin + 0.08)
+}
+
 /** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line as the process's LAST stdout line (build.sbt
   * sets `run / outputStrategy := StdoutOutput` and `showSuccess := false`
@@ -15,9 +45,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Partition-count override for scale experiments (r14): shuffle
+    // partitions must track the largest INTERMEDIATE volume, not the
+    // corpus — d06's recall-first tier at sf3 generates 582M candidate
+    // pairs, and at partitions=32 that is 18M rows/task, which
+    // sort-spilled the box's disk to death. The canonical bench config
+    // stays partitions=cpus (comparable round-over-round); a decade run
+    // that needs wider shuffles sets this explicitly and the config
+    // travels in the JSON via "cpus"/"partitions".
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -200,7 +239,7 @@ object Bench {
     // first sample triggers two more and the median-of-3 decides, so a
     // one-sample scheduler blip costs 0.2 s, not a rerun, while sustained
     // load reads high across all three.
-    def driftBar: Double = math.max(1.5 * controlMin, controlMin + 0.05)
+    def driftBar: Double = BenchDefense.driftBar(controlMin)
     def controlDrifted(): Boolean =
       // a control that cannot even run (heap pressure after a heavy rep,
       // transient executor death) is the strongest drift signal there is
@@ -214,10 +253,7 @@ object Bench {
         }
         val c1 = sample()
         if (c1 <= driftBar) false
-        else {
-          val cs = Vector(c1, sample(), sample()).sorted
-          cs(1) > driftBar
-        }
+        else BenchDefense.confirmed(c1, sample(), sample(), driftBar)
       } catch { case _: Throwable => true }
     val maxAttempts = 3
     // stderr marker for external orchestration (scripts/chaos_bench.py
@@ -297,8 +333,7 @@ object Bench {
     // 0.112 vs converged min ~0.072) would flag itself a few % of the
     // time (r13 review). Calibrated against observed data: idle bases
     // 0.089–0.134 stay clean, chaos fullload bases 0.155/0.222 flag.
-    val baselineLoaded =
-      controlBase > math.max(1.75 * controlMin, controlMin + 0.08)
+    val baselineLoaded = BenchDefense.baselineLoaded(controlBase, controlMin)
     val loadVerdict =
       if (loadFlagged.nonEmpty || baselineLoaded) "flagged" else "clean"
     def line(entries: Seq[(String, Double)]): String = {
@@ -318,8 +353,11 @@ object Bench {
       // other parallelism emit null rather than a silently
       // mis-normalized figure — downstream tooling falls back to the
       // raw total (r12 review pass).
+      // ...and only at the canonical partition count: the control's
+      // final exchange width follows shuffle.partitions, so a widened
+      // session inflates the control for scheduler reasons, not load
       val boxSpeedJson =
-        if (cpus == "32") {
+        if (cpus == "32" && parts == cpus) {
           val b = controlBase / idleControlFloor
           s""""box_speed":${ms(b)},"total_norm":${ms(total / b)}"""
         } else """"box_speed":null,"total_norm":null"""
@@ -335,7 +373,7 @@ object Bench {
       // mixup produced a 2.4x phantom regression at sf1 (r11, PERF.md
       // parallelism-sizing section) — totals from different parallelism
       // are not comparable and must carry their config
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"floor_cal":"$floorCal","control":$ctl,"lsh":$lsh,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"cpus":"$cpus","partitions":"$parts","load":"$loadVerdict",$boxSpeedJson,"idle_floor":$idleControlFloor,"floor_cal":"$floorCal","control":$ctl,"lsh":$lsh,"queries":$qs,"outliers":$outs,"errors":$errs,"omitted":$omitted,"sweep_sec":${ms(sweepSec)},"cleanup_sec":${ms(cleanupNs / 1e9)},"sf":"$sfDir","n_queries":${results.size}}"""
     }
     // fit budget: the driver's tail window is ~2000 chars; stay clear of
     // it. Local analysis runs (full per-query capture to a file) can lift

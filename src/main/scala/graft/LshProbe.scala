@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** LSH bucket-occupancy probe (r14): prints, as one JSON line, the
+  * bucket distribution and candidate-pair volume the auto-sized
+  * hyperplane banding would generate on a corpus — BEFORE paying for
+  * the pairs. The uniform-bucket cost model (candidates ≈
+  * bands·n·occupancy/2) assumes hyperplanes split the data evenly;
+  * real embedding corpora are anisotropic (clustered, non-centered), so
+  * the tail of the occupancy distribution is where the actual cost
+  * lives — sum over buckets of C(occ, 2) is the ground truth the model
+  * approximates. Run this before a large dedup job to see whether the
+  * (threshold, floor, maxBucket) point is affordable.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.LshProbe
+  *   [threshold] [recallFloor] [--time]"
+  * With --time it then RUNS the auto-sized banded dedup once (the
+  * operator's self-sized shuffle width, no manual conf) and appends
+  * wall_sec + found pairs to the JSON line.
+  */
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val threshold = if (args.nonEmpty) args(0).toDouble else 0.4
+    val floor = if (args.length > 1) args(1).toDouble else 0.95
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val p = operators.Dedup.hyperplaneLshParamsFor(n, threshold, floor)
+    val ex = emb.select(col("vec_id"),
+        functions.HyperplaneSig.bandBuckets(col("embedding"), 64,
+          p.bands, p.rowsPerBand, 7L).as("hbb"))
+      .select(posexplode(col("hbb")).as(Seq("band", "bucket")))
+    val occ = ex.groupBy("band", "bucket").agg(count(lit(1)).as("occ"))
+    val row = occ.agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("occ")).as("max_occ"),
+      expr("percentile_approx(occ, 0.5)").as("p50_occ"),
+      expr("percentile_approx(occ, 0.99)").as("p99_occ"),
+      sum(col("occ") * (col("occ") - 1) / 2).as("cand_pairs"),
+      sum(when(col("occ") > 1000, col("occ") * (col("occ") - 1) / 2)
+        .otherwise(0L)).as("cand_pairs_hot1k")).collect()(0)
+    val uniform = p.bands.toDouble * n * (n.toDouble /
+      (1L << p.rowsPerBand)) / 2
+    val timed =
+      if (args.contains("--time")) {
+        val t0 = System.nanoTime()
+        val nFound = operators.Dedup.cosineNearDupLSHBanded(
+          emb, "vec_id", "embedding", threshold, 64, p)
+          .queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        f""","wall_sec":$dt%.3f,"found_pairs":$nFound"""
+      } else ""
+    try spark.stop() catch { case _: Throwable => () }
+    println(s"""{"n":$n,"threshold":$threshold,"floor":$floor,""" +
+      s""""bands":${p.bands},"rowsPerBand":${p.rowsPerBand},""" +
+      s""""clamped":${p.clamped},"n_buckets":${row.getLong(0)},""" +
+      s""""max_occ":${row.getLong(1)},"p50_occ":${row.get(2)},""" +
+      s""""p99_occ":${row.get(3)},"cand_pairs":${row.get(4)},""" +
+      s""""cand_pairs_hot1k":${row.get(5)},""" +
+      s""""uniform_model_pairs":${uniform.toLong}$timed}""")
+    System.out.flush()
+  }
+}

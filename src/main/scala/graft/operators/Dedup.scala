@@ -126,9 +126,23 @@ object Dedup {
     * chain (4 shuffles, and the self-join materialized every bucket
     * twice) that profiling showed dominated the whole LSH pipeline at
     * small scale and shuffles bucket contents twice at any scale. */
-  private def bucketPairs(exploded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+  private def bucketPairs(exploded: DataFrame, idCol: String, maxBucket: Int,
+      numPartitions: Int = 0): DataFrame = {
     val cappedIds = udaf(new graft.functions.CappedCollector[Long](maxBucket))
-    exploded.groupBy(col("band"), col("bucket"))
+    // Shuffle width follows the INTERMEDIATE volume, not the input
+    // (r14): the banded-LSH caller can generate orders of magnitude
+    // more candidate pairs than input rows (582M pairs from 60k
+    // vectors at the sf3 recall-first point), and at the session's
+    // corpus-sized width the pair dedup sort-spilled a 75 GB disk to
+    // death. When the caller states a width, pre-partitioning on the
+    // grouping/dedup keys makes BOTH wide stages run at it (the
+    // aggregates' required distribution is already satisfied, so no
+    // narrower re-exchange is planned).
+    val grouped =
+      (if (numPartitions > 0)
+         exploded.repartition(numPartitions, col("band"), col("bucket"))
+       else exploded)
+      .groupBy(col("band"), col("bucket"))
       .agg(cappedIds(col(idCol)).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucket))
       .select(sort_array(col("__ids")).as("__ids"))
@@ -138,6 +152,9 @@ object Dedup {
       // strict: a duplicate id inside one bucket (same doc ingested
       // twice) must not produce a (x, x) self-pair
       .filter(col("id1") < col("id2"))
+    (if (numPartitions > 0)
+       grouped.repartition(numPartitions, col("id1"), col("id2"))
+     else grouped)
       .distinct()
   }
 
@@ -762,9 +779,19 @@ object Dedup {
     * `maxBands` (the sizer warns and returns its best effort — the
     * honest flag r13's one-long clamp lacked). */
   case class HyperplaneLshParams(bands: Int, rowsPerBand: Int,
-      predictedRecall: Double, clamped: Boolean) {
+      predictedRecall: Double, clamped: Boolean, nRows: Long = 0L) {
     /** Total hyperplanes drawn: each band has its own independent set. */
     def planes: Int = bands * rowsPerBand
+
+    /** Uniform-model candidate-pair estimate: bands · n · occupancy/2
+      * with occupancy = n/2^rowsPerBand. The sizing input for shuffle
+      * width (intermediate volume, NOT input size); 0 when nRows is
+      * unknown. graft.LshProbe measures the ground truth (sum of
+      * C(occ,2) over real buckets) — on the shipped corpora the model
+      * is within ~1.4× of it. */
+    def expectedCandidates: Double =
+      if (nRows <= 0) 0.0
+      else bands.toDouble * nRows * (nRows.toDouble / (1L << rowsPerBand)) / 2
   }
 
   /** Joint (bands, rowsPerBand) sizing holding BOTH the r13 occupancy
@@ -816,7 +843,7 @@ object Dedup {
       f"maxBands=$maxBands for n=$nRows (needs ${math.ceil(needed)}%.0f " +
       f"bands; predicted recall $predicted%.4f). Raise maxBands (cost " +
       "grows linearly in bands) or raise the threshold.")
-    HyperplaneLshParams(bands, rowsPerBand, predicted, clamped)
+    HyperplaneLshParams(bands, rowsPerBand, predicted, clamped, nRows)
   }
 
   /** LSH-bucketed (approximate) cosine near-dup: random-hyperplane sign
@@ -890,18 +917,47 @@ object Dedup {
       threshold: Double, dim: Int, params: HyperplaneLshParams,
       seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
     InputContracts.requireDeterministic(df, "cosineNearDupLSHBanded")
-    val base = df.filter(col(idCol).isNotNull)
+    // OPERATOR shuffle width from EXPECTED PAIR volume (~2M pair-rows ≈
+    // 32 MB unsafe rows per task), never below the session width: a
+    // recall-first sizing can emit 10⁴× more pairs than input rows, and
+    // corpus-sized partitions sort-spilled a 75 GB disk to death at sf3
+    // (582M pairs / 32 partitions — PERF.md round-14). At cluster scale
+    // this is the difference between "the plan says 200 partitions
+    // because the CORPUS needed 200" and "the pair stream needs 300k".
+    // ONE width for the whole operator — the base exchange, the
+    // candidate stages, and (by EnsureRequirements aligning to the
+    // satisfied side) both verify joins — so the single-scan/
+    // reused-exchange contract survives wide mode (plan-asserted in
+    // PlanSpec for both modes). When the width fits the session value
+    // the plan is byte-identical to before, map-side partial
+    // aggregation included; at many-bands sizings partial agg
+    // compresses ~nothing anyway (buckets-per-mapper ≈ rows-per-mapper).
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val want = math.ceil(params.expectedCandidates / 2e6).toInt
+    val wide = params.expectedCandidates > 0 && want > sessParts
+    val width = if (wide) math.min(32768, want) else sessParts
+    // vec null-filter joins the id one in the SHARED subtree: a null
+    // vector can never verify (null cosine fails every threshold), and
+    // filtering it here keeps it out of capped-bucket slots
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col(idCol))
+      .repartition(width, col(idCol))
     // signature computed AFTER the exchange (column pruning would
     // otherwise specialize the band leg's subtree and break reuse —
-    // see cosineNearDupLSH); posexplode's position IS the band id
+    // see cosineNearDupLSH); posexplode's position IS the band id.
+    // The OUTER variant matters for the same reason: plain posexplode
+    // makes InferFiltersFromGenerate push a signature-referencing
+    // size>0 filter below the band leg's exchange, splitting its
+    // subtree from the verify legs' (corpus scanned and signed twice —
+    // caught by the wide-mode PlanSpec assert). The signature array is
+    // never null/empty here (bands ≥ 1, vectors pre-filtered non-null),
+    // so OUTER changes nothing semantically.
     val exploded = base.select(col(idCol),
         graft.functions.HyperplaneSig.bandBuckets(col(vecCol), dim,
           params.bands, params.rowsPerBand, seed).as("hbb"))
-      .select(col(idCol), posexplode(col("hbb")).as(Seq("band", "bucket")))
-    val cands = bucketPairs(exploded, idCol, maxBucket)
+      .select(col(idCol), posexplode_outer(col("hbb")).as(Seq("band", "bucket")))
+    val cands = bucketPairs(exploded, idCol, maxBucket,
+      if (wide) width else 0)
     cands
       .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
       .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")

@@ -34,6 +34,13 @@ object Pipeline {
     embCountMemo.computeIfAbsent(dir,
       d => java.lang.Long.valueOf(t(s, d, "embeddings").count())).longValue()
 
+  // d06's production sizing, shared by the benched query and its recall
+  // gate so the gate measures EXACTLY the shipped configuration (see
+  // the budget rationale at the d06_cosine_lsh call site).
+  private def d06Params(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
+      threshold = 0.4, recallFloor = 0.95, maxBands = 64)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ---------------------------------------------------
@@ -550,9 +557,55 @@ object Pipeline {
       // boundary recall 23%→2.5%→0.4% as n went 2k→60k→10⁹). Measured
       // recall of exactly this sizing is gated in d06_recall_gate; the
       // chosen params land in the bench JSON via LshParamsLog.
-      val params = Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
-        threshold = 0.4, recallFloor = 0.95)
+      // maxBands = 64 is this query's stated cost budget: the floor
+      // FITS it through the driver SFs (sf0.01 needs 18 bands, sf0.1
+      // 46), and past it the sizer clamps VISIBLY (flag + warning +
+      // JSON) instead of r13's silent decay — the unbudgeted floor is
+      // measured in PERF.md round-14 (sf1 24 s, sf3 848 s / 582M
+      // candidates: recall floors at low thresholds cost n^(1+ρ),
+      // ρ(0.4)=0.66 — the exhaustive tier). d06b below carries the
+      // full floor at the true near-dup level (ρ(0.9)=0.22, ≈linear)
+      // at every scale.
+      val params = d06Params(s, dir)
       graft.operators.LshParamsLog.record("d06_cosine_lsh", params)
+      val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+      val checked = found
+        .join(emb.select($"vec_id".as("id1"), $"embedding".as("e1")), "id1")
+        .join(emb.select($"vec_id".as("id2"), $"embedding".as("e2")), "id2")
+      val nVecs = emb.agg(count(lit(1)).as("value"))
+        .select(lit("n_vecs").as("metric"), $"value")
+      val bad = checked.filter($"id1" >= $"id2" || $"cosine" < 0.4 ||
+          $"cosine" =!= round(Similarity.dot($"e1", $"e2") /
+            (Similarity.norm($"e1") * Similarity.norm($"e2")), 4))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("bad_rows").as("metric"), $"value")
+      val dups = found.groupBy($"id1", $"id2").agg(count(lit(1)).as("c"))
+        .filter($"c" > 1).agg(count(lit(1)).as("value"))
+        .select(lit("dup_pairs").as("metric"), $"value")
+      nVecs.unionByName(bad).unionByName(dups).orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_vecs' AS metric, CAST(count(*) AS BIGINT) AS value FROM embeddings
+        UNION ALL SELECT 'bad_rows', 0
+        UNION ALL SELECT 'dup_pairs', 0) m
+      ORDER BY metric""")),
+
+    // The SCALABLE production point of the same operator: emission
+    // threshold stays 0.4, but the recall floor is guaranteed AT the
+    // true near-dup level (cos ≥ 0.9) — pairs between 0.4 and 0.9 are
+    // emitted best-effort. Guaranteed-recall LSH costs n^(1+ρ) with
+    // ρ = ln(1/p)/ln 2 set by the GUARANTEE similarity: ρ(0.4) = 0.66
+    // (d06_cosine_lsh above — recall-first, super-linear by theory),
+    // ρ(0.9) = 0.22 (this entry — ≈linear, the 100 TB configuration).
+    // Benched alongside d06 so the decade table measures both cost laws
+    // (PERF.md round-14); same structural-zero oracle shape.
+    QueryDef("d06b_cosine_nd90", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val params = Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
+        threshold = 0.9, recallFloor = 0.95)
+      graft.operators.LshParamsLog.record("d06b_cosine_nd90", params)
       val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
         threshold = 0.4, dim = 64, params = params)
       val checked = found
@@ -634,8 +687,7 @@ object Pipeline {
     QueryDef("d06_recall_gate", (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val params = Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
-        threshold = 0.4, recallFloor = 0.95)
+      val params = d06Params(s, dir)
       val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
         threshold = 0.4, dim = 64, params = params).select($"id1", $"id2")
       val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",

@@ -357,6 +357,29 @@ class PlanSpec extends SparkSpec {
       s"the embeddings must be scanned and signed once:\n$p")
   }
 
+  test("banded cosine LSH wide mode: one scan + reused exchange at the pair-sized width") {
+    // force wide mode (expected pairs >> session width) with directly-
+    // constructed params: the whole operator — base exchange, candidate
+    // stages, both verify joins — must run at ONE pair-volume-sized
+    // width with the single-scan/reused-exchange contract intact (a
+    // second base exchange at a different width would re-scan and
+    // re-sign the corpus)
+    val params = graft.operators.Dedup.HyperplaneLshParams(
+      bands = 4, rowsPerBand = 8, predictedRecall = 1.0, clamped = false,
+      nRows = 50000L)
+    assert(params.expectedCandidates > 2e6 * spark.sessionState.conf.numShufflePartitions)
+    val p = finalPlan(graft.operators.Dedup.cosineNearDupLSHBanded(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, dim = 64, params = params))
+    assert(p.contains("ReusedExchange"),
+      s"expected the id-keyed signature exchange reused by the verify joins:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"wide mode must not re-scan the embeddings:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"wide mode uses explicit-count exchanges (AQE must not coalesce them):\n$p")
+    assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
+  }
+
   test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
     // The uncapped incremental shape computes the corpus lineage once
     // (full-index leg only: the probe leg derives straight from the
