@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * (threshold, floor, maxBucket) point is affordable.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.LshProbe
-  *   [threshold] [recallFloor] [--time]"
-  * With --time it then RUNS the auto-sized banded dedup once (the
-  * operator's self-sized shuffle width, no manual conf) and appends
-  * wall_sec + found pairs to the JSON line.
+  *   [threshold] [recallFloor] [maxBands] [--time]"
+  * `maxBands` (default: the sizer's 4096 = effectively unbudgeted)
+  * probes a BUDGETED configuration — e.g. 64 reproduces the benched
+  * d06 sizing. With --time it then RUNS the auto-sized banded dedup
+  * once (the operator's self-sized shuffle width, no manual conf) and
+  * appends wall_sec + found pairs to the JSON line.
   */
 object LshProbe {
   def main(args: Array[String]): Unit = {
@@ -26,6 +28,8 @@ object LshProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val threshold = if (args.nonEmpty) args(0).toDouble else 0.4
     val floor = if (args.length > 1) args(1).toDouble else 0.95
+    val maxBands = args.drop(2).headOption.filterNot(_.startsWith("--"))
+      .map(_.toInt).getOrElse(4096)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +38,8 @@ object LshProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
-    val p = operators.Dedup.hyperplaneLshParamsFor(n, threshold, floor)
+    val p = operators.Dedup.hyperplaneLshParamsFor(n, threshold, floor,
+      maxBands = maxBands)
     val ex = emb.select(col("vec_id"),
         functions.HyperplaneSig.bandBuckets(col("embedding"), 64,
           p.bands, p.rowsPerBand, 7L).as("hbb"))

@@ -561,7 +561,7 @@ object Pipeline {
       // FITS it through the driver SFs (sf0.01 needs 18 bands, sf0.1
       // 46), and past it the sizer clamps VISIBLY (flag + warning +
       // JSON) instead of r13's silent decay — the unbudgeted floor is
-      // measured in PERF.md round-14 (sf1 24 s, sf3 848 s / 582M
+      // measured in PERF.md round-14 (sf1 21 s, sf3 245 s / 582M
       // candidates: recall floors at low thresholds cost n^(1+ρ),
       // ρ(0.4)=0.66 — the exhaustive tier). d06b below carries the
       // full floor at the true near-dup level (ρ(0.9)=0.22, ≈linear)
