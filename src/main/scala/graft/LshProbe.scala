@@ -26,10 +26,11 @@ object LshProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val threshold = if (args.nonEmpty) args(0).toDouble else 0.4
-    val floor = if (args.length > 1) args(1).toDouble else 0.95
-    val maxBands = args.drop(2).headOption.filterNot(_.startsWith("--"))
-      .map(_.toInt).getOrElse(4096)
+    // positional numerics are each optional; --flags may appear anywhere
+    val nums = args.filterNot(_.startsWith("--"))
+    val threshold = nums.headOption.map(_.toDouble).getOrElse(0.4)
+    val floor = nums.drop(1).headOption.map(_.toDouble).getOrElse(0.95)
+    val maxBands = nums.drop(2).headOption.map(_.toInt).getOrElse(4096)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,8 +54,8 @@ object LshProbe {
       sum(col("occ") * (col("occ") - 1) / 2).as("cand_pairs"),
       sum(when(col("occ") > 1000, col("occ") * (col("occ") - 1) / 2)
         .otherwise(0L)).as("cand_pairs_hot1k")).collect()(0)
-    val uniform = p.bands.toDouble * n * (n.toDouble /
-      (1L << p.rowsPerBand)) / 2
+    // the exact model the operator sizes its shuffle width with
+    val uniform = p.expectedCandidates
     val timed =
       if (args.contains("--time")) {
         val t0 = System.nanoTime()

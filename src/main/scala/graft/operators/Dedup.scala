@@ -689,6 +689,18 @@ object Dedup {
     val (bands, bits) = simHashBandsFor(nRows, targetOccupancy)
     val perWord = bands / 2
     val mask = (1L << bits) - 1
+    // Operator shuffle width from expected CANDIDATE volume, same rule
+    // as cosineNearDupLSHBanded (r14 review pass): this operator exists
+    // for corpora past ~6.5×10⁸ docs, where bands·n·occupancy/2 pair
+    // rows at the session's corpus-sized width is exactly the sort-spill
+    // failure the cosine path's wide mode prevents. ~2M pair-rows/task;
+    // one width for the whole operator so the reused exchange survives.
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val expectedCandidates =
+      bands.toDouble * nRows * (nRows.toDouble / (1L << bits)) / 2
+    val want = math.ceil(expectedCandidates / 2e6).toInt
+    val wide = want > sessParts
+    val width = if (wide) math.min(32768, want) else sessParts
     // sig computed BEFORE the exchange: every consumer needs exactly
     // (id, sig), so the exchange carries 16 bytes/doc (not the text) and
     // column pruning can't specialize the subtrees apart
@@ -696,8 +708,7 @@ object Dedup {
       .select(col(idCol),
         graft.functions.SimHash128.simhash128(
           graft.functions.TokenizeWords.tokenizeWords(col(textCol))).as("sig"))
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col(idCol))
+      .repartition(width, col(idCol))
     val exploded = sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
         val w = b / perWord
@@ -707,7 +718,8 @@ object Dedup {
             .bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = bucketPairs(exploded, idCol, maxBucket)
+    val cands = bucketPairs(exploded, idCol, maxBucket,
+      if (wide) width else 0)
     cands
       .join(sigs.select(col(idCol).as("id1"), col("sig").as("s1")), "id1")
       .join(sigs.select(col(idCol).as("id2"), col("sig").as("s2")), "id2")

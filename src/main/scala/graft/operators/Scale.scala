@@ -223,7 +223,15 @@ object Scale {
           .map(f => (t, f.getPath.toString, f.getLen))
       else Seq((t, st.getPath.toString, st.getLen))
     }
-    require(files.nonEmpty || nested.nonEmpty,
+    // A flat-classified dir with ZERO data files (a dead write's leftover
+    // _temporary only, a streaming sink before its first commit) would
+    // contribute nothing to perFile and silently vanish — the same
+    // omission failure the nested-skip row exists to prevent (r14 review
+    // pass). Give those an explicit verdict row too.
+    val filedTables = files.map(_._1).toSet
+    val emptyFlat = flat.map(_.getPath.getName.stripSuffix(".parquet"))
+      .filterNot(filedTables.contains)
+    require(files.nonEmpty || nested.nonEmpty || emptyFlat.nonEmpty,
       s"rowGroupAudit: no *.parquet under $dir")
     // session split math, per table (FilePartition.maxSplitBytes)
     val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
@@ -278,13 +286,16 @@ object Scale {
           .when($"n_row_groups" < $"split_tasks", lit("row_group_bound"))
           .otherwise(lit("split_bound")))
       .drop("__padded", "__maxSplit")
+    val skipRows: Seq[(String, String)] =
+      nested.map(st => (st.getPath.getName.stripSuffix(".parquet"),
+        "skipped: nested layout")) ++
+      emptyFlat.map(t => (t, "skipped: no data files"))
     val withSkipped =
-      if (nested.isEmpty) audited
+      if (skipRows.isEmpty) audited
       else {
         // one null-metric row per skipped table so the omission is visible
-        val skipped = nested
-          .map(_.getPath.getName.stripSuffix(".parquet"))
-          .toDF("table")
+        val skipped = skipRows
+          .toDF("table", "__verdict")
           .select($"table",
             lit(null).cast("long").as("n_files"),
             lit(null).cast("long").as("n_rows"),
@@ -295,7 +306,7 @@ object Scale {
             lit(null).cast("long").as("split_tasks"),
             lit(null).cast("long").as("usable_tasks"),
             lit(coreBudget.toLong).as("core_budget"),
-            lit("skipped: nested layout").as("verdict"))
+            $"__verdict".as("verdict"))
         audited.unionByName(skipped)
       }
     withSkipped.orderBy($"table")

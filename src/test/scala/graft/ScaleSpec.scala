@@ -166,9 +166,17 @@ class ScaleSpec extends SparkSpec {
         .write.parquet(s"$dir/meta.parquet")
       java.nio.file.Files.createDirectory(
         java.nio.file.Path.of(dir, "meta.parquet", "_spark_metadata"))
+      // dead.parquet: a dir whose ONLY content is a hidden subdir (a dead
+      // write's leftover _temporary) — zero data files. It is neither
+      // hive-nested nor auditable; it must surface an explicit
+      // no-data-files row, not silently vanish (r14 review pass)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "dead.parquet", "_temporary"))
       val out = Scale.rowGroupAudit(spark, dir).collect()
         .map(r => r.getAs[String]("table") -> r).toMap
-      assert(out.keySet == Set("serial", "split", "dim", "hive", "meta"))
+      assert(out.keySet == Set("serial", "split", "dim", "hive", "meta", "dead"))
+      assert(out("dead").getAs[String]("verdict") == "skipped: no data files")
+      assert(out("dead").isNullAt(out("dead").fieldIndex("n_files")))
       assert(out("meta").getAs[String]("verdict") == "small")
       assert(out("meta").getAs[Long]("n_rows") == 5L)
       assert(out("hive").getAs[String]("verdict") == "skipped: nested layout")
