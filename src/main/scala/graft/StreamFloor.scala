@@ -46,8 +46,14 @@ object StreamFloor {
     spark.sparkContext.setLogLevel("ERROR")
     Graft.enableOptimizations(spark)
     Graft.tuneLocalScanSplits(spark)
+    // SPARK_GRAFT_ONLY narrows the set (same contract as Bench) — a
+    // decade-scale decomposition of ONE query should not pay for the
+    // whole block
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val eQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith("e"))
+      .filter(q => only.forall(_.contains(q._1)))
     def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     eQueries.foreach { case (name, fn) =>
