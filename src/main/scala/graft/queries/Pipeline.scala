@@ -719,6 +719,52 @@ object Pipeline {
         UNION ALL SELECT 'sizer_unclamped', 1) m
       ORDER BY metric""")),
 
+    // The 100 TB tier's guarantee, MEASURED (r14): d06b sizes to a 0.95
+    // recall floor AT cos ≥ 0.9 (ρ=0.22, ≈linear cost) while emitting
+    // everything ≥ 0.4 it finds. d06_recall_gate measures the 0.4-floor
+    // sizing; this gate measures the 0.9-floor sizing IN its guarantee
+    // region: of the exact pairs with cosine ≥ 0.9, the auto-sized
+    // banding must find ≥ 90% (design floor 0.95 less finite-sample
+    // slack; planes seed-fixed so the value is deterministic per
+    // corpus). Sub-0.9 emissions are best-effort by contract and are
+    // not gated. CORRECTNESS-only (the exact side is O(n²)).
+    QueryDef("d06b_recall_gate", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val params = Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
+        threshold = 0.9, recallFloor = 0.95)
+      val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+        .filter($"cosine" >= 0.9).select($"id1", $"id2")
+      val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.9).select($"id1", $"id2")
+      val nExact = exact.agg(count(lit(1)).as("value"))
+        .select(lit("exact_pairs_ge90").as("metric"), $"value")
+      val fps = found.join(exact, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("false_positives").as("metric"), $"value")
+      val recall = found.join(exact, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("nf"))
+        .crossJoin(exact.agg(count(lit(1)).as("ne")))
+        .select(lit("recall_ge_90pct").as("metric"),
+          when($"ne" === 0 || $"nf" * 100 >= $"ne" * 90, 1L).otherwise(0L)
+            .as("value"))
+      val unclamped = s.range(1).select(lit("sizer_unclamped").as("metric"),
+        lit(if (params.clamped) 0L else 1L).as("value"))
+      nExact.unionByName(fps).unionByName(recall).unionByName(unclamped)
+        .orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'exact_pairs_ge90' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.9
+        UNION ALL SELECT 'false_positives', 0
+        UNION ALL SELECT 'recall_ge_90pct', 1
+        UNION ALL SELECT 'sizer_unclamped', 1) m
+      ORDER BY metric""")),
+
     QueryDef("e01_stream_window", (s, dir) => {
       import s.implicits._
       // the STREAMING path itself under the oracle gate: run the
