@@ -54,6 +54,11 @@ object StreamFloor {
     val eQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith("e"))
       .filter(q => only.forall(_.contains(q._1)))
+    // a selection that matches nothing must be VISIBLE (Bench's
+    // n_queries=0 lesson): silence here reads as "measured clean"
+    if (eQueries.isEmpty)
+      println(s"""{"error":"SPARK_GRAFT_ONLY matched no e-queries: ${
+        only.map(_.mkString(",")).getOrElse("")}"}""")
     def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     eQueries.foreach { case (name, fn) =>

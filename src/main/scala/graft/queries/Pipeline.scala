@@ -41,6 +41,13 @@ object Pipeline {
     Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
       threshold = 0.4, recallFloor = 0.95, maxBands = 64)
 
+  // d06b's production sizing (the ≈linear 100 TB tier: floor held AT
+  // the true near-dup level), shared with ITS recall gate for the same
+  // no-desync reason.
+  private def d06bParams(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
+      threshold = 0.9, recallFloor = 0.95)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ---------------------------------------------------
@@ -603,8 +610,7 @@ object Pipeline {
     QueryDef("d06b_cosine_nd90", (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val params = Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
-        threshold = 0.9, recallFloor = 0.95)
+      val params = d06bParams(s, dir)
       graft.operators.LshParamsLog.record("d06b_cosine_nd90", params)
       val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
         threshold = 0.4, dim = 64, params = params)
@@ -688,10 +694,13 @@ object Pipeline {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val params = d06Params(s, dir)
+      // persisted — same multi-consumer shape as d06b_recall_gate below
       val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
         threshold = 0.4, dim = 64, params = params).select($"id1", $"id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4).select($"id1", $"id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exact.agg(count(lit(1)).as("value"))
         .select(lit("exact_pairs").as("metric"), $"value")
       val fps = found.join(exact, Seq("id1", "id2"), "left_anti")
@@ -723,21 +732,38 @@ object Pipeline {
     // recall floor AT cos ≥ 0.9 (ρ=0.22, ≈linear cost) while emitting
     // everything ≥ 0.4 it finds. d06_recall_gate measures the 0.4-floor
     // sizing; this gate measures the 0.9-floor sizing IN its guarantee
-    // region: of the exact pairs with cosine ≥ 0.9, the auto-sized
-    // banding must find ≥ 90% (design floor 0.95 less finite-sample
-    // slack; planes seed-fixed so the value is deterministic per
-    // corpus). Sub-0.9 emissions are best-effort by contract and are
-    // not gated. CORRECTNESS-only (the exact side is O(n²)).
+    // region. The shipped corpora have ZERO exact pairs at cos ≥ 0.9
+    // (pairs top out ≈0.55), so a bare gate would pass vacuously — the
+    // corpus is therefore AUGMENTED with sign-flip-perturbed copies of
+    // the first 100 vectors (coordinate 0 negated, id + 10⁶): negation
+    // is EXACT in IEEE floats, so DuckDB reproduces the perturbed
+    // vectors bit-for-bit from the same parquet, and cos(v, v') =
+    // 1 − 2v₀²/|v|² ≈ 0.97 puts the constructed pairs INSIDE the
+    // guarantee region without sharing all bands (each plane's sign
+    // flips w.p. ≈ acos(0.97)/π, so band recall stays probabilistic —
+    // the property under test, not plumbing). Gate: of the exact pairs
+    // ≥ 0.9, the PRODUCTION-sized banding must find ≥ 90% (design floor
+    // 0.95 less finite-sample slack; seed-fixed planes → deterministic);
+    // zero false positives; sizer unclamped; exact_pairs_ge90 > 0 pins
+    // the gate NON-vacuous. Sub-0.9 emissions are best-effort by
+    // contract and ungated. CORRECTNESS-only (the exact side is O(n²)).
     QueryDef("d06b_recall_gate", (s, dir) => {
       import s.implicits._
-      val emb = t(s, dir, "embeddings")
-      val params = Dedup.hyperplaneLshParamsFor(embeddingsCount(s, dir),
-        threshold = 0.9, recallFloor = 0.95)
-      val found = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val aug = emb.unionByName(emb.filter($"vec_id" < 100)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding",
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding")))
+      val params = d06bParams(s, dir)
+      // persisted: found feeds 2 metric subplans and exact feeds 3 —
+      // uncached, the O(n²) exact join would replan per consumer
+      val found = Dedup.cosineNearDupLSHBanded(aug, "vec_id", "embedding",
         threshold = 0.4, dim = 64, params = params)
         .filter($"cosine" >= 0.9).select($"id1", $"id2")
-      val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding",
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Dedup.cosineNearDupPairs(aug, "vec_id", "embedding",
         threshold = 0.9).select($"id1", $"id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exact.agg(count(lit(1)).as("value"))
         .select(lit("exact_pairs_ge90").as("metric"), $"value")
       val fps = found.join(exact, Seq("id1", "id2"), "left_anti")
@@ -747,16 +773,22 @@ object Pipeline {
         .agg(count(lit(1)).as("nf"))
         .crossJoin(exact.agg(count(lit(1)).as("ne")))
         .select(lit("recall_ge_90pct").as("metric"),
-          when($"ne" === 0 || $"nf" * 100 >= $"ne" * 90, 1L).otherwise(0L)
+          when($"ne" > 0 && $"nf" * 100 >= $"ne" * 90, 1L).otherwise(0L)
             .as("value"))
       val unclamped = s.range(1).select(lit("sizer_unclamped").as("metric"),
         lit(if (params.clamped) 0L else 1L).as("value"))
       nExact.unionByName(fps).unionByName(recall).unionByName(unclamped)
         .orderBy($"metric")
     }, Some("""
+      WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_prepend(-embedding[1], embedding[2:])
+        FROM embeddings WHERE vec_id < 100)
       SELECT metric, value FROM (
         SELECT 'exact_pairs_ge90' AS metric, CAST(count(*) AS BIGINT) AS value
-        FROM embeddings a, embeddings b
+        FROM aug a, aug b
         WHERE a.vec_id < b.vec_id
           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 4) >= 0.9

@@ -1232,6 +1232,36 @@ class Round4OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"measured recall $recall over ${exact.size} pairs")
   }
 
+  test("cosineNearDupLSHBanded: 0.9-floor sizing measured recall in its guarantee region") {
+    // the d06b_recall_gate assertion, runnable in-suite: the 100 TB
+    // tier sizes to a 0.95 floor AT cos >= 0.9 and emits >= 0.4
+    // best-effort; of the exact pairs >= 0.9 the auto-sized banding
+    // must find >= 90%. The corpus has no >= 0.9 pairs of its own
+    // (they top out ~0.55), so it is augmented with sign-flip copies
+    // (coordinate 0 negated -> cos ~ 1 - 2*v0^2/|v|^2 ~ 0.97, inside
+    // the guarantee region but NOT sharing all bands - band recall
+    // stays probabilistic, which is the property under test)
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val aug = emb.unionByName(emb.filter($"vec_id" < 100)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, -x).otherwise(x)).as("embedding")))
+    val params = Dedup.hyperplaneLshParamsFor(emb.count(), 0.9,
+      recallFloor = 0.95)
+    assert(!params.clamped && params.predictedRecall >= 0.95)
+    val found = Dedup.cosineNearDupLSHBanded(aug, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+      .filter($"cosine" >= 0.9)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.cosineNearDupPairs(aug, "vec_id", "embedding", 0.9)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "augmentation must create guarantee-region pairs")
+    assert(found.subsetOf(exact), "exact-verified output can't exceed exact")
+    val recall = (found & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"measured recall $recall over ${exact.size} pairs")
+  }
+
   test("hyperplanePlanesFor holds bucket occupancy, clamps to one long") {
     // occupancy target 32: buckets/band = 2^rowsPerBand must track
     // n/32 within one doubling (the constant-occupancy rule that keeps
