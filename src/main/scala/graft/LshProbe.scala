@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * (threshold, floor, maxBucket) point is affordable.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.LshProbe
-  *   [threshold] [recallFloor] [maxBands] [--time]"
+  *   [threshold] [recallFloor] [maxBands] [--time] [--recall]"
   * `maxBands` (default: the sizer's 4096 = effectively unbudgeted)
   * probes a BUDGETED configuration — e.g. 64 reproduces the benched
   * d06 sizing. With --time it then RUNS the auto-sized banded dedup
@@ -65,6 +65,30 @@ object LshProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         f""","wall_sec":$dt%.3f,"found_pairs":$nFound"""
       } else ""
+    // --recall (r15): measure the auto-sized banding's recall against
+    // the O(n²) EXACT pair set at this scale — the r14 verdict's ask
+    // that the recall gates' n=500 measurement be repeated one decade
+    // up, where the sizer actually wants hundreds of bands. Exact side
+    // is cosineNearDupPairs (the d05 reference recompute); fp must be
+    // 0 by construction (every emission is exact-verified).
+    val recall =
+      if (args.contains("--recall")) {
+        val found = operators.Dedup.cosineNearDupLSHBanded(
+            emb, "vec_id", "embedding", threshold, 64, p)
+          .select(col("id1"), col("id2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exact = operators.Dedup.cosineNearDupPairs(
+            emb, "vec_id", "embedding", threshold)
+          .select(col("id1"), col("id2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ne = exact.count()
+        val nf = found.count()
+        val hit = found.join(exact, Seq("id1", "id2"), "left_semi").count()
+        val fp = nf - hit
+        val r = if (ne == 0) -1.0 else hit.toDouble / ne
+        f""","exact_pairs":$ne,"found_pairs":$nf,"false_positives":$fp,""" +
+          f""""measured_recall":$r%.4f,"predicted_recall":${p.predictedRecall}%.4f"""
+      } else ""
     try spark.stop() catch { case _: Throwable => () }
     println(s"""{"n":$n,"threshold":$threshold,"floor":$floor,""" +
       s""""bands":${p.bands},"rowsPerBand":${p.rowsPerBand},""" +
@@ -72,7 +96,7 @@ object LshProbe {
       s""""max_occ":${row.getLong(1)},"p50_occ":${row.get(2)},""" +
       s""""p99_occ":${row.get(3)},"cand_pairs":${row.get(4)},""" +
       s""""cand_pairs_hot1k":${row.get(5)},""" +
-      s""""uniform_model_pairs":${uniform.toLong}$timed}""")
+      s""""uniform_model_pairs":${uniform.toLong}$timed$recall}""")
     System.out.flush()
   }
 }

@@ -1197,6 +1197,135 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Incremental MinHash-LSH near-dup: verified-Jaccard pairs ≥
+    * `threshold` where AT LEAST ONE side is in `batch` — corpus-internal
+    * pairs are never generated (the banding analogue of
+    * [[ngramJaccardIncremental]]; r14 verdict #5). The append-only
+    * production shape: each ingest batch's band signatures probe the
+    * buckets of the accepted corpus (plus the batch itself), so a small
+    * batch against a 100 TB corpus pays |batch|-proportional probe and
+    * verify cost, never a corpus×corpus re-pair.
+    *
+    * Distributed shape: the combined (corpus∖batch ∪ batch) shingle
+    * frame goes through ONE id-keyed exchange reused by its three
+    * consumers (the signature/banding leg and verifyJaccard's two
+    * array-fetch joins — [[dedupMinHashPairsFrom]]'s contract); the full
+    * band index is aggregated ONCE per (band, bucket) into a size-capped
+    * id list (CappedCollector — the SINGLE candidate shuffle of the
+    * corpus, saturated buckets dropped exactly as [[bucketPairs]] does),
+    * and the batch-only probe leg joins it co-partitioned on
+    * (band, bucket), so candidate volume is |batch-bands| × occupancy.
+    * (new, old) pairs appear only with the new doc on the probe side;
+    * (new, new) pairs appear twice and collapse in the pair `distinct`.
+    * Re-delivered ids (present in both inputs — at-least-once ingest)
+    * are superseded by the batch copy via the same anti-join as the
+    * exact incremental. Recall regime is the banding's, identical to
+    * the full operator at the same (numHashes, bands) — size low
+    * thresholds with [[minHashParamsFor]]. */
+  def minHashIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    InputContracts.requireDeterministic(corpus, "minHashIncremental(corpus)")
+    InputContracts.requireDeterministic(batch, "minHashIncremental(batch)")
+    val width = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = freshCorpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    // shingle-hash BEFORE the shared exchange (every consumer needs
+    // exactly (id, sh), so pruning can't specialize the subtrees apart);
+    // signatures AFTER it, on the band leg only
+    val base = all.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
+      .repartition(width, col(idCol))
+    def bandRows(frame: DataFrame, outId: String) = frame
+      .select(col(idCol),
+        graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
+      .select(col(idCol).as(outId), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cappedIds = udaf(new graft.functions.CappedCollector[Long](maxBucket))
+    // the ONE corpus-wide shuffle: per-bucket capped id lists
+    val buckets = bandRows(base, "__id").groupBy(col("band"), col("bucket"))
+      .agg(cappedIds(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+    // probe leg derives straight from `batch` (no anti-join, no union) —
+    // the side an incremental pipeline keeps small by construction, paid
+    // once more here instead of forcing a second corpus-sized exchange
+    val probe = bandRows(
+        batch.filter(col(idCol).isNotNull).select(col(idCol),
+          graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh")),
+        "__idn")
+      .repartition(width, col("band"), col("bucket"))
+    val cands = probe.join(buckets, Seq("band", "bucket"))
+      .select(col("__idn"), explode(col("__ids")).as("__ido"))
+      .filter(col("__idn") =!= col("__ido"))
+      .select(least(col("__idn"), col("__ido")).as("id1"),
+              greatest(col("__idn"), col("__ido")).as("id2"))
+      .distinct()
+    verifyJaccard(cands, base, idCol, threshold)
+  }
+
+  /** Incremental banded-LSH cosine near-dup — [[minHashIncremental]]'s
+    * shape for the embedding family: batch band signatures
+    * ([[graft.functions.HyperplaneBandBuckets]], sized by
+    * [[hyperplaneLshParamsFor]]) probe the combined corpus's capped
+    * buckets; only batch-touching candidates are generated and each
+    * survivor is exact-cosine-verified. Same single-candidate-shuffle
+    * accounting as the MinHash form; the shared id-keyed exchange
+    * carries (id, vec) to the band leg and both verify joins. Shuffle
+    * width uses the operator rule of [[cosineNearDupLSHBanded]] with
+    * the batch fraction unknowable at plan time, so the corpus-level
+    * `params.expectedCandidates` acts as the upper bound — an
+    * over-wide exchange costs task overhead, an under-wide one
+    * sort-spills (the sf3 lesson); callers with a known small batch
+    * can pass a session width instead. */
+  def cosineLshIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, params: HyperplaneLshParams,
+      seed: Long = 7L, maxBucket: Int = 10000): DataFrame = {
+    InputContracts.requireDeterministic(corpus, "cosineLshIncremental(corpus)")
+    InputContracts.requireDeterministic(batch, "cosineLshIncremental(batch)")
+    val sessParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val want = math.ceil(params.expectedCandidates / 2e6).toInt
+    val wide = params.expectedCandidates > 0 && want > sessParts
+    val width = if (wide) math.min(32768, want) else sessParts
+    val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = freshCorpus.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    val base = all.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .repartition(width, col(idCol))
+    def bandRows(frame: DataFrame, outId: String) = frame
+      .select(col(idCol),
+        graft.functions.HyperplaneSig.bandBuckets(col(vecCol), dim,
+          params.bands, params.rowsPerBand, seed).as("hbb"))
+      .select(col(idCol).as(outId),
+        posexplode_outer(col("hbb")).as(Seq("band", "bucket")))
+    val cappedIds = udaf(new graft.functions.CappedCollector[Long](maxBucket))
+    val buckets = bandRows(base, "__id").groupBy(col("band"), col("bucket"))
+      .agg(cappedIds(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+    val probe = bandRows(
+        batch.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol)), "__idn")
+      .repartition(width, col("band"), col("bucket"))
+    val cands = probe.join(buckets, Seq("band", "bucket"))
+      .select(col("__idn"), explode(col("__ids")).as("__ido"))
+      .filter(col("__idn") =!= col("__ido"))
+      .select(least(col("__idn"), col("__ido")).as("id1"),
+              greatest(col("__idn"), col("__ido")).as("id2"))
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .withColumn("cosine", round(
+        Similarity.dot(col("v1"), col("v2")) /
+        (Similarity.norm(col("v1")) * Similarity.norm(col("v2"))), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /** Train/benchmark contamination check: which training documents share

@@ -229,8 +229,23 @@ object Scale {
     // omission failure the nested-skip row exists to prevent (r14 review
     // pass). Give those an explicit verdict row too.
     val filedTables = files.map(_._1).toSet
-    val emptyFlat = flat.map(_.getPath.getName.stripSuffix(".parquet"))
-      .filterNot(filedTables.contains)
+    // r14 ADVICE: distinguish a truly empty dir from one holding only
+    // non-parquet data files (e.g. CSV exports) — 'no data files' on
+    // the latter could mask a mis-written table as an expected-empty
+    // one. Hidden entries (_temporary, _SUCCESS, dotfiles) are not data.
+    val emptyFlat: Seq[(String, String)] = flat
+      .filter(st => !filedTables.contains(
+        st.getPath.getName.stripSuffix(".parquet")))
+      .map { st =>
+        val hasNonParquetData = st.isDirectory &&
+          fs.listStatus(st.getPath).exists(f => f.isFile &&
+            !f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        (st.getPath.getName.stripSuffix(".parquet"),
+         if (hasNonParquetData) "skipped: no parquet data files"
+         else "skipped: no data files")
+      }
     require(files.nonEmpty || nested.nonEmpty || emptyFlat.nonEmpty,
       s"rowGroupAudit: no *.parquet under $dir")
     // session split math, per table (FilePartition.maxSplitBytes)
@@ -289,7 +304,7 @@ object Scale {
     val skipRows: Seq[(String, String)] =
       nested.map(st => (st.getPath.getName.stripSuffix(".parquet"),
         "skipped: nested layout")) ++
-      emptyFlat.map(t => (t, "skipped: no data files"))
+      emptyFlat
     val withSkipped =
       if (skipRows.isEmpty) audited
       else {

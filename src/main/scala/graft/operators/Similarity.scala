@@ -46,20 +46,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: plane j component i
-    * derived from a hash — no data shipping, same constants on every
-    * executor. Returns array<int> of sign bits (planes entries). */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planeVals: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
-    array(planeVals.map { p =>
-      val proj = (0 until dim).map(i => element_at(vec, i + 1).cast(DoubleType) * lit(p(i)))
-        .reduce(_ + _)
-      when(proj >= 0, 1).otherwise(0)
-    }: _*)
-  }
-
   /** IVF-style ANN with k-means-fitted coarse cells: centroids come from
     * [[kmeansFit]] (spherical Lloyd, deterministic init), so cells carve
     * the corpus along its actual density — a sorted-id sample has no
@@ -97,14 +83,25 @@ object Similarity {
       .select(col("cell_id"), col("cell_vec"))
     // assign corpus rows to nearest cell (scores rounded before the
     // arg-max so float summation order can't flip a near-tie — keeps the
-    // assignment engine-stable and oracle-reproducible)
+    // assignment engine-stable and oracle-reproducible). The arg-max is
+    // a max_by PARTIAL aggregation, same shape as kmeansFit.assign: the
+    // K scored copies of a corpus row are born in one task, so the
+    // map side reduces them K→1 before anything shuffles — one row per
+    // corpus id (with its vector) enters the exchange. The previous
+    // row_number window here sort-exchanged the full corpus×K stream,
+    // embedding vectors included — benign at suite K, a K×-volume
+    // shuffle at 100 TB (r14 verdict's weak). Ties break to the lowest
+    // cell_id — maximize (__d, -cell_id) — exactly the old window's
+    // (desc __d, asc cell_id) order, so recorded results are
+    // bit-identical (the pre-argmax rounding makes that checkable).
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", round(dot(col(corpusVec), col("cell_vec")) /
         (norm(col(corpusVec)) * norm(col("cell_vec"))), 6))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(corpusId)).orderBy(col("__d").desc, col("cell_id"))))
-      .filter(col("__rn") === 1)
-      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"), col("cell_id"))
+      .groupBy(col(corpusId))
+      .agg(max_by(struct(col("cell_id"), col(corpusVec).as("__v")),
+        struct(col("__d"), -col("cell_id"))).as("__b"))
+      .select(col(corpusId).as("neighbor_id"), col("__b.__v").as("__cv"),
+        col("__b.cell_id").as("cell_id"))
     // each query probes nprobe nearest cells
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__d", round(dot(col(queryVec), col("cell_vec")) /
@@ -122,6 +119,68 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Parameters for [[ivfTopK]]/[[ivfTopKWithCells]] chosen by
+    * [[ivfParamsFor]]. `predictedRecall` is the calibrated model's
+    * floor estimate at (nCells, nprobe); `exhaustive` is the honesty
+    * flag: true when holding the floor forced nprobe = nCells, i.e.
+    * the "index" no longer prunes anything and a caller paying for IVF
+    * is running brute force with extra steps (the IVF analogue of the
+    * LSH sizer's `clamped`). */
+  case class IvfParams(nCells: Int, nprobe: Int, predictedRecall: Double,
+      exhaustive: Boolean, nRows: Long) {
+    /** Fraction of the corpus each query scans (plus the centroid
+      * table): the cost lever the (nCells, nprobe) pair buys. */
+    def scanFraction: Double = nprobe.toDouble / nCells
+  }
+
+  /** Recall-targeted (nCells, nprobe) sizing for IVF — the ANN
+    * analogue of Dedup.hyperplaneLshParamsFor (r14 discipline, r15
+    * applied to the ANN family):
+    *
+    *  - nCells = ⌈√n⌉ (clamped to maxCells): balances the two per-query
+    *    costs — nCells centroid scores + nprobe·(n/nCells) candidate
+    *    scores — which is the standard IVF operating point.
+    *  - nprobe from the floor via an empirically-calibrated coverage
+    *    model: recall(f) ≥ 1 − (1−f)^α with f = nprobe/nCells. α = 1 is
+    *    the adversarial worst case (true neighbors' cells independent
+    *    of the query's probe order — brute force is then the only
+    *    guarantee); real fitted quantizers concentrate neighbors in the
+    *    query's nearest cells. Measured with [[graft.IvfProbe]] on the
+    *    shipped corpora (spread queries, k ∈ {5, 10}, 64-dim,
+    *    Lloyd-fitted ⌈√n⌉ cells — PERF.md r15): the implied α falls
+    *    from ~7–8 at small f to a MINIMUM of ~2.5 in the high-f tail
+    *    that high floors operate in, so a constant-α model calibrated
+    *    at small f would over-promise exactly where it matters. The
+    *    default α = 2.0 sits under every measured point (recall is
+    *    increasing in α, so α = 2 under-predicts the whole grid) —
+    *    the model's floor line, not its fit. s02_recall_gate measures
+    *    the production path end-to-end against bruteForceTopK, so a
+    *    corpus that broke the calibration would fail the driver gate,
+    *    not silently under-deliver (the r13 LSH defect this API exists
+    *    to avoid).
+    *
+    * Unlike banded LSH there is no clamp cliff: nprobe = nCells IS
+    * exact search, so any floor is reachable — the `exhaustive` flag
+    * reports when that degenerate point was needed. */
+  def ivfParamsFor(nRows: Long, k: Int, recallFloor: Double = 0.95,
+      maxCells: Int = 1 << 16, alpha: Double = 2.0): IvfParams = {
+    require(nRows > 0, s"nRows must be positive: $nRows")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0,1): $recallFloor")
+    require(alpha >= 1.0, s"alpha below 1 is stronger than brute force: $alpha")
+    val nCells = math.max(1, math.min(maxCells,
+      math.ceil(math.sqrt(nRows.toDouble)).toInt))
+    // a cell must at least hold k candidates on average, or top-k
+    // starves even at perfect cell routing
+    val minProbe = math.min(nCells,
+      math.ceil(k.toDouble * nCells / nRows).toInt.max(1))
+    val f = 1.0 - math.pow(1.0 - recallFloor, 1.0 / alpha)
+    val nprobe = math.max(minProbe,
+      math.min(nCells, math.ceil(f * nCells).toInt))
+    val predicted = 1.0 - math.pow(1.0 - nprobe.toDouble / nCells, alpha)
+    IvfParams(nCells, nprobe, predicted, nprobe == nCells, nRows)
   }
 
   /** Spherical k-means, full Lloyd loop (the training step behind

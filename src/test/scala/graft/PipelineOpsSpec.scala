@@ -574,6 +574,90 @@ class DedupSpec extends SparkSpec {
       assert(out.count() > 0)
     } finally { persisted.unpersist(); () }
   }
+
+  test("minHashIncremental == full LSH pair set restricted to batch-touching pairs") {
+    // the adoption contract (r14 verdict #5): the incremental form must
+    // change WHAT is compared (only batch-touching pairs), never what
+    // is found — same banding, same bucket capping, same verification,
+    // so the equality is deterministic, both directions
+    val docs = Tables.load(spark, sf, "documents")
+    val inc = Dedup.minHashIncremental(
+        docs.filter($"doc_id" < 300), docs.filter($"doc_id" >= 300),
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"id1", $"id2", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.dedupMinHashPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .filter($"id2" >= 300)
+      .select($"id1", $"id2", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"incremental=${inc.size} full-restricted=${full.size}")
+    assert(inc.nonEmpty, "vacuous equivalence — corpus lost its dups")
+    // corpus-internal pairs never generated: nothing with both ids old
+    assert(!inc.exists { case (a, b, _) => a < 300 && b < 300 })
+  }
+
+  test("minHashIncremental: re-delivered ids don't double-count shingles") {
+    // at-least-once ingest: a doc present in BOTH corpus and batch must
+    // behave as one doc (batch copy supersedes) — no self-pairs, no
+    // jaccard > 1, and pairs involving it computed from single arrays
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Dedup.minHashIncremental(
+        docs.filter($"doc_id" < 350), docs.filter($"doc_id" >= 300),
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"id1", $"id2", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall { case (a, b, j) => a < b && j <= 1.0 })
+    assert(out.length == out.map(p => (p._1, p._2)).distinct.length)
+  }
+
+  test("cosineLshIncremental == full banded LSH restricted to batch-touching pairs") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val params = Dedup.hyperplaneLshParamsFor(500L, 0.4)
+    val inc = Dedup.cosineLshIncremental(
+        emb.filter($"vec_id" < 300), emb.filter($"vec_id" >= 300),
+        "vec_id", "embedding", threshold = 0.4, dim = 64, params = params)
+      .select($"id1", $"id2", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.cosineNearDupLSHBanded(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+      .filter($"id2" >= 300)
+      .select($"id1", $"id2", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"incremental=${inc.size} full-restricted=${full.size}")
+    assert(inc.nonEmpty, "vacuous equivalence — corpus lost its near-dups")
+    assert(!inc.exists { case (a, b, _) => a < 300 && b < 300 })
+  }
+
+  test("recall gates fail loudly on a corpus with zero exact pairs (no vacuous pass)") {
+    // r14 verdict #2: the three older recall gates used to auto-pass on
+    // an empty exact set (`ne === 0 ||`), so a corpus regression would
+    // flip them to silent green. Build a corpus with NO exact pairs —
+    // per-doc-unique words (disjoint shingle sets) and one-hot
+    // embeddings (pairwise cosine 0) — and pin that recall_ge_90pct and
+    // exact_pairs_nonzero both read 0, i.e. the driver would see a loud
+    // mismatch against the oracle's constant 1s, not a pass.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs").toString
+    (0L until 64L).map(i =>
+        (i, (0 until 10).map(w => s"uniq${i}w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0L until 64L).map { i =>
+      (i, Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (gate <- Seq("d02_minhash_gate", "d02_recall_gate", "d06_recall_gate")) {
+      val m = SparkEntry.queries(gate)(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m("recall_ge_90pct") == 0L,
+        s"$gate must NOT pass recall vacuously on an empty exact set: $m")
+      assert(m("exact_pairs_nonzero") == 0L,
+        s"$gate must flag the empty exact set: $m")
+      assert(m.get("exact_pairs").forall(_ == 0L) &&
+        m.get("false_positives").forall(_ == 0L), s"$gate: $m")
+      graft.operators.OperatorCaches.release()
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -666,15 +750,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("ivfTopK achieves reasonable recall vs brute force") {
+  test("ivfTopK at the production sizing holds the recall floor while pruning") {
+    // r14 verdict lead task: the suite pin raised from the old 0.4
+    // sanity bar to the sizer's gate floor — ivfParamsFor picks
+    // (nCells, nprobe) for a 0.95 design floor and the measured recall
+    // of that EXACT configuration must clear 0.9 (finite-sample slack),
+    // with real pruning (nprobe < nCells, else the index is pointless).
     val emb = Tables.load(spark, sf, "embeddings")
-    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val n = emb.count()
+    val params = Similarity.ivfParamsFor(n, k = 5, recallFloor = 0.95)
+    assert(!params.exhaustive,
+      s"sizer degenerated to brute force at n=$n: $params")
+    assert(params.nprobe < params.nCells)
+    // spread queries (ids are shard-ordered; a prefix probes one region)
+    val q = emb.filter(pmod($"vec_id", lit(10)) === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
     val brute = Similarity.bruteForceTopK(emb, q, 5)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, q, 5, nCells = 8, nprobe = 4)
+    val ivf = Similarity.ivfTopK(emb, q, 5,
+        nCells = params.nCells, nprobe = params.nprobe)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(recall >= 0.9, s"IVF recall $recall below the 0.9 gate floor " +
+      s"at production params $params")
+  }
+
+  test("ivfParamsFor: floor reachable, monotone in floor, honest flags") {
+    // model floor line: higher floor → more probes; tiny corpora can
+    // hit the exhaustive point and must SAY so rather than under-probe
+    val p95 = Similarity.ivfParamsFor(1000000L, k = 10, recallFloor = 0.95)
+    val p50 = Similarity.ivfParamsFor(1000000L, k = 10, recallFloor = 0.5)
+    assert(p95.nCells == 1000 && p50.nCells == 1000)
+    assert(p95.nprobe > p50.nprobe)
+    assert(!p95.exhaustive && p95.nprobe < p95.nCells)
+    assert(p95.predictedRecall >= 0.95 && p50.predictedRecall >= 0.5)
+    // k floor: nprobe cells must be able to hold k candidates on average
+    val tiny = Similarity.ivfParamsFor(100L, k = 50, recallFloor = 0.5)
+    assert(tiny.nprobe * (100.0 / tiny.nCells) >= 50.0 - 1e-9)
+    // nprobe = nCells is exact search — the flag must report it
+    val exhaustive = Similarity.ivfParamsFor(4L, k = 4, recallFloor = 0.95)
+    assert(exhaustive.exhaustive)
   }
 
   test("ivfTopK: fitted cells are non-degenerate; explicit-centroid path matches") {

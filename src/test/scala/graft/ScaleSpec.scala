@@ -172,11 +172,21 @@ class ScaleSpec extends SparkSpec {
       // no-data-files row, not silently vanish (r14 review pass)
       java.nio.file.Files.createDirectories(
         java.nio.file.Path.of(dir, "dead.parquet", "_temporary"))
+      // csvonly.parquet: data files exist but none are parquet (a CSV
+      // export landed where a table was expected) — the verdict must
+      // say so rather than call the dir empty (r14 ADVICE: 'no data
+      // files' could mask a mis-written table as an expected-empty one)
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Path.of(dir, "csvonly.parquet"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "csvonly.parquet", "part-0.csv"), "a,b\n1,2\n")
       val out = Scale.rowGroupAudit(spark, dir).collect()
         .map(r => r.getAs[String]("table") -> r).toMap
-      assert(out.keySet == Set("serial", "split", "dim", "hive", "meta", "dead"))
+      assert(out.keySet == Set("serial", "split", "dim", "hive", "meta", "dead", "csvonly"))
       assert(out("dead").getAs[String]("verdict") == "skipped: no data files")
       assert(out("dead").isNullAt(out("dead").fieldIndex("n_files")))
+      assert(out("csvonly").getAs[String]("verdict") == "skipped: no parquet data files")
+      assert(out("csvonly").isNullAt(out("csvonly").fieldIndex("n_files")))
       assert(out("meta").getAs[String]("verdict") == "small")
       assert(out("meta").getAs[Long]("n_rows") == 5L)
       assert(out("hive").getAs[String]("verdict") == "skipped: nested layout")

@@ -227,6 +227,29 @@ class SurfaceSpec extends SparkSpec {
       (3, 40.0, 70.0, 30.0, 30.0, 70.0)))
   }
 
+  test("J/§2.7 surface wrappers agree with their Spark lowering (zero-caller sweep, r15)") {
+    // These are the reference-API surface rows the §2 table anchors to
+    // (SDF's join/compound verbs re-expressed as DataFrame verbs). The
+    // sibling wrappers run inside driver queries; these seven had no
+    // caller anywhere (the r14 verdict's dead-export sweep) — pin each
+    // against the Spark lowering it documents so the surface is
+    // executed, not just declared.
+    import graft.operators.Relational
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((2, "x"), (3, "y"), (4, "z")).toDF("k", "rv")
+    val on = l("k") === r("k")
+    assert(Relational.innerJoin(l, r, on).count() == 2)
+    assert(Relational.rightJoin(l, r, on).count() == 3)
+    assert(Relational.thetaJoin(l, r, l("k") < r("k")).count() == 6)
+    assert(Relational.joinUsing(l, r, Seq("k")).columns.count(_ == "k") == 1)
+    assert(Relational.joinUsing(l, r, Seq("k"), "full").count() == 4)
+    val a = Seq(1, 1, 2).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    assert(Relational.unionDistinct(a, b).count() == 2)
+    assert(Relational.intersectAll(a, b).count() == 2) // {1, 2} with multiplicity min
+    assert(Relational.exceptAll(a, b).count() == 1)    // one surplus 1
+  }
+
   test("intervalJoin equals the theta join, incl. bin-boundary-spanning intervals") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
