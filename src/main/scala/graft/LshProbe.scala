@@ -56,39 +56,44 @@ object LshProbe {
         .otherwise(0L)).as("cand_pairs_hot1k")).collect()(0)
     // the exact model the operator sizes its shuffle width with
     val uniform = p.expectedCandidates
-    val timed =
-      if (args.contains("--time")) {
-        val t0 = System.nanoTime()
-        val nFound = operators.Dedup.cosineNearDupLSHBanded(
-          emb, "vec_id", "embedding", threshold, 64, p)
-          .queryExecution.toRdd.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        f""","wall_sec":$dt%.3f,"found_pairs":$nFound"""
-      } else ""
+    // --time / --recall share ONE execution of the banded dedup (and
+    // one "found_pairs" field — the flags compose; r15 review pass).
     // --recall (r15): measure the auto-sized banding's recall against
     // the O(n²) EXACT pair set at this scale — the r14 verdict's ask
     // that the recall gates' n=500 measurement be repeated one decade
     // up, where the sizer actually wants hundreds of bands. Exact side
     // is cosineNearDupPairs (the d05 reference recompute); fp must be
     // 0 by construction (every emission is exact-verified).
-    val recall =
-      if (args.contains("--recall")) {
-        val found = operators.Dedup.cosineNearDupLSHBanded(
+    val wantTime = args.contains("--time")
+    val wantRecall = args.contains("--recall")
+    val extras =
+      if (!wantTime && !wantRecall) ""
+      else {
+        val found0 = operators.Dedup.cosineNearDupLSHBanded(
             emb, "vec_id", "embedding", threshold, 64, p)
           .select(col("id1"), col("id2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val exact = operators.Dedup.cosineNearDupPairs(
-            emb, "vec_id", "embedding", threshold)
-          .select(col("id1"), col("id2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ne = exact.count()
-        val nf = found.count()
-        val hit = found.join(exact, Seq("id1", "id2"), "left_semi").count()
-        val fp = nf - hit
-        val r = if (ne == 0) -1.0 else hit.toDouble / ne
-        f""","exact_pairs":$ne,"found_pairs":$nf,"false_positives":$fp,""" +
-          f""""measured_recall":$r%.4f,"predicted_recall":${p.predictedRecall}%.4f"""
-      } else ""
+        val found = if (wantRecall)
+          found0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else found0
+        val t0 = System.nanoTime()
+        val nFound = found.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val timePart = if (wantTime) f""","wall_sec":$dt%.3f""" else ""
+        val recallPart =
+          if (!wantRecall) ""
+          else {
+            val exact = operators.Dedup.cosineNearDupPairs(
+                emb, "vec_id", "embedding", threshold)
+              .select(col("id1"), col("id2"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val ne = exact.count()
+            val hit = found.join(exact, Seq("id1", "id2"), "left_semi").count()
+            val r = if (ne == 0) -1.0 else hit.toDouble / ne
+            f""","exact_pairs":$ne,"false_positives":${nFound - hit},""" +
+              f""""measured_recall":$r%.4f,"predicted_recall":${p.predictedRecall}%.4f"""
+          }
+        s"""$timePart,"found_pairs":$nFound$recallPart"""
+      }
     try spark.stop() catch { case _: Throwable => () }
     println(s"""{"n":$n,"threshold":$threshold,"floor":$floor,""" +
       s""""bands":${p.bands},"rowsPerBand":${p.rowsPerBand},""" +
@@ -96,7 +101,7 @@ object LshProbe {
       s""""max_occ":${row.getLong(1)},"p50_occ":${row.get(2)},""" +
       s""""p99_occ":${row.get(3)},"cand_pairs":${row.get(4)},""" +
       s""""cand_pairs_hot1k":${row.get(5)},""" +
-      s""""uniform_model_pairs":${uniform.toLong}$timed$recall}""")
+      s""""uniform_model_pairs":${uniform.toLong}$extras}""")
     System.out.flush()
   }
 }

@@ -1303,7 +1303,16 @@ object Dedup {
       .select(col(idCol).as(outId),
         posexplode_outer(col("hbb")).as(Seq("band", "bucket")))
     val cappedIds = udaf(new graft.functions.CappedCollector[Long](maxBucket))
-    val buckets = bandRows(base, "__id").groupBy(col("band"), col("bucket"))
+    // wide mode must reach the HEAVY exchange too: without the explicit
+    // repartition the bucket aggregation would plan at the session
+    // width (the exact under-wide sort-spill the width rule exists to
+    // prevent) and the probe join would lose co-partitioning against
+    // it (r15 review pass). Non-wide keeps the bare groupBy — its
+    // exchange already lands at the session width the probe leg uses.
+    val fullBand = bandRows(base, "__id")
+    val buckets = (if (wide) fullBand.repartition(width, col("band"), col("bucket"))
+                   else fullBand)
+      .groupBy(col("band"), col("bucket"))
       .agg(cappedIds(col("__id")).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucket))
     val probe = bandRows(

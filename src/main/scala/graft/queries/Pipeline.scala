@@ -21,27 +21,23 @@ object Pipeline {
   private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val duckTokens = s"regexp_split_to_array(trim(text), '\\s+')"
 
-  // Memoized embeddings rowcount per corpus dir, feeding the LSH sizer
-  // (r13 ADVICE: d06 ran emb.count() on EVERY execution — an extra scan
-  // job inside Bench's timed region). Production callers hold catalog
-  // statistics; here the count runs once per (session-lifetime, dir) and
-  // bench reps 2+ pay nothing. The memo is the documented remedy, not a
-  // cache of query results — counts are layout facts of a static corpus.
-  private val embCountMemo =
+  // Memoized table rowcounts per corpus dir, feeding the LSH/SimHash
+  // sizers (r13 ADVICE: d06 ran emb.count() on EVERY execution — an
+  // extra scan job inside Bench's timed region). Production callers
+  // hold catalog statistics; here the count runs once per
+  // (session-lifetime, dir, table) and bench reps 2+ pay nothing. The
+  // memo is the documented remedy, not a cache of query results —
+  // counts are layout facts of a static corpus.
+  private val tableCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def tableCount(s: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): Long =
+    tableCountMemo.computeIfAbsent(s"$dir|$name",
+      _ => java.lang.Long.valueOf(t(s, dir, name).count())).longValue()
   private def embeddingsCount(s: org.apache.spark.sql.SparkSession,
-      dir: String): Long =
-    embCountMemo.computeIfAbsent(dir,
-      d => java.lang.Long.valueOf(t(s, d, "embeddings").count())).longValue()
-
-  // documents rowcount memo, feeding the SimHash wide tier's band sizer
-  // (same catalog-statistics rationale as embCountMemo)
-  private val docCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+      dir: String): Long = tableCount(s, dir, "embeddings")
   private def documentsCount(s: org.apache.spark.sql.SparkSession,
-      dir: String): Long =
-    docCountMemo.computeIfAbsent(dir,
-      d => java.lang.Long.valueOf(t(s, d, "documents").count())).longValue()
+      dir: String): Long = tableCount(s, dir, "documents")
 
   // d06's production sizing, shared by the benched query and its recall
   // gate so the gate measures EXACTLY the shipped configuration (see
@@ -910,7 +906,8 @@ object Pipeline {
       // while measuring recall over a corrupted pair set (r14 ADVICE).
       // Fail loudly instead — the one cheap aggregate is answered from
       // parquet footer stats, and this gate is CORRECTNESS-only.
-      val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+      val maxRow = emb.agg(max($"vec_id")).head()
+      val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       require(maxId < 1000000L,
         s"d06b_recall_gate: corpus vec_ids reach $maxId — the 10⁶ " +
         "augmentation offset would collide; raise the offset in BOTH " +

@@ -452,6 +452,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
   }
 
+  test("incremental cosine LSH wide mode: bucket agg AND probe leg at the pair-sized width") {
+    // r15 review pass: the wide width must reach the HEAVY exchange —
+    // the corpus-wide (band,bucket) bucket aggregation — not just the
+    // base and probe legs; an under-wide aggregation is the sf3
+    // sort-spill, and a width mismatch versus the probe leg would cost
+    // a third (band,bucket) exchange. Force wide with directly-built
+    // params and pin: exactly 2 (band,bucket) exchanges, explicit-N,
+    // reused id-keyed base exchange, no cache.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val params = graft.operators.Dedup.HyperplaneLshParams(
+      bands = 4, rowsPerBand = 8, predictedRecall = 1.0, clamped = false,
+      nRows = 50000L)
+    assert(params.expectedCandidates > 2e6 * spark.sessionState.conf.numShufflePartitions)
+    val p = finalPlan(graft.operators.Dedup.cosineLshIncremental(
+      emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 300),
+      "vec_id", "embedding", threshold = 0.4, dim = 64, params = params))
+    val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandExchanges == 2,
+      s"expected exactly 2 (band,bucket) exchanges at the operator width, got $bandExchanges:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"wide mode uses explicit-count exchanges:\n$p")
+    assert(p.contains("ReusedExchange"), s"base exchange must be reused:\n$p")
+    assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
+  }
+
   test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
     // The uncapped incremental shape computes the corpus lineage once
     // (full-index leg only: the probe leg derives straight from the
