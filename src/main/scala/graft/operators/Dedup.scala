@@ -1335,6 +1335,87 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** Incremental SimHash near-dup — the [[minHashIncremental]] restriction
+    * for the fingerprint family: the batch docs' band chunks probe the
+    * combined (corpus∖batch ∪ batch) capped buckets, so only
+    * batch-touching pairs are generated and a small ingest batch against
+    * a 100 TB corpus pays |batch|-proportional probe cost, never a
+    * corpus×corpus re-pair. The fingerprint IS the verifier here — one
+    * long riding both the bucket lists ([[graft.functions.CappedCollector]]
+    * of (id, sig)) and the probe rows — so unlike the MinHash/cosine
+    * incrementals there are NO verify joins and no shared id-keyed
+    * exchange: the whole operator is two (band, bucket) exchanges (the
+    * corpus-wide capped-bucket aggregation and the batch probe leg,
+    * co-partitioned so the join adds none) plus the pair `distinct`.
+    *
+    * Recall: same 4×16-bit pigeonhole banding as [[dedupSimHashPairs]] —
+    * a batch-touching pair within hamming 3 shares a full chunk with
+    * certainty, so at `maxHamming` ≤ 3 the output EQUALS the exact
+    * restricted set (unsaturated buckets); beyond 3 recall is
+    * probabilistic, exactly the full operator's regime. The same
+    * [[simHashSaturationDocs]] bound applies to the COMBINED corpus
+    * (fail fast via `nRows`); past ~6.5×10⁸ docs, band with
+    * [[dedupSimHashPairsWide]]'s occupancy-sized layout instead.
+    * Re-delivered ids (present in both inputs — at-least-once ingest)
+    * are superseded by the batch copy via the d09 anti-join. */
+  def simHashIncremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      nRows: Option[Long] = None): DataFrame = {
+    InputContracts.requireDeterministic(corpus, "simHashIncremental(corpus)")
+    InputContracts.requireDeterministic(batch, "simHashIncremental(batch)")
+    nRows.foreach { n =>
+      require(n <= simHashSaturationDocs(maxBucket),
+        s"simHashIncremental: combined n=$n exceeds the 64-bit " +
+        s"fingerprint's band-space saturation bound " +
+        s"(${simHashSaturationDocs(maxBucket)} docs at maxBucket=" +
+        s"$maxBucket) — use dedupSimHashPairsWide's occupancy-sized " +
+        "banding instead.")
+    }
+    val width = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = freshCorpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    def chunkRows(frame: DataFrame, outId: String, outSig: String) = frame
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as(outId),
+        SimHash64.simhash64(
+          graft.functions.TokenizeWords.tokenizeWords(col(textCol)))
+          .as(outSig))
+      .select(col(outId), col(outSig),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("band"),
+            shiftright(col(outSig), c * 16).bitwiseAND(lit(0xffffL))
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col(outId), col(outSig),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cappedPairs =
+      udaf(new graft.functions.CappedCollector[(Long, Long)](maxBucket))
+    // the ONE corpus-wide shuffle: per-(band, bucket) capped (id, sig)
+    // lists; size-1 buckets can only hold the probing doc itself, so
+    // they are dropped like the full operator drops them
+    val buckets = chunkRows(all, "__id", "__sig")
+      .groupBy(col("band"), col("bucket"))
+      .agg(cappedPairs(col("__id"), col("__sig")).as("__xs"))
+      .filter(size(col("__xs")).between(2, maxBucket))
+    // probe leg derives straight from `batch` (no anti-join, no union) —
+    // the side an ingest pipeline keeps small by construction; its sig
+    // recompute is the price of not forcing a second corpus-sized
+    // exchange (minHashIncremental's accounting)
+    val probe = chunkRows(batch, "__idn", "__sn")
+      .repartition(width, col("band"), col("bucket"))
+    probe.join(buckets, Seq("band", "bucket"))
+      .select(col("__idn"), col("__sn"), explode(col("__xs")).as("__x"))
+      .filter(col("__idn") =!= col("__x._1"))
+      .select(least(col("__idn"), col("__x._1")).as("id1"),
+              greatest(col("__idn"), col("__x._1")).as("id2"),
+              bit_count(col("__sn").bitwiseXOR(col("__x._2"))).as("hamming"))
+      .distinct() // (new,new) pairs arrive once per direction; hamming is
+                  // a function of the pair, so the triple collapses
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /** Train/benchmark contamination check: which training documents share

@@ -1051,6 +1051,77 @@ object Pipeline {
         UNION ALL SELECT 'recall_ge_90pct', 1) m
       ORDER BY metric""")),
 
+    // The SimHash member of the incremental family (d09 = exact n-gram,
+    // d11/d12 = MinHash/cosine LSH): batch fingerprint chunks probe the
+    // combined corpus's capped buckets; the fingerprint rides the
+    // candidate shuffle, so there are no verify joins. Gate pattern =
+    // d12 (restriction semantics + full-operator equivalence) ∪ d03
+    // (Spark-side brute reference on 1-long fingerprints, pigeonhole
+    // bound): `false_positives` anti-joins on (id1,id2,hamming) so a
+    // wrong distance also lands there; `missed_guaranteed_le3` pins the
+    // 4×16-bit certainty zone ON THE RESTRICTED SET (hamming ≤ 3 ⇒
+    // shared chunk ⇒ the batch side probes that bucket);
+    // `corpus_internal` pins that no corpus-only pair surfaces;
+    // `mismatch_vs_full` pins both directions of incremental ==
+    // full-restricted at maxHamming 8 (identical banding + capping make
+    // it deterministic below saturation); `found_pairs_nonzero` is the
+    // d06b non-vacuity pin (the corpus's engineered dups straddle the
+    // id-400 split). CORRECTNESS-only: both reference sides are O(n²).
+    QueryDef("d13_simhash_inc_gate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val found = Dedup.simHashIncremental(
+          docs.filter($"doc_id" < 400), docs.filter($"doc_id" >= 400),
+          "doc_id", "text", maxHamming = 8)
+        .select($"id1", $"id2", $"hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = docs.select($"doc_id",
+        graft.functions.SimHash64.simhash64(
+          graft.functions.TokenizeWords.tokenizeWords($"text")).as("sig"))
+      val exactR = sigs.select($"doc_id".as("id1"), $"sig".as("s1"))
+        .join(sigs.select($"doc_id".as("id2"), $"sig".as("s2")),
+          col("id1") < col("id2"))
+        .select($"id1", $"id2",
+          bit_count($"s1".bitwiseXOR($"s2")).as("hamming"))
+        .filter($"hamming" <= 8 && $"id2" >= 400)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fullRestricted = Dedup.dedupSimHashPairs(docs, "doc_id", "text",
+          maxHamming = 8)
+        .filter($"id2" >= 400).select($"id1", $"id2", $"hamming")
+      val nDocs = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      val fps = found.join(exactR, Seq("id1", "id2", "hamming"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("false_positives").as("metric"), $"value")
+      val missed = exactR.filter($"hamming" <= 3)
+        .join(found, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("missed_guaranteed_le3").as("metric"), $"value")
+      val internal = found.filter($"id1" < 400 && $"id2" < 400)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("corpus_internal").as("metric"), $"value")
+      val mismatch = found.join(fullRestricted,
+          Seq("id1", "id2", "hamming"), "left_anti")
+        .unionByName(fullRestricted.join(found,
+          Seq("id1", "id2", "hamming"), "left_anti"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("mismatch_vs_full").as("metric"), $"value")
+      val nonzero = found.agg(count(lit(1)).as("nf"))
+        .select(lit("found_pairs_nonzero").as("metric"),
+          when($"nf" > 0, 1L).otherwise(0L).as("value"))
+      nDocs.unionByName(fps).unionByName(missed).unionByName(internal)
+        .unionByName(mismatch).unionByName(nonzero)
+        .orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'false_positives', 0
+        UNION ALL SELECT 'missed_guaranteed_le3', 0
+        UNION ALL SELECT 'corpus_internal', 0
+        UNION ALL SELECT 'mismatch_vs_full', 0
+        UNION ALL SELECT 'found_pairs_nonzero', 1) m
+      ORDER BY metric""")),
+
     QueryDef("e01_stream_window", (s, dir) => {
       import s.implicits._
       // the STREAMING path itself under the oracle gate: run the

@@ -629,6 +629,50 @@ class DedupSpec extends SparkSpec {
     assert(!inc.exists { case (a, b, _) => a < 300 && b < 300 })
   }
 
+  test("simHashIncremental == full SimHash pair set restricted to batch-touching pairs") {
+    // the fingerprint member of the incremental family: identical 4×16
+    // banding + capping on both forms makes the equality deterministic
+    // below saturation, and (id1, id2, HAMMING) equality also pins the
+    // distance values, not just the pair set
+    val docs = Tables.load(spark, sf, "documents")
+    val inc = Dedup.simHashIncremental(
+        docs.filter($"doc_id" < 300), docs.filter($"doc_id" >= 300),
+        "doc_id", "text", maxHamming = 8)
+      .select($"id1", $"id2", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Dedup.dedupSimHashPairs(docs, "doc_id", "text",
+        maxHamming = 8)
+      .filter($"id2" >= 300)
+      .select($"id1", $"id2", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc == full, s"incremental=${inc.size} full-restricted=${full.size}")
+    assert(inc.nonEmpty, "vacuous equivalence — corpus lost its dups")
+    assert(!inc.exists { case (a, b, _) => a < 300 && b < 300 })
+  }
+
+  test("simHashIncremental: re-delivered ids supersede and emit no dup rows") {
+    // at-least-once ingest with an overlapping range: the batch copy
+    // supersedes, no self-pairs, ordered ids, one row per pair
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Dedup.simHashIncremental(
+        docs.filter($"doc_id" < 350), docs.filter($"doc_id" >= 300),
+        "doc_id", "text", maxHamming = 8)
+      .select($"id1", $"id2", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall { case (a, b, h) => a < b && h >= 0 && h <= 8 })
+    assert(out.length == out.map(p => (p._1, p._2)).distinct.length)
+  }
+
+  test("simHashIncremental fails fast past the saturation bound") {
+    val docs = Tables.load(spark, sf, "documents")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simHashIncremental(
+        docs.filter($"doc_id" < 300), docs.filter($"doc_id" >= 300),
+        "doc_id", "text", nRows = Some(Long.MaxValue))
+    }
+    assert(ex.getMessage.contains("saturation"))
+  }
+
   test("recall gates fail loudly on a corpus with zero exact pairs (no vacuous pass)") {
     // r14 verdict #2: the three older recall gates used to auto-pass on
     // an empty exact set (`ne === 0 ||`), so a corpus regression would

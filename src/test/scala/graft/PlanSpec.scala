@@ -477,6 +477,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
   }
 
+  test("d13 incremental SimHash: two (band,bucket) exchanges, no verify joins, no cache") {
+    // The fingerprint rides the candidate shuffle (CappedCollector of
+    // (id, sig) + sig on the probe rows), so unlike d11 there is no
+    // shared id-keyed exchange and no verify join: the plan's only
+    // id-keyed exchanges belong to the re-delivery anti-join and the
+    // pair distinct. Pin: exactly 2 (band,bucket) exchanges — corpus
+    // bucket aggregation + batch probe leg, co-partitioned (the join
+    // adds none) — one anti-join, and no post-candidate join at all
+    // (no exchange keyed on id1/id2 other than the distinct's).
+    val docs = Tables.load(spark, sf, "documents")
+    val p = finalPlan(graft.operators.Dedup.simHashIncremental(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 300),
+      "doc_id", "text", maxHamming = 8))
+    val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandExchanges == 2,
+      s"expected exactly 2 (band,bucket) exchanges — the corpus bucket " +
+      s"aggregation and the batch probe leg — got $bandExchanges:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      s"the re-delivery anti-join must appear once:\n$p")
+    val id1Exchanges = "Exchange hashpartitioning\\(id1".r.findAllIn(p).size
+    assert(id1Exchanges <= 1,
+      s"no verify joins: at most the distinct's pair exchange may key " +
+      s"on id1, got $id1Exchanges:\n$p")
+    assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
+  }
+
   test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
     // The uncapped incremental shape computes the corpus lineage once
     // (full-index leg only: the probe leg derives straight from the
