@@ -31,6 +31,34 @@ class TopKAggregator(k: Int)
   def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
 }
 
+/** Bounded BOTTOM-k of (hash, id) pairs under full tuple ordering —
+  * [[TopKAggregator]]'s shape (k-sized partial buffers, bounded merge,
+  * one shuffle of k-sized states) for [[graft.operators.Sampling]]'s
+  * per-stratum deterministic sampler. Ordering is the exact (hash, id)
+  * lexicographic order, NOT a Double score: a 52-bit hash collision at
+  * the rank-k boundary must break by id identically to the oracle's
+  * `ORDER BY hash, id`, and Double ties under TopKAggregator's
+  * strict-> reduce would instead keep whichever arrived first
+  * (merge-order-dependent). */
+class BottomKPairs(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  private val ord = Ordering.Tuple2[Long, Long]
+  private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    s.sorted(ord).take(k)
+
+  def zero: Seq[(Long, Long)] = Seq.empty
+  def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.size < k || ord.lt(in, buf.last)) trim(buf :+ in) else buf
+  def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    trim(a ++ b)
+  def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 /** `collect_list` with a hard size bound: the buffer never grows past
   * `cap + 1` elements, so a pathological group (an LSH bucket shared by
   * millions of docs) costs bounded executor memory instead of an OOM —

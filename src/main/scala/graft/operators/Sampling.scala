@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic dataset-curation sampling — the dataset-mixing
+  * primitives of a training-data pipeline ("keep 50% of en, 10% of zh,
+  * all of fr", "take exactly k eval docs per source").
+  *
+  * Both operators decide membership from a HASH of the row's key, never
+  * from `rand()` or row position, which is what makes them usable at
+  * 100 TB:
+  *  - reproducible: the same (key, seed) always lands on the same side,
+  *    across re-runs, task retries, and executor counts — a retried
+  *    partition cannot change the sample;
+  *  - incremental-consistent: membership is a pure per-row function, so
+  *    ingest batches sampled independently agree with sampling the
+  *    union (no coordination, no state);
+  *  - portable and auditable: the hash is `md5(key ":" seed)` hex — any
+  *    engine can recompute the exact membership (the DuckDB oracle
+  *    does, verbatim), unlike Spark-internal `hash()`/`sample()` whose
+  *    semantics stop at the JVM boundary.
+  *
+  * [[stratifiedSample]] is completely NARROW (a codegen'd filter — no
+  * shuffle, no state; partition-prunes and scans like any filter), the
+  * shape a rate-based mix over a 100 TB corpus must have.
+  * [[bottomKPerStratum]] ships only k-sized partial buffers per stratum
+  * through one exchange ([[graft.functions.BottomKPairs]] — the
+  * TopKAggregator shape), never a per-stratum window sort: with a
+  * handful of strata over 10¹² rows, `row_number().over(partitionBy)`
+  * would sort the entire corpus on a handful of reducers.
+  */
+object Sampling {
+
+  /** 60-bit hash point of a row key in hex space: the first 15
+    * lowercase-hex chars of `md5(key ":" seed)`. Kept as a STRING and
+    * compared lexicographically — fixed-width hex order is numeric
+    * order, both engines compare it identically, and no precision is
+    * lost to doubles. */
+  def hashPoint(key: Column, seed: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 15)
+
+  /** The 13-hex-char (52-bit) hash point as a Long — exact in the
+    * typed aggregator's tuple ordering and order-isomorphic to the
+    * oracle's substring comparison (fixed-width hex). */
+  def hashPoint52(key: Column, seed: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 13),
+      16, 10).cast(LongType)
+
+  /** Hex threshold t (15 chars) with P[hashPoint < t] = rate under a
+    * uniform hash. rate ≥ 1 returns "g" — above every hex char, so the
+    * strict < keeps everything; rate ≤ 0 returns the all-zero string,
+    * below which no hash sorts. */
+  private[graft] def hexThreshold(rate: Double): String = {
+    val space = BigInt(16).pow(15)
+    val clamped = math.min(math.max(rate, 0.0), 1.0)
+    val cut = (BigDecimal(space) * BigDecimal(clamped)).toBigInt
+    if (cut >= space) "g" else f"$cut%015x"
+  }
+
+  /** Rate-based stratified Bernoulli sample: keep a row iff its hash
+    * point falls below its stratum's threshold. Strata resolve through
+    * a literal CASE over `rates` (mixing maps are small — tens of
+    * languages/sources); strata absent from the map fall to
+    * `defaultRate`. The returned frame keeps every input column — this
+    * is a pure filter. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: String = "graft"): DataFrame = {
+    require(rates.nonEmpty, "stratifiedSample: empty rates map")
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"stratifiedSample: rate out of [0,1]: $r"))
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(defaultRate))) {
+        case (acc, (stratum, rate)) =>
+          when(col(strataCol) === lit(stratum), lit(hexThreshold(rate)))
+            .otherwise(acc)
+      }
+    df.filter(hashPoint(col(keyCol), seed) < threshold)
+  }
+
+  /** Exact-k deterministic sample per stratum: the k rows with the
+    * smallest (hash, id) per stratum, returned as
+    * (strataCol, keyCol, rnk) with rnk 1..k in hash order. Growing the
+    * corpus only ever evicts by hash order (a bottom-k sketch), so the
+    * selection is stable under ingest — a doc is evicted, never
+    * re-admitted. Keys must be Long (the repo's id convention). The
+    * aggregation ships k-sized buffers only; callers wanting full rows
+    * semi-join the result back on (strataCol, keyCol). */
+  def bottomKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"bottomKPerStratum: k must be >= 1, got $k")
+    val session = df.sparkSession
+    import session.implicits._
+    val aggc = new graft.functions.BottomKPairs(k).toColumn
+    df.filter(col(keyCol).isNotNull)
+      .select(col(strataCol).cast("string"), col(keyCol).cast(LongType),
+        hashPoint52(col(keyCol), seed))
+      .as[(String, Long, Long)]
+      .map { case (g, id, h) => (g, (h, id)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(aggc.name("bk"))
+      .flatMap { case (g, items) =>
+        items.zipWithIndex.map { case ((_, id), r) => (g, id, r + 1) } }
+      .toDF(strataCol, keyCol, "rnk")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries (dedup / similarity / text analysis /
   * multimodal) over the documents + embeddings tables. SQL-expressible ops
@@ -157,6 +157,54 @@ object Pipeline {
              CAST(CASE WHEN n_tok = 0 THEN tok_start // 2048
                   ELSE (tok_start + n_tok - 1) // 2048 END AS BIGINT) AS chunk_last
       FROM c ORDER BY doc_id""")),
+
+    // ---- curation sampling ------------------------------------------------
+    // Deterministic dataset mixing (Sampling.stratifiedSample): per-lang
+    // keep rates decided by a portable md5 hash point, so DuckDB
+    // recomputes the EXACT membership — a hash-equality oracle over the
+    // sampled ids, not a statistical gate. Exercises the rate-1.0
+    // keep-all edge (fr), distinct per-stratum thresholds, and the
+    // defaultRate fallthrough (es is absent from the map). The operator
+    // is a pure narrow filter: no shuffle, no rand(), membership a pure
+    // function of (doc_id, seed) — re-runs, retries and ingest batches
+    // agree by construction (plan-asserted shuffle-free in PlanSpec).
+    QueryDef("t11_stratified_sample", (s, dir) => {
+      import s.implicits._
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25, "zh" -> 0.1),
+          defaultRate = 0.05, seed = "s11")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(doc_id || ':s11'), 1, 15) <
+            CASE lang WHEN 'en' THEN '${Sampling.hexThreshold(0.5)}'
+                      WHEN 'fr' THEN '${Sampling.hexThreshold(1.0)}'
+                      WHEN 'de' THEN '${Sampling.hexThreshold(0.25)}'
+                      WHEN 'zh' THEN '${Sampling.hexThreshold(0.1)}'
+                      ELSE '${Sampling.hexThreshold(0.05)}' END
+      ORDER BY doc_id""")),
+
+    // Exact-k per stratum (Sampling.bottomKPerStratum): the k docs with
+    // the smallest (hash, id) per source — a per-stratum bottom-k sketch
+    // (consistent sampling: growing the corpus only evicts by hash
+    // order). BottomKPairs ships k-sized partial buffers through ONE
+    // exchange instead of window-sorting the corpus per stratum; the
+    // oracle replays the selection with row_number over the same
+    // 13-hex-char hash (fixed-width hex: string order = numeric order).
+    QueryDef("t12_sample_bottomk", (s, dir) => {
+      import s.implicits._
+      Sampling.bottomKPerStratum(t(s, dir, "documents"), "source",
+          "doc_id", k = 5, seed = "s12")
+        .select($"source", $"doc_id", $"rnk".cast("int").as("rnk"))
+        .orderBy($"source", $"rnk")
+    }, Some("""
+      SELECT source, doc_id, CAST(rnk AS INT) AS rnk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY substr(md5(doc_id || ':s12'), 1, 13), doc_id) AS rnk
+        FROM documents) x
+      WHERE rnk <= 5 ORDER BY source, rnk""")),
 
     // ---- dedup -----------------------------------------------------------
     QueryDef("d01_dedup_exact", (s, dir) => {

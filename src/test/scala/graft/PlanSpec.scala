@@ -477,6 +477,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
   }
 
+  test("t11 stratified sample: one codegen'd filter over the scan, ZERO exchanges") {
+    // the dataset-mixing primitive must stay completely narrow — no
+    // shuffle, no rand(), membership decided inside the scan's filter
+    // stage (a 100 TB rate-mix is a pure map over the corpus)
+    val docs = Tables.load(spark, sf, "documents")
+    val p = finalPlan(graft.operators.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.5, "fr" -> 1.0),
+      defaultRate = 0.05, seed = "s11"))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("*(1) Filter"),
+      s"filter must run inside whole-stage codegen, directly over the scan:\n$p")
+    assert(p.contains("FileScan"), s"expected a bare scan underneath:\n$p")
+  }
+
+  test("t12 bottom-k per stratum: ONE exchange of k-sized partial buffers") {
+    // the per-stratum exact-k sampler must use the bounded-aggregator
+    // shape (partial buffers map-side, one shuffle of k-sized states),
+    // never a per-stratum window sort of the corpus
+    val docs = Tables.load(spark, sf, "documents")
+    val p = finalPlan(graft.operators.Sampling.bottomKPerStratum(
+      docs, "source", "doc_id", k = 5, seed = "s12"))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange (the stratum aggregation), got $exchanges:\n$p")
+    assert(!p.contains("Window"), s"no window sort:\n$p")
+    assert("Aggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation (map-side k-sized buffers):\n$p")
+  }
+
   test("d13 incremental SimHash: two (band,bucket) exchanges, no verify joins, no cache") {
     // The fingerprint rides the candidate shuffle (CappedCollector of
     // (id, sig) + sig on the probe rows), so unlike d11 there is no

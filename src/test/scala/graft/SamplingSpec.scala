@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hexThreshold: boundaries, width, monotonicity") {
+    assert(Sampling.hexThreshold(0.0) == "0" * 15)
+    assert(Sampling.hexThreshold(1.0) == "g") // above every hex char
+    assert(Sampling.hexThreshold(0.5) == "8" + "0" * 14)
+    assert(Sampling.hexThreshold(-3.0) == "0" * 15) // clamped
+    assert(Sampling.hexThreshold(2.0) == "g")
+    val ts = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.99).map(Sampling.hexThreshold)
+    assert(ts == ts.sorted, s"thresholds must be monotone in rate: $ts")
+    assert(ts.forall(_.length == 15))
+  }
+
+  test("stratifiedSample: deterministic, keep-all at rate 1, drop-all at rate 0") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rates = Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.0)
+    def ids = Sampling.stratifiedSample(docs, "lang", "doc_id", rates,
+        defaultRate = 0.2, seed = "spec")
+      .select($"doc_id").as[Long].collect().toSet
+    val a = ids
+    assert(a == ids, "same (corpus, rates, seed) must give the same sample")
+    val byLang = Sampling.stratifiedSample(docs, "lang", "doc_id", rates,
+        defaultRate = 0.2, seed = "spec")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byLang("fr") == totals("fr"), "rate 1.0 must keep every row")
+    assert(!byLang.contains("de"), "rate 0.0 must drop the stratum")
+    // defaultRate applies to strata absent from the map (es, zh)
+    assert(byLang.keySet.intersect(Set("es", "zh")).nonEmpty,
+      "defaultRate 0.2 should keep some rows of unmapped strata")
+  }
+
+  test("stratifiedSample: membership is a pure per-row function (batch == union)") {
+    // the incremental-ingest contract: sampling a batch in isolation
+    // agrees with sampling the whole corpus — no coordination needed
+    val docs = Tables.load(spark, sf, "documents")
+    val rates = Map("en" -> 0.3)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "lang", "doc_id", rates,
+          defaultRate = 0.4, seed = "spec2")
+        .select($"doc_id").as[Long].collect().toSet
+    val whole = sample(docs)
+    val batch = sample(docs.filter($"doc_id" >= 200 && $"doc_id" < 300))
+    assert(batch == whole.filter(id => id >= 200 && id < 300))
+  }
+
+  test("stratifiedSample: sampled fraction tracks the rate") {
+    // statistical sanity, loose bounds (binomial n≈200+, p=0.5)
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.filter($"lang" === "en").count()
+    val got = Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("en" -> 0.5), defaultRate = 0.0, seed = "spec3").count()
+    assert(got > n * 0.3 && got < n * 0.7,
+      s"sampled $got of $n at rate 0.5 — hash point not uniform?")
+  }
+
+  test("bottomKPerStratum == window row_number over the same hash") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Sampling.bottomKPerStratum(docs, "lang", "doc_id", k = 4,
+        seed = "spec4")
+      .select($"lang", $"doc_id", $"rnk".cast("int"))
+      .as[(String, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(Sampling.hashPoint52($"doc_id", "spec4"), $"doc_id")
+    val ref = docs.select($"lang", $"doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 4)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == ref, s"got=${got.size} ref=${ref.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("bottomKPerStratum: selection is consistent under corpus growth") {
+    // bottom-k sketch property: a doc selected from the FULL corpus that
+    // exists in a prefix must also be selected from the prefix (fewer
+    // competitors can only promote, never evict)
+    val docs = Tables.load(spark, sf, "documents")
+    val prefix = docs.filter($"doc_id" < 150)
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomKPerStratum(df, "lang", "doc_id", k = 3, seed = "spec5")
+        .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val full = sel(docs)
+    val pre = sel(prefix)
+    val fullInPrefix = full.filter(_._2 < 150)
+    assert(fullInPrefix.subsetOf(pre),
+      s"full-corpus picks present in the prefix must survive prefix " +
+      s"sampling: ${fullInPrefix -- pre}")
+  }
+
+  test("stratifiedSample rejects out-of-range rates and empty maps") {
+    val docs = Tables.load(spark, sf, "documents")
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, "lang", "doc_id", Map.empty[String, Double])
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bottomKPerStratum(docs, "lang", "doc_id", k = 0)
+    }
+  }
+}
