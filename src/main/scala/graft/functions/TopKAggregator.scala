@@ -16,48 +16,44 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class ScoredId(id: Long, score: Double)
 
-class TopKAggregator(k: Int)
-    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+/** The shared bounded-k machinery under an explicit TOTAL order: each
+  * partition keeps the k smallest elements by `ord` (partial
+  * aggregation), merge is bounded merge. The order must be total and
+  * must match the oracle's ORDER BY exactly — a boundary tie under a
+  * partial order (the original TopKAggregator compared score alone)
+  * keeps whichever element arrived first, i.e. merge-order-dependent
+  * output. Instances pick the order; the encoders come from the
+  * element TypeTag (the CappedCollector pattern). */
+abstract class BoundedKAggregator[T: scala.reflect.runtime.universe.TypeTag](
+    k: Int, ord: Ordering[T])
+    extends Aggregator[T, Seq[T], Seq[T]] {
 
-  private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
-    s.sortBy(x => (-x.score, x.id)).take(k)
+  private def trim(s: Seq[T]): Seq[T] = s.sorted(ord).take(k)
 
-  def zero: Seq[ScoredId] = Seq.empty
-  def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
-    if (buf.size < k || in.score > buf.last.score) trim(buf :+ in) else buf
-  def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = trim(a ++ b)
-  def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
-  def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
-  def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
-}
-
-/** Bounded BOTTOM-k of (hash, id) pairs under full tuple ordering —
-  * [[TopKAggregator]]'s shape (k-sized partial buffers, bounded merge,
-  * one shuffle of k-sized states) for [[graft.operators.Sampling]]'s
-  * per-stratum deterministic sampler. Ordering is the exact (hash, id)
-  * lexicographic order, NOT a Double score: a 52-bit hash collision at
-  * the rank-k boundary must break by id identically to the oracle's
-  * `ORDER BY hash, id`, and Double ties under TopKAggregator's
-  * strict-> reduce would instead keep whichever arrived first
-  * (merge-order-dependent). */
-class BottomKPairs(k: Int)
-    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-
-  private val ord = Ordering.Tuple2[Long, Long]
-  private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    s.sorted(ord).take(k)
-
-  def zero: Seq[(Long, Long)] = Seq.empty
-  def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+  def zero: Seq[T] = Seq.empty
+  def reduce(buf: Seq[T], in: T): Seq[T] =
     if (buf.size < k || ord.lt(in, buf.last)) trim(buf :+ in) else buf
-  def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    trim(a ++ b)
-  def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
-  def bufferEncoder: Encoder[Seq[(Long, Long)]] =
-    ExpressionEncoder[Seq[(Long, Long)]]()
-  def outputEncoder: Encoder[Seq[(Long, Long)]] =
-    ExpressionEncoder[Seq[(Long, Long)]]()
+  def merge(a: Seq[T], b: Seq[T]): Seq[T] = trim(a ++ b)
+  def finish(buf: Seq[T]): Seq[T] = buf
+  def bufferEncoder: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
+  def outputEncoder: Encoder[Seq[T]] = ExpressionEncoder[Seq[T]]()
 }
+
+/** Top-k by score, ids ascending within a score — the (−score, id)
+  * instance. The tuple order makes the rank-k boundary DETERMINISTIC
+  * under score ties (matching s03's oracle `ORDER BY price DESC, id`);
+  * the pre-r15 reduce compared score alone and kept the first arrival. */
+class TopKAggregator(k: Int)
+    extends BoundedKAggregator[ScoredId](
+      k, Ordering.by((x: ScoredId) => (-x.score, x.id)))
+
+/** Bottom-k of (hash, id) pairs under exact tuple ordering — for
+  * [[graft.operators.Sampling]]'s per-stratum deterministic sampler. A
+  * 52-bit hash collision at the rank-k boundary breaks by id exactly
+  * like the oracle's `ORDER BY hash, id`; no Double score is involved,
+  * so no precision or tie ambiguity exists. */
+class BottomKPairs(k: Int)
+    extends BoundedKAggregator[(Long, Long)](k, Ordering.Tuple2[Long, Long])
 
 /** `collect_list` with a hard size bound: the buffer never grows past
   * `cap + 1` elements, so a pathological group (an LSH bucket shared by

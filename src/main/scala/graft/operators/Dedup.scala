@@ -621,15 +621,8 @@ object Dedup {
         "be silently dropped. Use dedupSimHashPairsWide (128-bit " +
         "fingerprint, occupancy-sized bands).")
     }
-    val sigs = df.select(col(idCol),
-      SimHash64.simhash64(
-        graft.functions.TokenizeWords.tokenizeWords(col(textCol))).as("sig"))
-    val chunked = sigs.select(col(idCol), col("sig"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("band"),
-               shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sigs = df.select(col(idCol), simhash64Sig(col(textCol)).as("sig"))
+    val chunked = simhash64Chunks(sigs, "sig")
     val cappedPairs = udaf(new graft.functions.CappedCollector[(Long, Long)](maxBucket))
     chunked.groupBy(col("band"), col("bucket"))
       .agg(cappedPairs(col(idCol), col("sig")).as("__xs"))
@@ -643,6 +636,27 @@ object Dedup {
       .filter(col("id1") < col("id2")) // no self-pairs from duplicate ids
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The 64-bit fingerprint of tokenized text — ONE definition shared by
+    * the full and incremental SimHash operators, so their "identical
+    * banding ⇒ incremental == full-restricted" adoption contract is
+    * enforced by construction, not only by the equivalence specs. */
+  private def simhash64Sig(text: Column): Column =
+    SimHash64.simhash64(graft.functions.TokenizeWords.tokenizeWords(text))
+
+  /** The fixed 4×16-bit chunk explode over a frame carrying `sigCol`:
+    * appends (band, bucket) — one output row per chunk — keeping every
+    * input column. Shared band derivation of [[dedupSimHashPairs]] and
+    * [[simHashIncremental]] (same contract note as [[simhash64Sig]]). */
+  private def simhash64Chunks(sigs: DataFrame, sigCol: String): DataFrame = {
+    val chunks = array((0 until 4).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col(sigCol), c * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }: _*)
+    sigs.withColumn("bb", explode(chunks))
+      .select(sigs.columns.map(col) :+ col("bb.band").as("band") :+
+        col("bb.bucket").as("bucket"): _*)
   }
 
   /** Corpus size at which [[dedupSimHashPairs]]'s fixed 16-bit band
@@ -1376,20 +1390,11 @@ object Dedup {
     val freshCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
     val all = freshCorpus.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
-    def chunkRows(frame: DataFrame, outId: String, outSig: String) = frame
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol).as(outId),
-        SimHash64.simhash64(
-          graft.functions.TokenizeWords.tokenizeWords(col(textCol)))
-          .as(outSig))
-      .select(col(outId), col(outSig),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("band"),
-            shiftright(col(outSig), c * 16).bitwiseAND(lit(0xffffL))
-              .as("bucket"))
-        }: _*)).as("bb"))
-      .select(col(outId), col(outSig),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    def chunkRows(frame: DataFrame, outId: String, outSig: String) =
+      simhash64Chunks(
+        frame.filter(col(idCol).isNotNull)
+          .select(col(idCol).as(outId), simhash64Sig(col(textCol)).as(outSig)),
+        outSig)
     val cappedPairs =
       udaf(new graft.functions.CappedCollector[(Long, Long)](maxBucket))
     // the ONE corpus-wide shuffle: per-(band, bucket) capped (id, sig)

@@ -41,12 +41,13 @@ object Sampling {
   def hashPoint(key: Column, seed: String): Column =
     substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 15)
 
-  /** The 13-hex-char (52-bit) hash point as a Long — exact in the
-    * typed aggregator's tuple ordering and order-isomorphic to the
-    * oracle's substring comparison (fixed-width hex). */
+  /** The 13-hex-char (52-bit) prefix of THE SAME hash point as a Long —
+    * exact in the typed aggregator's tuple ordering and
+    * order-isomorphic to the oracle's substring comparison (fixed-width
+    * hex). Derived from [[hashPoint]] so the two operators can never
+    * disagree on what the hash of a key is. */
   def hashPoint52(key: Column, seed: String): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 13),
-      16, 10).cast(LongType)
+    conv(substring(hashPoint(key, seed), 1, 13), 16, 10).cast(LongType)
 
   /** Hex threshold t (15 chars) with P[hashPoint < t] = rate under a
     * uniform hash. rate ≥ 1 returns "g" — above every hex char, so the
@@ -91,6 +92,14 @@ object Sampling {
   def bottomKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       k: Int, seed: String = "graft"): DataFrame = {
     require(k >= 1, s"bottomKPerStratum: k must be >= 1, got $k")
+    // fail fast on a non-integral key: a silent cast-to-null would
+    // surface as an opaque encoder error deep inside the job
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType).contains(keyType),
+      s"bottomKPerStratum: keyCol '$keyCol' must be an integral id " +
+      s"column (the repo's Long id convention), got $keyType")
     val session = df.sparkSession
     import session.implicits._
     val aggc = new graft.functions.BottomKPairs(k).toColumn

@@ -1133,9 +1133,12 @@ object Pipeline {
           bit_count($"s1".bitwiseXOR($"s2")).as("hamming"))
         .filter($"hamming" <= 8 && $"id2" >= 400)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted: the bidirectional mismatch union reads it twice (the
+      // d12 gate's pattern) — without this the full operator runs twice
       val fullRestricted = Dedup.dedupSimHashPairs(docs, "doc_id", "text",
           maxHamming = 8)
         .filter($"id2" >= 400).select($"id1", $"id2", $"hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDocs = docs.agg(count(lit(1)).as("value"))
         .select(lit("n_docs").as("metric"), $"value")
       val fps = found.join(exactR, Seq("id1", "id2", "hamming"), "left_anti")
