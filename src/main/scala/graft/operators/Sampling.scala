@@ -81,6 +81,52 @@ object Sampling {
     df.filter(hashPoint(col(keyCol), seed) < threshold)
   }
 
+  /** Per-row WEIGHTED Bernoulli sample: keep a row with probability
+    * `weight` (clamped to [0, 1]) — quality-weighted corpus mixing
+    * ("keep high-quality docs with p∝score"). The row's own weight is
+    * its threshold: keep iff hashPoint52 < ⌊weight·2⁵²⌋, so weight 1
+    * keeps with certainty (the hash never reaches 2⁵²) and weight 0
+    * never keeps. Same purity properties as [[stratifiedSample]] —
+    * narrow, reproducible, batch-consistent — provided `weight` is
+    * itself deterministic per row. The floor (not a rounding cast) is
+    * part of the portable definition: engines disagree on
+    * double→int rounding, never on floor. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      seed: String = "graft"): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val cut = floor(w * lit(4503599627370496.0)).cast(LongType) // 2^52
+    df.filter(hashPoint52(col(keyCol), seed) < cut)
+  }
+
+  /** Deterministic multi-way split — train/val/test assignment by hash
+    * range: a row's split is the first cut its hash point falls under.
+    * Weights must sum to 1 (±1e-9). Appends a `split` column; no row is
+    * dropped, every row lands in exactly one split (the last split's
+    * upper cut is forced to the keep-all sentinel so floating-point
+    * cumulation can never leak a row past the end). Same hash point and
+    * purity properties as the samplers: membership survives re-runs,
+    * retries, and ingest batching, and any engine with md5 can audit
+    * the assignment. */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      seed: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: empty split list")
+    splits.foreach { case (n, w) =>
+      require(w >= 0.0 && w <= 1.0, s"hashSplit: weight out of [0,1]: $n=$w") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"hashSplit: weights must sum to 1, got $total")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "hashSplit: duplicate split names")
+    val h = hashPoint(col(keyCol), seed)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val splitCol = splits.init.zip(cuts.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cut), acc) =>
+          when(h < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", splitCol)
+  }
+
   /** Exact-k deterministic sample per stratum: the k rows with the
     * smallest (hash, id) per stratum, returned as
     * (strataCol, keyCol, rnk) with rnk 1..k in hash order. Growing the

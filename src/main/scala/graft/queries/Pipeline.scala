@@ -206,6 +206,51 @@ object Pipeline {
         FROM documents) x
       WHERE rnk <= 5 ORDER BY source, rnk""")),
 
+    // Per-row weighted Bernoulli (Sampling.weightedSample): keep with
+    // p = min(1, n_chars/2000) — quality-weighted mixing where the
+    // row's own weight is its hash threshold. The oracle replays the
+    // exact membership: both engines floor(w·2⁵²) (floor, never a
+    // rounding cast — they disagree on rounding, never on floor) and
+    // the w ≥ 1 branch maps to the 'g' keep-all sentinel because
+    // printf('%013x', 2⁵²) would be 14 chars and break the fixed-width
+    // lexicographic = numeric equivalence. Narrow filter, zero
+    // exchanges (plan-asserted with t11).
+    QueryDef("t13_weighted_sample", (s, dir) => {
+      import s.implicits._
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          $"n_chars" / lit(2000.0), seed = "s13")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, n_chars FROM documents
+      WHERE substr(md5(doc_id || ':s13'), 1, 13) <
+            CASE WHEN n_chars >= 2000 THEN 'g'
+                 ELSE printf('%013x',
+                   CAST(floor(n_chars / 2000.0 * 4503599627370496) AS BIGINT))
+            END
+      ORDER BY doc_id""")),
+
+    // Deterministic train/val/test assignment (Sampling.hashSplit):
+    // every row lands in exactly one split by hash range — the
+    // membership any engine can audit (the oracle replays the CASE over
+    // the same cumulative hex cuts; the last split is the ELSE arm, so
+    // floating-point cumulation can never leak a row). A pure projected
+    // column: no row dropped, no shuffle.
+    QueryDef("t14_hash_split", (s, dir) => {
+      import s.implicits._
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s14")
+        .select($"doc_id", $"split")
+        .orderBy($"doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id || ':s14'), 1, 15) <
+                       '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                  WHEN substr(md5(doc_id || ':s14'), 1, 15) <
+                       '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     // ---- dedup -----------------------------------------------------------
     QueryDef("d01_dedup_exact", (s, dir) => {
       Dedup.exactDupStats(t(s, dir, "documents"), "text")

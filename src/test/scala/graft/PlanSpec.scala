@@ -491,6 +491,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FileScan"), s"expected a bare scan underneath:\n$p")
   }
 
+  test("t13/t14 weighted sample + hash split: narrow, zero exchanges") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p13 = finalPlan(graft.operators.Sampling.weightedSample(
+      docs, "doc_id", col("n_chars").cast("double") / lit(2000.0), "s13"))
+    assert(!p13.contains("Exchange"), s"weighted sample must not shuffle:\n$p13")
+    assert(p13.contains("*(1) Filter"), s"filter must codegen over the scan:\n$p13")
+    val p14 = finalPlan(graft.operators.Sampling.hashSplit(
+      docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s14"))
+    assert(!p14.contains("Exchange"), s"hash split must not shuffle:\n$p14")
+    assert(p14.contains("*(1) Project") && !p14.contains("Filter ("),
+      s"hash split drops no rows — a codegen'd projected column only:\n$p14")
+  }
+
   test("t12 bottom-k per stratum: ONE exchange of k-sized partial buffers") {
     // the per-stratum exact-k sampler must use the bounded-aggregator
     // shape (partial buffers map-side, one shuffle of k-sized states),

@@ -96,6 +96,68 @@ class SamplingSpec extends SparkSpec {
       s"sampling: ${fullInPrefix -- pre}")
   }
 
+  test("weightedSample: weight 1 keeps all, weight 0 drops all, monotone in weight") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0), "w1").count() == n,
+      "weight 1.0 must keep every row (hash never reaches 2^52)")
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0), "w1").count() == 0)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(7.5), "w1").count() == n,
+      "weights clamp to [0,1]")
+    // monotone: at a fixed (key, seed), raising the weight only admits
+    val lo = Sampling.weightedSample(docs, "doc_id", lit(0.3), "w2")
+      .select($"doc_id").as[Long].collect().toSet
+    val hi = Sampling.weightedSample(docs, "doc_id", lit(0.7), "w2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), s"lo∖hi = ${lo -- hi}")
+    assert(lo.size < hi.size && hi.size < n)
+  }
+
+  test("weightedSample: per-row weights track the weight column") {
+    // rows with weight ~0.9 should survive far more often than ~0.1
+    val docs = Tables.load(spark, sf, "documents")
+    val weighted = docs.withColumn("w",
+      when($"doc_id" % 2 === 0, 0.9).otherwise(0.1))
+    val kept = Sampling.weightedSample(weighted, "doc_id", $"w", "w3")
+      .groupBy(($"doc_id" % 2).as("par")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(kept.getOrElse(0L, 0L) > kept.getOrElse(1L, 0L) * 3,
+      s"expected ~9x keep ratio between the weight classes: $kept")
+  }
+
+  test("hashSplit: exactly one split per row, proportions track weights, deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp1")
+    val counts = split.groupBy($"split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n, "no row dropped or duplicated")
+    assert(counts("train") > n * 6 / 10, s"train share off: $counts")
+    assert(counts("val") < n * 2 / 10 && counts("test") < n * 2 / 10)
+    // pure per-row assignment: a row's split is the same in any subset
+    val whole = split.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val sub = Sampling.hashSplit(docs.filter($"doc_id" < 100), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp1")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(sub == whole.filter(_._1 < 100))
+  }
+
+  test("hashSplit validates weights and names") {
+    val docs = Tables.load(spark, sf, "documents")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq.empty)
+    }
+  }
+
   test("stratifiedSample rejects out-of-range rates and empty maps") {
     val docs = Tables.load(spark, sf, "documents")
     intercept[IllegalArgumentException] {
