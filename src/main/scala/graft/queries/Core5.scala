@@ -109,6 +109,11 @@ object Core5 {
     // RNG state, identical on any cluster size), plus the rate-based
     // membership flag (first hex digit < '4' ≈ 25%). md5-over-id is
     // engine-portable so the oracle reproduces the exact sample.
+    // NOTE: this query predates `operators/Sampling` and keeps the
+    // WINDOW-sorted form as the teaching twin (the q33/q82 pattern) —
+    // production callers use Sampling.bottomKPerStratum (one exchange of
+    // k-sized bounded-agg buffers, t12) and Sampling.stratifiedSample
+    // (zero-exchange rate mixing, t11) instead of sorting each stratum.
     QueryDef("q62_stratified_sample", (s, dir) => {
       import s.implicits._
       val h = md5($"doc_id".cast(StringType).cast(BinaryType))
