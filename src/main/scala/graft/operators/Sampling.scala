@@ -127,6 +127,87 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Per-stratum BUDGET sample — "take B tokens from each source", the
+    * pretraining-mix primitive: rows are admitted in hash-point order
+    * until the stratum's cumulative cost reaches `budget` (a row is
+    * kept iff the cost of the rows BEFORE it is < budget, so a nonzero
+    * budget always admits the first row and the crossing row is
+    * included). Deterministic and auditable like the other samplers —
+    * the admitted set is a pure function of (corpus, seed, budget) —
+    * but inherently corpus-dependent (adding docs can evict, exactly
+    * like [[bottomKPerStratum]]); it IS monotone in budget (a bigger
+    * budget only admits more, spec-pinned).
+    *
+    * Scale shape: the admitted set is a hash-order PREFIX, so the
+    * operator never sorts the corpus. Phase 1 aggregates per-stratum
+    * cost totals (one narrow partial agg; only #strata rows reach the
+    * driver — the k-means K×dim precedent). Phase 2 presamples each
+    * stratum at rate margin·budget/total with [[hashPoint]] (a narrow
+    * filter; both the presample and the admitted set are DOWNWARD-
+    * CLOSED in the same (hash, id) order, so presample-cost ≥ budget
+    * PROVES the presample contains the whole admitted prefix — when a
+    * skewed stratum under-covers, the rate doubles and the check
+    * re-runs: ≤ log₂(1/rate) driver-side rounds, each one job). Phase 3
+    * window-sorts ONLY the presample (≈ margin·budget worth of rows per
+    * stratum, never the corpus) to apply the exact cumulative cut.
+    * Requires a deterministic input lineage (the phases re-read it). */
+  def budgetSample(df: DataFrame, strataCol: String, keyCol: String,
+      costCol: String, budget: Long, seed: String = "graft",
+      margin: Double = 2.0): DataFrame = {
+    require(budget >= 0, s"budgetSample: negative budget: $budget")
+    require(margin > 1.0, s"budgetSample: margin must exceed 1: $margin")
+    InputContracts.requireDeterministic(df, "budgetSample")
+    val base = df.filter(col(strataCol).isNotNull) // null strata dropped
+    if (budget == 0) return base.filter(lit(false))
+    val strata = col(strataCol).cast("string")
+    // phase 1: per-stratum totals — #strata rows, driver-bounded
+    val totals = base.groupBy(strata.as("__s"))
+      .agg(sum(col(costCol)).cast(LongType).as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val h = hashPoint(col(keyCol), seed)
+    // phase 2: rate-doubling until every stratum's presample PROVABLY
+    // covers its budget prefix — presample cost ≥ budget, or the whole
+    // stratum is in. A stratum absent from the presample aggregation
+    // (rate so small no hash falls under it) counts as coverage 0.
+    var rates: Map[String, Double] = totals.map { case (s, t) =>
+      s -> (if (t <= budget) 1.0 else
+        math.min(1.0, margin * budget.toDouble / t.toDouble))
+    }
+    def thresholdCol(rs: Map[String, Double]): Column =
+      rs.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(0.0))) {
+        case (acc, (stratum, rate)) =>
+          when(strata === lit(stratum), lit(hexThreshold(rate)))
+            .otherwise(acc)
+      }
+    var guard = 0
+    var needDouble = Set.empty[String]
+    while ({
+      val covered = base.filter(h < thresholdCol(rates))
+        .groupBy(strata.as("__s"))
+        .agg(sum(col(costCol)).cast(LongType).as("__c"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      needDouble = rates.keySet.filter(s =>
+        rates(s) < 1.0 && covered.getOrElse(s, 0L) < budget)
+      if (needDouble.nonEmpty)
+        rates = rates ++ needDouble.map(s => s -> math.min(1.0, rates(s) * 2))
+      guard += 1
+      require(guard <= 64, "budgetSample: rate doubling did not converge")
+      needDouble.nonEmpty
+    }) ()
+    // phase 3: the exact cumulative cut, windowed over the presample only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(h.asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.filter(h < thresholdCol(rates))
+      .withColumn("__before", coalesce(sum(col(costCol)).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__before")
+  }
+
   /** Exact-k deterministic sample per stratum: the k rows with the
     * smallest (hash, id) per stratum, returned as
     * (strataCol, keyCol, rnk) with rnk 1..k in hash order. Growing the

@@ -251,6 +251,33 @@ object Pipeline {
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // Per-stratum budget sampling (Sampling.budgetSample): "take 5000
+    // chars from each source" — rows admitted in hash order until the
+    // stratum's cumulative cost crosses the budget. The operator never
+    // sorts the corpus: it presamples each stratum at margin·budget/total
+    // (downward-closed in the same (hash, id) order, so presample cost ≥
+    // budget PROVES the admitted prefix is inside; skew-safe via
+    // rate-doubling rounds) and windows only the presample. The oracle
+    // replays the ENTIRE admitted set with a full window — equality
+    // holds because phase 3 applies the exact cumulative cut, whatever
+    // presample path got there. Plan-asserted: the md5 presample filter
+    // sits BELOW the window.
+    QueryDef("t15_budget_sample", (s, dir) => {
+      import s.implicits._
+      Sampling.budgetSample(t(s, dir, "documents"), "source", "doc_id",
+          "n_chars", budget = 5000L, seed = "s15")
+        .select($"source", $"doc_id", $"n_chars")
+        .orderBy($"source", $"doc_id")
+    }, Some("""
+      WITH h AS (SELECT source, doc_id, n_chars,
+                   substr(md5(doc_id || ':s15'), 1, 15) AS hp FROM documents),
+      c AS (SELECT source, doc_id, n_chars,
+              COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY hp, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM h)
+      SELECT source, doc_id, n_chars FROM c WHERE bef < 5000
+      ORDER BY source, doc_id""")),
+
     // ---- dedup -----------------------------------------------------------
     QueryDef("d01_dedup_exact", (s, dir) => {
       Dedup.exactDupStats(t(s, dir, "documents"), "text")

@@ -504,6 +504,24 @@ class PlanSpec extends SparkSpec {
       s"hash split drops no rows — a codegen'd projected column only:\n$p14")
   }
 
+  test("t15 budget sample: the window runs over the presample, never the corpus") {
+    // the exact cumulative cut may window-sort only the md5-presampled
+    // rows (≈ margin·budget per stratum): the presample Filter must sit
+    // BELOW the Window in the returned plan, and exactly one Window /
+    // one stratum exchange may appear
+    val docs = Tables.load(spark, sf, "documents")
+    val p = finalPlan(graft.operators.Sampling.budgetSample(
+      docs, "source", "doc_id", "n_chars", budget = 3000L, seed = "s15"))
+    assert("Window \\[".r.findAllIn(p).size == 1, s"one window:\n$p")
+    val iWin = p.indexOf("Window")
+    val iMd5 = p.indexOf("md5")
+    assert(iWin >= 0 && iMd5 > iWin,
+      s"the md5 presample filter must be below the window (a child of " +
+      s"it), not above:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one stratum exchange:\n$p")
+  }
+
   test("t12 bottom-k per stratum: ONE exchange of k-sized partial buffers") {
     // the per-stratum exact-k sampler must use the bounded-aggregator
     // shape (partial buffers map-side, one shuffle of k-sized states),

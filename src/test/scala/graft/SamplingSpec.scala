@@ -158,6 +158,50 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budgetSample == full-window reference, at generous and tight margins") {
+    val docs = Tables.load(spark, sf, "documents")
+    def ref(budget: Long) = {
+      val h = Sampling.hashPoint($"doc_id", "bs1")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs.withColumn("bef", coalesce(sum($"n_chars").over(w), lit(0L)))
+        .filter($"bef" < budget)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    for (budget <- Seq(1000L, 5000L); margin <- Seq(2.0, 1.01)) {
+      val got = Sampling.budgetSample(docs, "source", "doc_id", "n_chars",
+          budget, "bs1", margin = margin)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == ref(budget),
+        s"budget=$budget margin=$margin: got=${got.size} ref=${ref(budget).size}")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("budgetSample: monotone in budget, exact edges, first-row admission") {
+    val docs = Tables.load(spark, sf, "documents")
+    def ids(b: Long) = Sampling.budgetSample(docs, "source", "doc_id",
+        "n_chars", b, "bs2")
+      .select($"doc_id").as[Long].collect().toSet
+    val small = ids(800L)
+    val big = ids(8000L)
+    assert(small.subsetOf(big), "a bigger budget must only admit more")
+    assert(small.size < big.size)
+    assert(ids(0L).isEmpty, "budget 0 admits nothing")
+    assert(ids(100000000L) == docs.select($"doc_id").as[Long].collect().toSet,
+      "a budget past every stratum's total admits the whole corpus")
+    // budget > 0 admits at least one row per non-empty stratum (the
+    // crossing row is included)
+    val perStratum = Sampling.budgetSample(docs, "source", "doc_id",
+        "n_chars", 1L, "bs2")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val nStrata = docs.select($"source").distinct().count()
+    assert(perStratum.length == nStrata && perStratum.forall(_._2 == 1),
+      s"budget 1 must admit exactly the first row of each stratum: ${perStratum.toSeq}")
+  }
+
   test("stratifiedSample rejects out-of-range rates and empty maps") {
     val docs = Tables.load(spark, sf, "documents")
     intercept[IllegalArgumentException] {
