@@ -60,25 +60,33 @@ object Sampling {
     if (cut >= space) "g" else f"$cut%015x"
   }
 
+  /** Per-stratum threshold CASE: the sorted fold of
+    * when(strata === s, hexThreshold(rate)) with a default arm — the
+    * single construction [[stratifiedSample]] and [[budgetSample]]
+    * share (one definition of how a rate map becomes a threshold
+    * column). */
+  private def rateCase(strata: Column, rates: Map[String, Double],
+      defaultRate: Double): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(strata === lit(stratum), lit(hexThreshold(rate))).otherwise(acc)
+    }
+
   /** Rate-based stratified Bernoulli sample: keep a row iff its hash
     * point falls below its stratum's threshold. Strata resolve through
     * a literal CASE over `rates` (mixing maps are small — tens of
     * languages/sources); strata absent from the map fall to
     * `defaultRate`. The returned frame keeps every input column — this
-    * is a pure filter. */
+    * is a pure filter. Rows with a null key are unhashable and drop out
+    * (the null predicate — the kit's convention). */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       seed: String = "graft"): DataFrame = {
     require(rates.nonEmpty, "stratifiedSample: empty rates map")
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"stratifiedSample: rate out of [0,1]: $r"))
-    val threshold = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(hexThreshold(defaultRate))) {
-        case (acc, (stratum, rate)) =>
-          when(col(strataCol) === lit(stratum), lit(hexThreshold(rate)))
-            .otherwise(acc)
-      }
-    df.filter(hashPoint(col(keyCol), seed) < threshold)
+    df.filter(hashPoint(col(keyCol), seed) <
+      rateCase(col(strataCol), rates, defaultRate))
   }
 
   /** Per-row WEIGHTED Bernoulli sample: keep a row with probability
@@ -90,23 +98,30 @@ object Sampling {
     * narrow, reproducible, batch-consistent — provided `weight` is
     * itself deterministic per row. The floor (not a rounding cast) is
     * part of the portable definition: engines disagree on
-    * double→int rounding, never on floor. */
+    * double→int rounding, never on floor. A NaN weight DROPS the row
+    * (fail-safe: Spark orders NaN above every double, so a bare
+    * least/greatest clamp would silently turn a broken upstream score
+    * into keep-all); a null weight drops via the null predicate. */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
       seed: String = "graft"): DataFrame = {
-    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val wd = weight.cast("double")
+    val w = when(isnan(wd), lit(0.0))
+      .otherwise(least(greatest(wd, lit(0.0)), lit(1.0)))
     val cut = floor(w * lit(4503599627370496.0)).cast(LongType) // 2^52
     df.filter(hashPoint52(col(keyCol), seed) < cut)
   }
 
   /** Deterministic multi-way split — train/val/test assignment by hash
     * range: a row's split is the first cut its hash point falls under.
-    * Weights must sum to 1 (±1e-9). Appends a `split` column; no row is
-    * dropped, every row lands in exactly one split (the last split's
-    * upper cut is forced to the keep-all sentinel so floating-point
-    * cumulation can never leak a row past the end). Same hash point and
-    * purity properties as the samplers: membership survives re-runs,
-    * retries, and ingest batching, and any engine with md5 can audit
-    * the assignment. */
+    * Weights must sum to 1 (±1e-9). Appends a `split` column; every
+    * HASHABLE row lands in exactly one split (the last split is the
+    * ELSE arm, so floating-point cumulation can never leak a row past
+    * the end). Rows with a null key are DROPPED like the samplers drop
+    * them — without the filter a null hash would fall through every
+    * `when` into the last split, silently contaminating the eval split
+    * with rows no engine can audit by md5. Same hash point and purity
+    * properties as the samplers: membership survives re-runs, retries,
+    * and ingest batching. */
   def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
       seed: String = "graft"): DataFrame = {
     require(splits.nonEmpty, "hashSplit: empty split list")
@@ -124,7 +139,7 @@ object Sampling {
         case (((name, _), cut), acc) =>
           when(h < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
       }
-    df.withColumn("split", splitCol)
+    df.filter(col(keyCol).isNotNull).withColumn("split", splitCol)
   }
 
   /** Per-stratum BUDGET sample — "take B tokens from each source", the
@@ -160,11 +175,24 @@ object Sampling {
     val base = df.filter(col(strataCol).isNotNull) // null strata dropped
     if (budget == 0) return base.filter(lit(false))
     val strata = col(strataCol).cast("string")
-    // phase 1: per-stratum totals — #strata rows, driver-bounded
+    // phase 1: per-stratum totals — #strata rows, driver-bounded. The
+    // sums are null-safe (an all-null-cost stratum totals 0, its rows
+    // admitted at zero cost like the window treats them), and a
+    // NEGATIVE cost fails fast here: the downward-closed containment
+    // proof needs a monotone cumulative sum, so with negative costs the
+    // presample could exclude rows the exact definition admits.
     val totals = base.groupBy(strata.as("__s"))
-      .agg(sum(col(costCol)).cast(LongType).as("__t"))
+      .agg(coalesce(sum(col(costCol)), lit(0L)).cast(LongType).as("__t"),
+        min(col(costCol)).cast(LongType).as("__min"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map { r =>
+        val mn = if (r.isNullAt(2)) 0L else r.getLong(2)
+        require(mn >= 0,
+          s"budgetSample: negative cost in stratum '${r.getString(0)}' " +
+          s"(min=$mn) — the hash-prefix containment argument requires " +
+          "non-negative costs")
+        r.getString(0) -> r.getLong(1)
+      }
       .toMap
     val h = hashPoint(col(keyCol), seed)
     // phase 2: rate-doubling until every stratum's presample PROVABLY
@@ -175,18 +203,12 @@ object Sampling {
       s -> (if (t <= budget) 1.0 else
         math.min(1.0, margin * budget.toDouble / t.toDouble))
     }
-    def thresholdCol(rs: Map[String, Double]): Column =
-      rs.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(0.0))) {
-        case (acc, (stratum, rate)) =>
-          when(strata === lit(stratum), lit(hexThreshold(rate)))
-            .otherwise(acc)
-      }
     var guard = 0
     var needDouble = Set.empty[String]
     while ({
-      val covered = base.filter(h < thresholdCol(rates))
+      val covered = base.filter(h < rateCase(strata, rates, 0.0))
         .groupBy(strata.as("__s"))
-        .agg(sum(col(costCol)).cast(LongType).as("__c"))
+        .agg(coalesce(sum(col(costCol)), lit(0L)).cast(LongType).as("__c"))
         .collect()
         .map(r => r.getString(0) -> r.getLong(1))
         .toMap
@@ -202,7 +224,7 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strata).orderBy(h.asc, col(keyCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    base.filter(h < thresholdCol(rates))
+    base.filter(h < rateCase(strata, rates, 0.0))
       .withColumn("__before", coalesce(sum(col(costCol)).over(w), lit(0L)))
       .filter(col("__before") < budget)
       .drop("__before")

@@ -270,7 +270,8 @@ object Pipeline {
         .orderBy($"source", $"doc_id")
     }, Some("""
       WITH h AS (SELECT source, doc_id, n_chars,
-                   substr(md5(doc_id || ':s15'), 1, 15) AS hp FROM documents),
+                   substr(md5(doc_id || ':s15'), 1, 15) AS hp
+                 FROM documents WHERE source IS NOT NULL),
       c AS (SELECT source, doc_id, n_chars,
               COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY hp, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef

@@ -202,6 +202,29 @@ class SamplingSpec extends SparkSpec {
       s"budget 1 must admit exactly the first row of each stratum: ${perStratum.toSeq}")
   }
 
+  test("fail-safe edges: NaN weights drop, null keys drop from splits, negative costs reject") {
+    val docs = Tables.load(spark, sf, "documents")
+    // NaN weight = broken upstream score — must DROP, not keep-all
+    // (Spark orders NaN above every double, so a bare clamp keeps it)
+    assert(Sampling.weightedSample(docs, "doc_id",
+      lit(Double.NaN), "nan1").count() == 0)
+    // null keys are unhashable: hashSplit must drop them, not let them
+    // fall through every when() into the last (eval!) split
+    val withNull = docs.withColumn("k",
+      when($"doc_id" % 7 === 0, lit(null).cast("long")).otherwise($"doc_id"))
+    val split = Sampling.hashSplit(withNull, "k",
+      Seq("train" -> 0.9, "test" -> 0.1), "sp2")
+    assert(split.filter($"k".isNull).count() == 0)
+    assert(split.count() == withNull.filter($"k".isNotNull).count())
+    // negative costs break the presample-containment proof — fail fast
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.budgetSample(
+        docs.withColumn("c", $"n_chars" - lit(100000L)),
+        "source", "doc_id", "c", budget = 500L, seed = "bs3")
+    }
+    assert(ex.getMessage.contains("negative cost"))
+  }
+
   test("stratifiedSample rejects out-of-range rates and empty maps") {
     val docs = Tables.load(spark, sf, "documents")
     intercept[IllegalArgumentException] {
