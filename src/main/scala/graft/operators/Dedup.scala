@@ -642,14 +642,14 @@ object Dedup {
     * the full and incremental SimHash operators, so their "identical
     * banding ⇒ incremental == full-restricted" adoption contract is
     * enforced by construction, not only by the equivalence specs. */
-  private def simhash64Sig(text: Column): Column =
+  private[operators] def simhash64Sig(text: Column): Column =
     SimHash64.simhash64(graft.functions.TokenizeWords.tokenizeWords(text))
 
   /** The fixed 4×16-bit chunk explode over a frame carrying `sigCol`:
     * appends (band, bucket) — one output row per chunk — keeping every
     * input column. Shared band derivation of [[dedupSimHashPairs]] and
     * [[simHashIncremental]] (same contract note as [[simhash64Sig]]). */
-  private def simhash64Chunks(sigs: DataFrame, sigCol: String): DataFrame = {
+  private[operators] def simhash64Chunks(sigs: DataFrame, sigCol: String): DataFrame = {
     val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("band"),
         shiftright(col(sigCol), c * 16).bitwiseAND(lit(0xffffL)).as("bucket"))

@@ -191,6 +191,14 @@ object Sampling {
           s"budgetSample: negative cost in stratum '${r.getString(0)}' " +
           s"(min=$mn) — the hash-prefix containment argument requires " +
           "non-negative costs")
+        // with every cost non-negative a negative TOTAL can only be a
+        // silent Long wrap (non-ANSI sum overflow); fail fast here —
+        // left alone it becomes a negative presample rate, an empty
+        // presample, and a misleading "did not converge" at the guard
+        require(r.getLong(1) >= 0,
+          s"budgetSample: stratum '${r.getString(0)}' cost total " +
+          s"overflowed Long (sum=${r.getLong(1)} with min cost $mn >= 0) " +
+          "— rescale costCol to a coarser unit")
         r.getString(0) -> r.getLong(1)
       }
       .toMap
@@ -205,7 +213,11 @@ object Sampling {
     }
     var guard = 0
     var needDouble = Set.empty[String]
-    while ({
+    // every stratum total within budget ⇒ every rate is already 1.0,
+    // the presample IS the corpus and containment is trivial — skip the
+    // coverage job entirely (it scans the corpus once and can never
+    // trigger a doubling)
+    while (rates.values.exists(_ < 1.0) && {
       val covered = base.filter(h < rateCase(strata, rates, 0.0))
         .groupBy(strata.as("__s"))
         .agg(coalesce(sum(col(costCol)), lit(0L)).cast(LongType).as("__c"))

@@ -203,7 +203,7 @@ object Pipeline {
         SELECT source, doc_id,
                row_number() OVER (PARTITION BY source
                  ORDER BY substr(md5(doc_id || ':s12'), 1, 13), doc_id) AS rnk
-        FROM documents) x
+        FROM documents WHERE doc_id IS NOT NULL) x
       WHERE rnk <= 5 ORDER BY source, rnk""")),
 
     // Per-row weighted Bernoulli (Sampling.weightedSample): keep with
@@ -213,8 +213,13 @@ object Pipeline {
     // rounding cast — they disagree on rounding, never on floor) and
     // the w ≥ 1 branch maps to the 'g' keep-all sentinel because
     // printf('%013x', 2⁵²) would be 14 chars and break the fixed-width
-    // lexicographic = numeric equivalence. Narrow filter, zero
-    // exchanges (plan-asserted with t11).
+    // lexicographic = numeric equivalence, and the w ≤ 0 branch maps to
+    // the all-zero drop-all floor because printf('%013x', negative)
+    // renders 16-char two's-complement hex that sorts ABOVE every
+    // 13-char hash — the oracle would KEEP what the operator clamps to
+    // drop (unreachable on shipped data, n_chars ≥ 0; the clamp arms
+    // are spec-pinned on a fixture in SamplingSpec). Narrow filter,
+    // zero exchanges (plan-asserted with t11).
     QueryDef("t13_weighted_sample", (s, dir) => {
       import s.implicits._
       Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
@@ -225,6 +230,7 @@ object Pipeline {
       SELECT doc_id, n_chars FROM documents
       WHERE substr(md5(doc_id || ':s13'), 1, 13) <
             CASE WHEN n_chars >= 2000 THEN 'g'
+                 WHEN n_chars <= 0 THEN '0000000000000'
                  ELSE printf('%013x',
                    CAST(floor(n_chars / 2000.0 * 4503599627370496) AS BIGINT))
             END
@@ -234,8 +240,10 @@ object Pipeline {
     // every row lands in exactly one split by hash range — the
     // membership any engine can audit (the oracle replays the CASE over
     // the same cumulative hex cuts; the last split is the ELSE arm, so
-    // floating-point cumulation can never leak a row). A pure projected
-    // column: no row dropped, no shuffle.
+    // floating-point cumulation can never leak a row). A projected
+    // column over a null-key guard: no HASHABLE row dropped (null keys
+    // are filtered — the kit's convention, mirrored in the oracle's
+    // WHERE), no shuffle.
     QueryDef("t14_hash_split", (s, dir) => {
       import s.implicits._
       Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
@@ -249,7 +257,7 @@ object Pipeline {
                   WHEN substr(md5(doc_id || ':s14'), 1, 15) <
                        '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'val'
                   ELSE 'test' END AS split
-      FROM documents ORDER BY doc_id""")),
+      FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""")),
 
     // Per-stratum budget sampling (Sampling.budgetSample): "take 5000
     // chars from each source" — rows admitted in hash order until the
@@ -271,7 +279,8 @@ object Pipeline {
     }, Some("""
       WITH h AS (SELECT source, doc_id, n_chars,
                    substr(md5(doc_id || ':s15'), 1, 15) AS hp
-                 FROM documents WHERE source IS NOT NULL),
+                 FROM documents
+                 WHERE source IS NOT NULL AND doc_id IS NOT NULL),
       c AS (SELECT source, doc_id, n_chars,
               COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY hp, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef

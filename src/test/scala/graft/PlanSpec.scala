@@ -500,8 +500,17 @@ class PlanSpec extends SparkSpec {
     val p14 = finalPlan(graft.operators.Sampling.hashSplit(
       docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s14"))
     assert(!p14.contains("Exchange"), s"hash split must not shuffle:\n$p14")
-    assert(p14.contains("*(1) Project") && !p14.contains("Filter ("),
-      s"hash split drops no rows — a codegen'd projected column only:\n$p14")
+    // hash split drops no HASHABLE row: its only filter is the null-key
+    // guard — the split column itself is a pure projection, so no
+    // Filter line may mention the md5 hash point (a hash-threshold
+    // filter there would mean rows are being dropped by range, the
+    // samplers' job, not the splitter's)
+    val p14FilterLines = p14.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(p14.contains("*(1) Project"),
+      s"split assignment must be a codegen'd projected column:\n$p14")
+    assert(p14FilterLines.forall(l => !l.contains("md5")),
+      s"no hash-threshold filter may drop rows in hash split (only the " +
+      s"null-key guard):\n$p14")
   }
 
   test("t15 budget sample: the window runs over the presample, never the corpus") {

@@ -225,6 +225,114 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("negative cost"))
   }
 
+  test("t13 oracle clamp arms: operator == oracle CASE on a negative/overweight fixture") {
+    // The unshipped-edge divergence class the r15 verdict named: the
+    // operator clamps w ≤ 0 to drop, but a DuckDB oracle without the
+    // `<= 0` arm renders printf('%013x', negative) as 16-char
+    // two's-complement hex, which sorts ABOVE every 13-char hash — the
+    // oracle would KEEP what the operator drops. This fixture replays
+    // the AMENDED oracle CASE (the one t13 now ships) in Spark and pins
+    // operator == oracle on weights spanning every arm. (NaN/null
+    // weights are pinned separately in the fail-safe-edges spec: the
+    // shipped oracle column is integer n_chars, where neither exists.)
+    val rows = Seq(
+      1L -> -5.0, 2L -> -0.0001, 3L -> 0.0, 4L -> 1.0, 5L -> 2.0,
+      6L -> 1e18) ++ (10L to 120L).map(i => i -> (i % 10) / 10.0)
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", $"w", seed = "clamp")
+      .select($"id").as[Long].collect().toSet
+    val oracleKept = df.filter(
+      expr("""substr(md5(concat(cast(id as string), ':clamp')), 1, 13) <
+              CASE WHEN w >= 1 THEN 'g'
+                   WHEN w <= 0 THEN '0000000000000'
+                   ELSE format_string('%013x',
+                     cast(floor(w * 4503599627370496.0) as bigint)) END"""))
+      .select($"id").as[Long].collect().toSet
+    assert(got == oracleKept,
+      s"operator and amended oracle disagree: ${got.diff(oracleKept)} / " +
+      s"${oracleKept.diff(got)}")
+    assert(!got.exists(id => id <= 3L), "w <= 0 must drop")
+    assert(Set(4L, 5L, 6L).subsetOf(got), "w >= 1 must keep")
+    // and the REASON the arm is needed: the negative rendering is
+    // 16 chars of 'f'-leading two's-complement hex, which sorts above
+    // any 13-char hash not itself starting with that prefix — so an
+    // UN-clamped oracle CASE keeps negative-weight rows the operator
+    // drops (the divergence the amended arm closes)
+    val unclampedKept = df.filter(
+      expr("""substr(md5(concat(cast(id as string), ':clamp')), 1, 13) <
+              CASE WHEN w >= 1 THEN 'g'
+                   ELSE format_string('%013x',
+                     cast(floor(w * 4503599627370496.0) as bigint)) END"""))
+      .select($"id").as[Long].collect().toSet
+    assert(unclampedKept.exists(id => id <= 2L) && unclampedKept != got,
+      s"the un-clamped CASE should keep negative-weight rows the " +
+      s"operator drops: $unclampedKept")
+  }
+
+  test("budgetSample: Long-overflow stratum total fails fast (non-ANSI wrap)") {
+    // Under non-ANSI sum semantics a huge-cost stratum wraps negative;
+    // phase 1 must reject it explicitly instead of deriving a negative
+    // presample rate and dying 64 doublings later with a misleading
+    // "did not converge".
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq(("a", 1L, Long.MaxValue / 2), ("a", 2L, Long.MaxValue / 2),
+        ("a", 3L, Long.MaxValue / 2)).toDF("s", "id", "c")
+      val ex = intercept[IllegalArgumentException] {
+        Sampling.budgetSample(df, "s", "id", "c", budget = 10L, seed = "ov")
+      }
+      assert(ex.getMessage.contains("overflowed Long"), ex.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("budgetSample: all-strata-within-budget skips the coverage scan") {
+    // When every stratum total fits the budget, every rate is 1.0 and
+    // the phase-2 containment check is vacuous — the operator must not
+    // spend a corpus scan on it. Pin by counting jobs launched during
+    // construction: the trivial call may only run phase 1; the tight
+    // call runs phase 1 plus at least one coverage scan.
+    val docs = Tables.load(spark, sf, "documents")
+    docs.count() // schema/footer jobs outside the windows
+    val sc = spark.sparkContext
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val grp = Option(js.properties)
+            .map(_.getProperty("spark.jobGroup.id")).orNull
+          if (grp == "bs-sentinel") sentinels.incrementAndGet() else n.incrementAndGet()
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        sc.clearJobGroup()
+        body
+        sc.setJobGroup("bs-sentinel", "flush")
+        spark.range(1).count()
+        sc.clearJobGroup()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (sentinels.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(sentinels.get() >= 1, "listener never saw the sentinel job")
+        n.get()
+      } finally sc.removeSparkListener(listener)
+    }
+    val trivial = jobsDuring {
+      Sampling.budgetSample(docs, "source", "doc_id", "n_chars",
+        budget = Long.MaxValue / 4, seed = "sk1")
+    }
+    val tight = jobsDuring {
+      Sampling.budgetSample(docs, "source", "doc_id", "n_chars",
+        budget = 500L, seed = "sk1")
+    }
+    assert(trivial < tight,
+      s"trivial-budget call must skip the coverage scan: trivial=$trivial " +
+      s"tight=$tight")
+  }
+
   test("stratifiedSample rejects out-of-range rates and empty maps") {
     val docs = Tables.load(spark, sf, "documents")
     intercept[IllegalArgumentException] {
