@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Carry-forward near-duplicate ingest indexes — the amortized form of
+  * the incremental dedup family (`Dedup.minHashIncremental` /
+  * `cosineLshIncremental` / `simHashIncremental`).
+  *
+  * The recompute incrementals restrict PAIR volume to batch-touching
+  * pairs, but every call re-shingles / re-signs the whole corpus and
+  * re-shuffles it to rebuild the (band, bucket) index — per-ingest cost
+  * is corpus-proportional, which is exactly what an incremental pipeline
+  * exists to avoid (r15 verdict's `weak`). This object carries the
+  * index as first-class state instead: `build` pays the corpus-sized
+  * job ONCE, and each `ingest` is `(index, batch) → (pairs,
+  * updatedIndex)` where the only exchanges are batch-proportional.
+  *
+  * == State representation: log-structured segments ==
+  *
+  * An index is a pair of frames, each a UNION of per-ingest persisted
+  * segments (the LSM idea in DataFrame algebra):
+  *
+  *  - `buckets`: (band, bucket, list) — per-segment capped id lists
+  *    ([[graft.functions.CappedCollector]], cap = maxBucket + 1 as the
+  *    saturation sentinel, same convention as the one-shot operators);
+  *  - `docs`: the verify store — (id, shingle-hash array) for MinHash,
+  *    (id, vector) for cosine; SimHash needs none (the fingerprint
+  *    rides the bucket list and IS the verifier).
+  *
+  * Appending a segment never touches old ones, so the steady-state
+  * ingest path has NO corpus-sized exchange: the corpus enters the
+  * ingest plan ONLY as the stream side of broadcast hash probes (the
+  * batch's touched (band, bucket) keys, and the candidate ids for
+  * verify fetch, are broadcast into narrow scans of the cached
+  * segments). Spec-pinned two ways (IngestIndexSpec): shuffle records
+  * written per ingest do not grow with the corpus, and the executed
+  * plan joins the index exclusively through BroadcastHashJoin (no
+  * SortMergeJoin, no corpus re-scan from files).
+  *
+  * == Cap semantics under incremental update ==
+  *
+  * The one-shot operators drop saturated buckets (list size > cap).
+  * CappedCollector keeps cap+1 FIRST-ARRIVAL elements — not a
+  * deterministic subset — so equivalence with the recompute form holds
+  * at the SET level, which is all pair generation observes:
+  *
+  *  - an UNSATURATED per-segment list is the segment's complete id set
+  *    (nothing was dropped below the cap), so the deduplicated concat
+  *    across segments is the complete corpus∪batch set whenever no
+  *    segment saturated;
+  *  - a SATURATED segment list has cap+1 entries, and dedup can only
+  *    shrink a concat below cap+1 by removing cross-segment duplicates
+  *    of ids the list still contains — so a bucket that ever saturated
+  *    measures ≥ cap+1 forever ("a bucket that saturates stays
+  *    saturated") and keeps being dropped exactly like the recompute
+  *    form drops it.
+  *
+  * Probe-time merge is therefore `array_distinct(flatten(...))` over
+  * ONLY the probed buckets (batch-proportional rows), with the same
+  * `size BETWEEN 2 AND maxBucket` admission as the one-shot operators.
+  * Index-carried output == recompute-form output is driver-pinned
+  * (d14 gate) and spec-pinned per member, including under forced
+  * saturation (tiny caps) and across multi-batch steady state.
+  *
+  * == Re-delivery (at-least-once ingest) ==
+  *
+  * A re-delivered id (same id, same content — the at-least-once
+  * contract; changed content is an upsert, which belongs to
+  * [[compactMinHash]]-then-rebuild, not ingest) lands in a second
+  * segment with IDENTICAL band rows and doc row. The probe-time
+  * `array_distinct` and the verify fetch's per-id `first()` collapse
+  * both copies, so re-ingesting a batch yields the same pairs frame and
+  * a semantically unchanged index (spec-pinned idempotence).
+  *
+  * == Maintenance ==
+  *
+  * Segments accumulate one per ingest; every probe reads all of them
+  * (bounded by segment COUNT, not corpus size, per probed bucket).
+  * `compact*` folds them back into one segment — the corpus-sized
+  * exchange, paid on the caller's schedule (nightly), never on the
+  * ingest path. At 100 TB the segments are bucketed tables and the
+  * broadcast probes become storage-side bucket pruning; in-session they
+  * are MEMORY_AND_DISK frames registered with [[OperatorCaches]]
+  * (consume each ingest's pairs before releasing).
+  */
+object IngestIndex {
+
+  /** Carried MinHash-LSH state. `buckets`: (band, bucket, __ids);
+    * `docs`: (idCol, sh) — the shingle store verifyJaccard fetches
+    * from. Parameters ride with the state so an ingest can never probe
+    * with a different signature scheme than the index was built with. */
+  final case class MinHashIndex(
+      buckets: DataFrame, docs: DataFrame, idCol: String,
+      k: Int, numHashes: Int, bands: Int, maxBucket: Int, segments: Int)
+
+  /** Carried hyperplane-LSH cosine state. `docs`: (idCol, vecCol). */
+  final case class CosineIndex(
+      buckets: DataFrame, docs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, params: Dedup.HyperplaneLshParams, seed: Long,
+      maxBucket: Int, segments: Int)
+
+  /** Carried SimHash state — self-contained: the capped lists hold
+    * (id, fingerprint) structs, so there is no doc store and no verify
+    * fetch. */
+  final case class SimHashIndex(
+      buckets: DataFrame, idCol: String, maxBucket: Int, segments: Int)
+
+  private def persist(df: DataFrame): DataFrame =
+    OperatorCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Probe-time merged view of the buckets a batch touches: broadcast
+    * the batch's (band, bucket) keys into a narrow scan of every
+    * segment (the ONLY way the corpus-sized frames enter an ingest
+    * plan), then merge per-bucket lists at the set level. Output rows
+    * and the following exchange are batch-proportional. */
+  private def probeMerged(allSegments: DataFrame, batchKeys: DataFrame,
+      listCol: String, maxBucket: Int): DataFrame =
+    allSegments
+      .join(broadcast(batchKeys.select(col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_distinct(flatten(collect_list(col(listCol)))).as("__set"))
+      // same admission rule as the one-shot operators: singleton buckets
+      // can only pair a doc with itself; > maxBucket is saturation
+      .filter(size(col("__set")).between(2, maxBucket))
+
+  /** Candidate (id1, id2) pairs for the id-list families: the batch
+    * segment's lists exploded as probe rows, joined to the merged probed
+    * buckets — both sides batch-proportional. (new, old) pairs appear
+    * once; (new, new) pairs twice, collapsed by the distinct. */
+  private def candidatePairs(batchSegment: DataFrame, probed: DataFrame,
+      listCol: String): DataFrame =
+    batchSegment
+      .select(col("band"), col("bucket"), explode(col(listCol)).as("__idn"))
+      .join(probed, Seq("band", "bucket"))
+      .select(col("__idn"), explode(col("__set")).as("__ido"))
+      .filter(col("__idn") =!= col("__ido"))
+      .select(least(col("__idn"), col("__ido")).as("id1"),
+        greatest(col("__idn"), col("__ido")).as("id2"))
+      .distinct()
+
+  // ---- MinHash ------------------------------------------------------------
+
+  private def minHashBandRows(docsSh: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    docsSh
+      .select(col(idCol),
+        graft.functions.MinHashSig.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col(idCol),
+        explode(Dedup.lshBands(col("sig"), numHashes, bands)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  private def minHashSegment(docsSh: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val capped = udaf(new graft.functions.CappedCollector[Long](maxBucket))
+    minHashBandRows(docsSh, idCol, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(capped(col(idCol)).as("__ids"))
+  }
+
+  /** One-time corpus-sized job: shingle store + capped bucket index.
+    * Same signature scheme as [[Dedup.minHashIncremental]] at the same
+    * (k, numHashes, bands), so a pipeline can adopt the carried form
+    * against an existing corpus and get identical pairs (d14 gate). */
+  def buildMinHash(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): MinHashIndex = {
+    InputContracts.requireDeterministic(corpus, "buildMinHash(corpus)")
+    val docs = persist(corpus.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh")))
+    val buckets = persist(
+      minHashSegment(docs, idCol, numHashes, bands, maxBucket))
+    MinHashIndex(buckets, docs, idCol, k, numHashes, bands, maxBucket, 1)
+  }
+
+  /** Verified-Jaccard pairs (id1, id2, jaccard) where at least one side
+    * is in `batch`, plus the index advanced by the batch — the
+    * steady-state ingest step. Batch ids must be unique within the
+    * batch; a re-delivered id must carry identical content (class doc).
+    * Every exchange in the returned plan is batch-proportional. */
+  def ingestMinHash(index: MinHashIndex, batch: DataFrame, textCol: String,
+      threshold: Double): (DataFrame, MinHashIndex) = {
+    InputContracts.requireDeterministic(batch, "ingestMinHash(batch)")
+    val idCol = index.idCol
+    // the batch's doc segment is the shared narrow base: band rows and
+    // both verify fetches read it, so shingling runs once per batch
+    val batchDocs = persist(batch.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.ShingleWords.shingleHashes(col(textCol),
+          index.k).as("sh")))
+    val batchBuckets = persist(minHashSegment(batchDocs, idCol,
+      index.numHashes, index.bands, index.maxBucket))
+    val allBuckets = index.buckets.unionByName(batchBuckets)
+    val probed = probeMerged(allBuckets, batchBuckets, "__ids",
+      index.maxBucket)
+    // the probe rows are the batch segment EXPLODED — no second signing
+    // pass. A batch-internally saturated bucket caps its probe ids, but
+    // those ids could only have probed that same saturated bucket,
+    // which `probed` drops — so the candidate set matches the
+    // uncapped-probe recompute form exactly (spec-pinned under forced
+    // tiny caps).
+    val cands = candidatePairs(batchBuckets, probed, "__ids")
+    val allDocs = index.docs.unionByName(batchDocs)
+    val pairs = Dedup.verifyJaccard(cands,
+      fetchDocs(allDocs, cands, idCol, "sh"), idCol, threshold)
+    (pairs, index.copy(buckets = allBuckets, docs = allDocs,
+      segments = index.segments + 1))
+  }
+
+  /** Fold every segment back into one (the corpus-sized exchange, paid
+    * on the caller's schedule — never on the ingest path). The capped
+    * slice keeps the saturation sentinel: a deduplicated list past
+    * cap+1 stays at cap+1, still measured saturated by every probe. */
+  def compactMinHash(index: MinHashIndex): MinHashIndex =
+    index.copy(
+      buckets = persist(compactBuckets(index.buckets, "__ids",
+        index.maxBucket)),
+      docs = persist(compactDocs(index.docs, index.idCol, "sh")),
+      segments = 1)
+
+  // ---- cosine ---------------------------------------------------------------
+
+  private def cosineBandRows(docsVec: DataFrame, idCol: String, vecCol: String,
+      dim: Int, params: Dedup.HyperplaneLshParams, seed: Long): DataFrame =
+    docsVec
+      .select(col(idCol),
+        graft.functions.HyperplaneSig.bandBuckets(col(vecCol), dim,
+          params.bands, params.rowsPerBand, seed).as("hbb"))
+      .select(col(idCol),
+        posexplode_outer(col("hbb")).as(Seq("band", "bucket")))
+
+  private def cosineSegment(docsVec: DataFrame, idCol: String, vecCol: String,
+      dim: Int, params: Dedup.HyperplaneLshParams, seed: Long,
+      maxBucket: Int): DataFrame = {
+    val capped = udaf(new graft.functions.CappedCollector[Long](maxBucket))
+    cosineBandRows(docsVec, idCol, vecCol, dim, params, seed)
+      .groupBy(col("band"), col("bucket"))
+      .agg(capped(col(idCol)).as("__ids"))
+  }
+
+  /** One-time corpus job for the embedding family — plane set fixed by
+    * (params, seed) exactly as [[Dedup.cosineLshIncremental]] fixes it,
+    * so carried and recompute forms band identically. */
+  def buildCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, params: Dedup.HyperplaneLshParams, seed: Long = 7L,
+      maxBucket: Int = 10000): CosineIndex = {
+    InputContracts.requireDeterministic(corpus, "buildCosine(corpus)")
+    val docs = persist(corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol)))
+    val buckets = persist(
+      cosineSegment(docs, idCol, vecCol, dim, params, seed, maxBucket))
+    CosineIndex(buckets, docs, idCol, vecCol, dim, params, seed,
+      maxBucket, 1)
+  }
+
+  /** Exact-cosine-verified pairs (id1, id2, cosine) with at least one
+    * side in `batch`, plus the advanced index. Same batch contracts as
+    * [[ingestMinHash]]. The corpus-level wide-exchange rule of
+    * [[Dedup.cosineLshIncremental]] does not apply here: every exchange
+    * is batch-proportional, so the session width is the right size
+    * unless the BATCH itself is corpus-scale — at which point the
+    * recompute form is the honest tool. */
+  def ingestCosine(index: CosineIndex, batch: DataFrame,
+      threshold: Double): (DataFrame, CosineIndex) = {
+    InputContracts.requireDeterministic(batch, "ingestCosine(batch)")
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val batchDocs = persist(batch
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol)))
+    val batchBuckets = persist(cosineSegment(batchDocs, idCol, vecCol,
+      index.dim, index.params, index.seed, index.maxBucket))
+    val allBuckets = index.buckets.unionByName(batchBuckets)
+    val probed = probeMerged(allBuckets, batchBuckets, "__ids",
+      index.maxBucket)
+    val cands = candidatePairs(batchBuckets, probed, "__ids")
+    val allDocs = index.docs.unionByName(batchDocs)
+    val fetched = fetchDocs(allDocs, cands, idCol, vecCol)
+    val pairs = cands
+      .join(fetched.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(fetched.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .withColumn("cosine", round(
+        Similarity.dot(col("v1"), col("v2")) /
+          (Similarity.norm(col("v1")) * Similarity.norm(col("v2"))), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+    (pairs, index.copy(buckets = allBuckets, docs = allDocs,
+      segments = index.segments + 1))
+  }
+
+  /** [[compactMinHash]] for the embedding family. */
+  def compactCosine(index: CosineIndex): CosineIndex =
+    index.copy(
+      buckets = persist(compactBuckets(index.buckets, "__ids",
+        index.maxBucket)),
+      docs = persist(compactDocs(index.docs, index.idCol, index.vecCol)),
+      segments = 1)
+
+  // ---- SimHash --------------------------------------------------------------
+
+  private def simHashSegment(frame: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    val capped =
+      udaf(new graft.functions.CappedCollector[(Long, Long)](maxBucket))
+    Dedup.simhash64Chunks(
+        frame.filter(col(idCol).isNotNull)
+          .select(col(idCol).as("__id"),
+            Dedup.simhash64Sig(col("__text")).as("__sig")),
+        "__sig")
+      .groupBy(col("band"), col("bucket"))
+      .agg(capped(col("__id"), col("__sig")).as("__xs"))
+  }
+
+  /** One-time corpus job for the fingerprint family. The 64-bit
+    * band-space saturation bound ([[Dedup.simHashSaturationDocs]])
+    * applies to the corpus PLUS everything it will ingest — size with
+    * headroom or band wide. */
+  def buildSimHash(corpus: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 10000): SimHashIndex = {
+    InputContracts.requireDeterministic(corpus, "buildSimHash(corpus)")
+    val buckets = persist(simHashSegment(
+      corpus.select(col(idCol), col(textCol).as("__text")), idCol,
+      maxBucket))
+    SimHashIndex(buckets, idCol, maxBucket, 1)
+  }
+
+  /** Hamming pairs (id1, id2, hamming ≤ maxHamming) with at least one
+    * side in `batch`, plus the advanced index. No verify fetch: the
+    * fingerprint rides both the bucket lists and the probe rows. */
+  def ingestSimHash(index: SimHashIndex, batch: DataFrame, textCol: String,
+      maxHamming: Int = 3): (DataFrame, SimHashIndex) = {
+    InputContracts.requireDeterministic(batch, "ingestSimHash(batch)")
+    val batchBuckets = persist(simHashSegment(
+      batch.select(col(index.idCol), col(textCol).as("__text")),
+      index.idCol, index.maxBucket))
+    val allBuckets = index.buckets.unionByName(batchBuckets)
+    val probed = probeMerged(allBuckets, batchBuckets, "__xs",
+      index.maxBucket)
+    val pairs = batchBuckets
+      .select(col("band"), col("bucket"), explode(col("__xs")).as("__n"))
+      .join(probed, Seq("band", "bucket"))
+      .select(col("__n"), explode(col("__set")).as("__x"))
+      .filter(col("__n._1") =!= col("__x._1"))
+      .select(least(col("__n._1"), col("__x._1")).as("id1"),
+        greatest(col("__n._1"), col("__x._1")).as("id2"),
+        bit_count(col("__n._2").bitwiseXOR(col("__x._2"))).as("hamming"))
+      .distinct() // (new,new) pairs arrive once per direction; hamming is
+                  // a function of the pair, so the triple collapses
+      .filter(col("hamming") <= maxHamming)
+    (pairs, index.copy(buckets = allBuckets,
+      segments = index.segments + 1))
+  }
+
+  /** [[compactMinHash]] for the fingerprint family. */
+  def compactSimHash(index: SimHashIndex): SimHashIndex =
+    index.copy(buckets = persist(compactBuckets(index.buckets, "__xs",
+      index.maxBucket)), segments = 1)
+
+  // ---- shared state maintenance ---------------------------------------------
+
+  private def compactBuckets(buckets: DataFrame, listCol: String,
+      maxBucket: Int): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(slice(array_distinct(flatten(collect_list(col(listCol)))),
+        1, maxBucket + 1).as(listCol))
+
+  private def compactDocs(docs: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    docs.groupBy(col(idCol))
+      .agg(first(col(payloadCol)).as(payloadCol))
+
+  /** Verify-store fetch: broadcast the candidate ids into a narrow scan
+    * of the doc segments (no corpus exchange), then collapse re-delivered
+    * duplicates — identical by contract, so `first` is value-
+    * deterministic. Output is candidate-proportional and read twice by
+    * the verify joins, so it persists for the pairs frame's lifetime. */
+  private def fetchDocs(allDocs: DataFrame, cands: DataFrame,
+      idCol: String, payloadCol: String): DataFrame = {
+    val needed = cands.select(col("id1").as(idCol))
+      .unionByName(cands.select(col("id2").as(idCol)))
+      .distinct()
+    persist(allDocs.join(broadcast(needed), Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(first(col(payloadCol)).as(payloadCol)))
+  }
+}

@@ -1255,6 +1255,87 @@ object Pipeline {
         UNION ALL SELECT 'found_pairs_nonzero', 1) m
       ORDER BY metric""")),
 
+    // The carry-forward ingest index (r15 verdict's weak → r16 lead):
+    // the incremental family's amortized form, where the (band, bucket)
+    // index persists as first-class state and each ingest is
+    // (index, batch) → (pairs, updatedIndex) with batch-proportional
+    // exchanges only (plan- and shuffle-volume-pinned in PlanSpec /
+    // IngestIndexSpec). This gate pins the adoption contract through
+    // the driver for ALL THREE members: index-carried output must EQUAL
+    // the recompute incremental's (itself DuckDB-oracled in d11) — on
+    // the first ingest, in multi-batch steady state (the segment-merge
+    // path), and under at-least-once re-delivery. Values ride the
+    // anti-join keys, so a wrong jaccard/cosine/hamming also lands in
+    // the mismatch row. CORRECTNESS-only: it runs each member twice.
+    QueryDef("d14_ingest_index_gate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def mism(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, name: String) = {
+        val keys = a.columns.toSeq
+        a.join(b, keys, "left_anti").unionByName(b.join(a, keys, "left_anti"))
+          .agg(count(lit(1)).as("value"))
+          .select(lit(name).as("metric"), $"value")
+      }
+      // minhash member: build on <300, ingest [300,400) then [400,500)
+      val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+      val b2 = docs.filter($"doc_id" >= 400)
+      val idx0 = graft.operators.IngestIndex.buildMinHash(
+        docs.filter($"doc_id" < 300), "doc_id", "text")
+      val (p1, idx1) = graft.operators.IngestIndex.ingestMinHash(
+        idx0, b1, "text", 0.8)
+      val (p2, idx2) = graft.operators.IngestIndex.ingestMinHash(
+        idx1, b2, "text", 0.8)
+      val (p2again, _) = graft.operators.IngestIndex.ingestMinHash(
+        idx2, b2, "text", 0.8)
+      val p2p = p2.persist(mem)
+      val r1 = Dedup.minHashIncremental(docs.filter($"doc_id" < 300), b1,
+        "doc_id", "text", threshold = 0.8)
+      val r2 = Dedup.minHashIncremental(docs.filter($"doc_id" < 400), b2,
+        "doc_id", "text", threshold = 0.8).persist(mem)
+      // cosine member at the d06 production sizing (d12's convention)
+      val params = d06Params(s, dir)
+      val cIdx = graft.operators.IngestIndex.buildCosine(
+        emb.filter($"vec_id" < 300), "vec_id", "embedding",
+        dim = 64, params = params)
+      val (cp, _) = graft.operators.IngestIndex.ingestCosine(
+        cIdx, emb.filter($"vec_id" >= 300), threshold = 0.4)
+      val cr = Dedup.cosineLshIncremental(emb.filter($"vec_id" < 300),
+        emb.filter($"vec_id" >= 300), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+      // simhash member (self-contained index, no verify store)
+      val sIdx = graft.operators.IngestIndex.buildSimHash(
+        docs.filter($"doc_id" < 400), "doc_id", "text")
+      val (sp, _) = graft.operators.IngestIndex.ingestSimHash(
+        sIdx, docs.filter($"doc_id" >= 400), "text", maxHamming = 8)
+      val sr = Dedup.simHashIncremental(docs.filter($"doc_id" < 400),
+        docs.filter($"doc_id" >= 400), "doc_id", "text", maxHamming = 8)
+      val nDocs = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      val nonzero = p2p.agg(count(lit(1)).as("nf"))
+        .select(lit("minhash_pairs_nonzero").as("metric"),
+          when($"nf" > 0, 1L).otherwise(0L).as("value"))
+      mism(cp, cr, "cosine_mismatch")
+        .unionByName(mism(p1, r1, "minhash_first_mismatch"))
+        .unionByName(nonzero)
+        .unionByName(mism(p2p, r2, "minhash_steady_mismatch"))
+        .unionByName(nDocs)
+        .unionByName(mism(p2again, p2p, "redeliver_mismatch"))
+        .unionByName(mism(sp, sr, "simhash_mismatch"))
+        .orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'cosine_mismatch', 0
+        UNION ALL SELECT 'minhash_first_mismatch', 0
+        UNION ALL SELECT 'minhash_pairs_nonzero', 1
+        UNION ALL SELECT 'minhash_steady_mismatch', 0
+        UNION ALL SELECT 'redeliver_mismatch', 0
+        UNION ALL SELECT 'simhash_mismatch', 0) m
+      ORDER BY metric""")),
+
     QueryDef("e01_stream_window", (s, dir) => {
       import s.implicits._
       // the STREAMING path itself under the oracle gate: run the

@@ -572,6 +572,83 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InMemoryTableScan"), s"no cache:\n$p")
   }
 
+  test("d14 ingest index: corpus state enters the plan ONLY through broadcast probes") {
+    // The no-corpus-sized-exchange pin for the carried-index ingest
+    // path (r15 verdict's weak → r16 lead): in the executed pairs plan,
+    // every scan of the INDEX's cached frames (identified by cache
+    // builder identity, not by name) must meet a BroadcastHashJoin
+    // BELOW any ShuffleExchange on its path to the root — i.e. the
+    // corpus is filtered down to batch-proportional rows by a broadcast
+    // hash probe before anything derived from it shuffles. Also: the
+    // ingest tree reads NO files at all (batch legs enter through their
+    // own per-ingest caches). AQE is disabled for the walk so the tree
+    // is the static shapes, not stage wrappers.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (checks, caches) = graft.operators.OperatorCaches.scoped {
+      val docs = Tables.load(spark, sf, "documents")
+      val idx = graft.operators.IngestIndex.buildMinHash(
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
+      idx.buckets.count(); idx.docs.count()
+      val (pairs, _) = graft.operators.IngestIndex.ingestMinHash(idx,
+        docs.filter(col("doc_id") >= 400), "text", 0.8)
+      pairs.collect()
+      def builderOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.withCachedData.collectFirst {
+          case r: InMemoryRelation => r.cacheBuilder
+        }.get
+      val indexBuilders = Seq(builderOf(idx.buckets), builderOf(idx.docs))
+      val plan = pairs.queryExecution.executedPlan
+      // ancestor paths (nearest-first) to every index cache scan. The
+      // ingest's OWN per-batch caches (batch segment, verify fetch) are
+      // opaque leaves in the executed tree, so the walk recurses into
+      // their cached build plans — the doc-store probe lives inside the
+      // persisted fetch frame's lineage.
+      def scanPaths(p: SparkPlan,
+          anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: InMemoryTableScanExec
+            if indexBuilders.exists(_ eq s.relation.cacheBuilder) => Seq(anc)
+        case s: InMemoryTableScanExec =>
+          scanPaths(s.relation.cachedPlan, s :: anc)
+        case other => other.children.flatMap(scanPaths(_, other :: anc))
+      }
+      val paths = scanPaths(plan, Nil)
+      // top level only: the batch's one-time source read legitimately
+      // lives INSIDE its per-ingest cache's build plan; the executed
+      // tree proper may not touch files (the corpus never re-reads)
+      val fileScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      (paths.size, paths.map { path =>
+        val iBhj = path.indexWhere(_.isInstanceOf[BroadcastHashJoinExec])
+        val iShuf = path.indexWhere(_.isInstanceOf[ShuffleExchangeExec])
+        (iBhj, iShuf)
+      }, fileScans.size)
+    }
+    try {
+      val (nScans, guards, nFileScans) = checks
+      assert(nScans >= 2,
+        s"expected the bucket index AND the doc store to be probed, got $nScans scans")
+      guards.foreach { case (iBhj, iShuf) =>
+        assert(iBhj >= 0, "every index scan must sit under a broadcast hash probe")
+        assert(iShuf < 0 || iBhj < iShuf,
+          s"an exchange sits between the corpus scan and its broadcast " +
+          s"probe (bhj at $iBhj, shuffle at $iShuf) — that exchange " +
+          "would be corpus-sized")
+      }
+      assert(nFileScans == 0,
+        s"the ingest path must not read files — all state enters through " +
+        s"caches; found $nFileScans FileScans")
+    } finally {
+      caches.release()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
     // The uncapped incremental shape computes the corpus lineage once
     // (full-index leg only: the probe leg derives straight from the
