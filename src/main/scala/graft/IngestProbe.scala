@@ -34,28 +34,57 @@ object IngestProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import operators.{Dedup, IngestIndex, OperatorCaches}
 
-    def timedReps(body: => Long): (Seq[Double], Long) = {
+    // wall time AND shuffle records written per run: at small sf the
+    // wall clock sits on Spark's per-job floor, so the records are the
+    // scale-honest signal (they are what grows at 100 TB)
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      })
+    def quiesce(): Long = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var prev = -1L
+      var stable = 0
+      while (stable < 5 && System.nanoTime() < deadline) {
+        val c = shuffleRecs.get()
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+        Thread.sleep(100)
+      }
+      shuffleRecs.get()
+    }
+    def timedReps(body: => Long): (Seq[Double], Long, Long) = {
       var rows = 0L
+      var lastShuffle = 0L
       val times = (1 to reps).map { _ =>
+        val before = quiesce()
         val t0 = System.nanoTime()
         val (r, caches) = OperatorCaches.scoped { body }
         val secs = (System.nanoTime() - t0) / 1e9
         caches.release()
+        lastShuffle = quiesce() - before
         rows = r
         secs
       }
-      (times, rows)
+      (times, rows, lastShuffle)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    def record(member: String, form: String, pct: Int, batchRows: Long,
-        corpusRows: Long, times: Seq[Double], pairs: Long): Unit = {
+    def record(member: String, form: String, pct: Double, batchRows: Long,
+        corpusRows: Long, times: Seq[Double], pairs: Long,
+        shuffled: Long): Unit = {
       val line = f"""{"member":"$member","form":"$form","batch_pct":$pct,""" +
         f""""batch_rows":$batchRows,"corpus_rows":$corpusRows,""" +
         f""""secs":${median(times)}%.3f,""" +
         s""""reps":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
-        s""""pairs":$pairs}"""
+        s""""shuffle_records":$shuffled,"pairs":$pairs}"""
       println(line)
       out += line
     }
@@ -67,65 +96,83 @@ object IngestProbe {
     val cut = (nDocs * 0.9).toLong // ids are contiguous in generated corpora
     val corpus = docs.filter(col("doc_id") < cut)
     val corpusRows = corpus.count()
-    val pcts = Seq(1, 3, 10)
-    def batchOf(base: DataFrame, idCol: String, lo: Long, pct: Int): DataFrame =
-      base.filter(col(idCol) >= lo &&
-        col(idCol) < lo + math.max(1L, corpusRows * pct / 100))
+    // fractional pcts let a bigger corpus (data_sf10) run the SAME
+    // absolute batch as sf1's 1% — the corpus-growth leg of the
+    // amortization table (fixed batch, 10x corpus)
+    val pcts = sys.env.getOrElse("SPARK_GRAFT_BATCH_PCTS", "1,3,10")
+      .split(",").map(_.trim.toDouble).toSeq
+    val members = sys.env.getOrElse("SPARK_GRAFT_MEMBERS",
+      "minhash,simhash,cosine").split(",").map(_.trim).toSet
+    // 0.4 = the d06 recall-priced sizing (candidate-volume-bound —
+    // ingest cost is pair-dominated in BOTH forms); 0.9 = the d06b
+    // ≈linear tier (few bands, corpus-term-dominated — where the
+    // carried index's amortization is the whole cost)
+    val cosineT = sys.env.getOrElse("SPARK_GRAFT_COSINE_T", "0.4").toDouble
+    def rowsFor(pct: Double, base: Long): Long =
+      math.max(1L, (base * pct / 100.0).toLong)
+    def batchOf(base: DataFrame, idCol: String, lo: Long, pct: Double,
+        corpusN: Long): DataFrame =
+      base.filter(col(idCol) >= lo && col(idCol) < lo + rowsFor(pct, corpusN))
 
     // MinHash: build once (untimed), ingest per batch size
+    if (members("minhash")) {
     val (mhIdx, mhScope) = OperatorCaches.scoped {
       val i = IngestIndex.buildMinHash(corpus, "doc_id", "text")
       i.buckets.count(); i.docs.count()
       i
     }
     for (pct <- pcts) {
-      val batch = batchOf(docs, "doc_id", cut, pct)
+      val batch = batchOf(docs, "doc_id", cut, pct, corpusRows)
       val bRows = batch.count()
-      val (tc, pc) = timedReps {
+      val (tc, pc, sc1) = timedReps {
         val (p, _) = IngestIndex.ingestMinHash(mhIdx, batch, "text", 0.8)
         p.count()
       }
-      record("minhash", "carried", pct, bRows, corpusRows, tc, pc)
-      val (tr, pr) = timedReps {
+      record("minhash", "carried", pct, bRows, corpusRows, tc, pc, sc1)
+      val (tr, pr, sr1) = timedReps {
         Dedup.minHashIncremental(corpus, batch, "doc_id", "text",
           threshold = 0.8).count()
       }
-      record("minhash", "recompute", pct, bRows, corpusRows, tr, pr)
+      record("minhash", "recompute", pct, bRows, corpusRows, tr, pr, sr1)
     }
     mhScope.release()
+    }
 
     // SimHash
+    if (members("simhash")) {
     val (shIdx, shScope) = OperatorCaches.scoped {
       val i = IngestIndex.buildSimHash(corpus, "doc_id", "text")
       i.buckets.count()
       i
     }
     for (pct <- pcts) {
-      val batch = batchOf(docs, "doc_id", cut, pct)
+      val batch = batchOf(docs, "doc_id", cut, pct, corpusRows)
       val bRows = batch.count()
-      val (tc, pc) = timedReps {
+      val (tc, pc, sc1) = timedReps {
         val (p, _) = IngestIndex.ingestSimHash(shIdx, batch, "text",
           maxHamming = 3)
         p.count()
       }
-      record("simhash", "carried", pct, bRows, corpusRows, tc, pc)
-      val (tr, pr) = timedReps {
+      record("simhash", "carried", pct, bRows, corpusRows, tc, pc, sc1)
+      val (tr, pr, sr1) = timedReps {
         Dedup.simHashIncremental(corpus, batch, "doc_id", "text",
           maxHamming = 3).count()
       }
-      record("simhash", "recompute", pct, bRows, corpusRows, tr, pr)
+      record("simhash", "recompute", pct, bRows, corpusRows, tr, pr, sr1)
     }
     shScope.release()
+    }
 
     // cosine (embeddings table, same 90/10 protocol, d06-style sizing)
+    if (members("cosine")) {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val nEmb = emb.count()
     val eCut = (nEmb * 0.9).toLong
     val eCorpus = emb.filter(col("vec_id") < eCut)
     val eCorpusRows = eCorpus.count()
-    val params = Dedup.hyperplaneLshParamsFor(eCorpusRows, threshold = 0.4,
-      recallFloor = 0.95, maxBands = 64)
+    val params = Dedup.hyperplaneLshParamsFor(eCorpusRows,
+      threshold = cosineT, recallFloor = 0.95, maxBands = 64)
     val (cIdx, cScope) = OperatorCaches.scoped {
       val i = IngestIndex.buildCosine(eCorpus, "vec_id", "embedding",
         dim = 64, params = params)
@@ -134,24 +181,26 @@ object IngestProbe {
     }
     for (pct <- pcts) {
       val batch = emb.filter(col("vec_id") >= eCut &&
-        col("vec_id") < eCut + math.max(1L, eCorpusRows * pct / 100))
+        col("vec_id") < eCut + rowsFor(pct, eCorpusRows))
       val bRows = batch.count()
-      val (tc, pc) = timedReps {
-        val (p, _) = IngestIndex.ingestCosine(cIdx, batch, threshold = 0.4)
+      val (tc, pc, sc1) = timedReps {
+        val (p, _) = IngestIndex.ingestCosine(cIdx, batch,
+          threshold = cosineT)
         p.count()
       }
-      record("cosine", "carried", pct, bRows, eCorpusRows, tc, pc)
-      val (tr, pr) = timedReps {
+      record(s"cosine$cosineT", "carried", pct, bRows, eCorpusRows, tc, pc, sc1)
+      val (tr, pr, sr1) = timedReps {
         Dedup.cosineLshIncremental(eCorpus, batch, "vec_id", "embedding",
-          threshold = 0.4, dim = 64, params = params).count()
+          threshold = cosineT, dim = 64, params = params).count()
       }
-      record("cosine", "recompute", pct, bRows, eCorpusRows, tr, pr)
+      record(s"cosine$cosineT", "recompute", pct, bRows, eCorpusRows, tr, pr, sr1)
     }
     cScope.release()
+    }
 
     try spark.stop() catch { case _: Throwable => () }
     println(s"""{"probe":"ingest_amortization","sf_dir":"$sfDir",""" +
-      s""""reps":$reps,"cpus":"$cpus","n_docs":$nDocs,"n_emb":$nEmb,""" +
+      s""""reps":$reps,"cpus":"$cpus","n_docs":$nDocs,""" +
       s""""rows":${out.size}}""")
     System.out.flush()
   }

@@ -202,8 +202,11 @@ object IngestIndex {
     // those ids could only have probed that same saturated bucket,
     // which `probed` drops — so the candidate set matches the
     // uncapped-probe recompute form exactly (spec-pinned under forced
-    // tiny caps).
-    val cands = candidatePairs(batchBuckets, probed, "__ids")
+    // tiny caps). Persisted: the verify fetch's broadcast id set AND the
+    // verify join both read it — unpersisted, the explode+distinct (the
+    // ingest's heaviest stage) runs twice (IngestProbe caught it on the
+    // cosine member at sf1; numbers in PERF.md r16).
+    val cands = persist(candidatePairs(batchBuckets, probed, "__ids"))
     val allDocs = index.docs.unionByName(batchDocs)
     val pairs = Dedup.verifyJaccard(cands,
       fetchDocs(allDocs, cands, idCol, "sh"), idCol, threshold)
@@ -278,7 +281,8 @@ object IngestIndex {
     val allBuckets = index.buckets.unionByName(batchBuckets)
     val probed = probeMerged(allBuckets, batchBuckets, "__ids",
       index.maxBucket)
-    val cands = candidatePairs(batchBuckets, probed, "__ids")
+    // persisted for the same two-consumer reason as the MinHash member
+    val cands = persist(candidatePairs(batchBuckets, probed, "__ids"))
     val allDocs = index.docs.unionByName(batchDocs)
     val fetched = fetchDocs(allDocs, cands, idCol, vecCol)
     val pairs = cands

@@ -33,6 +33,16 @@ import org.apache.spark.sql.types.LongType
   */
 object Sampling {
 
+  /** Coverage SCANS the most recent [[budgetSample]] call on THIS
+    * thread ran in its phase-2 containment loop — each is one narrow
+    * pass over the corpus. 0 = the loop was skipped (every rate already
+    * 1.0); 1 = the initial presample proved coverage first try; k > 1 =
+    * k−1 rate-doubling rounds were needed (the skew price). A
+    * measurement instrument for the skew-cost probe, not API —
+    * thread-local so concurrent pipelines don't clobber each other. */
+  private[graft] val lastCoverageRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+
   /** 60-bit hash point of a row key in hex space: the first 15
     * lowercase-hex chars of `md5(key ":" seed)`. Kept as a STRING and
     * compared lexicographically — fixed-width hex order is numeric
@@ -162,7 +172,14 @@ object Sampling {
     * CLOSED in the same (hash, id) order, so presample-cost ≥ budget
     * PROVES the presample contains the whole admitted prefix — when a
     * skewed stratum under-covers, the rate doubles and the check
-    * re-runs: ≤ log₂(1/rate) driver-side rounds, each one job). Phase 3
+    * re-runs: ≤ log₂(1/rate) driver-side rounds, each one narrow scan.
+    * Measured price of the worst case (graft.BudgetSkewProbe at sf1,
+    * 50k docs, cost deliberately concentrated on the top 1% of hash
+    * space so presamples stay cost-blind until rate ≈ 1): 7 coverage
+    * scans vs the uniform corpus's 1, wall 1.76 s vs 1.19 s — the skew
+    * tax is the extra scans, each cheap because the scan is a
+    * codegen'd filter, and it is BOUNDED: the doubling can never run
+    * more than log₂(1/r₀) rounds, adversary or not. Phase 3
     * window-sorts ONLY the presample (≈ margin·budget worth of rows per
     * stratum, never the corpus) to apply the exact cumulative cut.
     * Requires a deterministic input lineage (the phases re-read it). */
@@ -213,6 +230,7 @@ object Sampling {
     }
     var guard = 0
     var needDouble = Set.empty[String]
+    lastCoverageRounds.set(0)
     // every stratum total within budget ⇒ every rate is already 1.0,
     // the presample IS the corpus and containment is trivial — skip the
     // coverage job entirely (it scans the corpus once and can never
@@ -229,6 +247,7 @@ object Sampling {
       if (needDouble.nonEmpty)
         rates = rates ++ needDouble.map(s => s -> math.min(1.0, rates(s) * 2))
       guard += 1
+      lastCoverageRounds.set(guard)
       require(guard <= 64, "budgetSample: rate doubling did not converge")
       needDouble.nonEmpty
     }) ()

@@ -161,6 +161,17 @@ object Similarity {
     *    not silently under-deliver (the r13 LSH defect this API exists
     *    to avoid).
     *
+    * The default α = 2.0 prices the WORST corpus we ship (near-uniform
+    * embeddings): a 0.95 floor then costs scan fraction f ≈ 0.78. Real
+    * clustered corpora sit at the other operating point — on the r16
+    * planted-cluster fixture (64 Gaussians, intra-cluster cosine ≈0.8,
+    * `scripts/make_clustered.py`) the measured implied α is 176–194
+    * and recall hits 1.0 at nprobe 3 of 142 (f ≈ 0.02): same floor,
+    * ~37× less scan (PERF.md r16, `ivfprobe_clustered.log`). Callers
+    * who know their corpus should measure α on a sample with
+    * [[estimateIvfAlpha]] and pass it here (halved — see its caveat)
+    * instead of paying the uniform-corpus price.
+    *
     * Unlike banded LSH there is no clamp cliff: nprobe = nCells IS
     * exact search, so any floor is reachable — the `exhaustive` flag
     * reports when that degenerate point was needed. */
@@ -181,6 +192,71 @@ object Similarity {
       math.min(nCells, math.ceil(f * nCells).toInt))
     val predicted = 1.0 - math.pow(1.0 - nprobe.toDouble / nCells, alpha)
     IvfParams(nCells, nprobe, predicted, nprobe == nCells, nRows)
+  }
+
+  /** Measured coverage-model α for THIS corpus, estimated on a
+    * deterministic id-spread sample (the r15 verdict's "estimate α
+    * from the corpus instead of shipping a constant"): fit ⌈√m⌉ cells
+    * on an ~`sampleSize`-row sample, run brute-force and IVF top-k for
+    * spread queries at one probe fraction, and solve
+    * recall = 1 − (1−f)^α for α. Clustered corpora measure large α
+    * (the planted-cluster fixture: >100), near-uniform ones ~2.5–3.
+    *
+    * Caveat — this is a SAMPLE estimate at ONE f: the implied α falls
+    * with f on uniform-ish corpora (PERF.md r15), so pass roughly HALF
+    * the estimate to [[ivfParamsFor]] (and never below 1) rather than
+    * the raw value; s02_recall_gate still measures the shipped path
+    * end-to-end, so an over-trusted estimate fails the driver gate
+    * rather than silently under-delivering. `recall = 1` at the probed
+    * fraction solves to α = ∞; the estimate is capped at 64 (already
+    * "prunes essentially free" territory).
+    *
+    * Cost: one k-means fit + one brute-force top-k on the SAMPLE
+    * (m², not n²) — an offline calibration job, not a query-path step. */
+  def estimateIvfAlpha(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nQueries: Int = 30, sampleSize: Long = 2000L,
+      probeFraction: Double = 0.1, fitIters: Int = 3): Double = {
+    require(probeFraction > 0.0 && probeFraction < 1.0,
+      s"probeFraction must be in (0,1): $probeFraction")
+    val n = emb.count()
+    val keep = math.max(1L, n / math.max(1L, math.min(n, sampleSize)))
+    val sample = emb.filter(pmod(col(idCol), lit(keep)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = sample.count()
+      val qStep = math.max(1L, m / nQueries)
+      val queries = sample
+        .filter(pmod(col(idCol), lit(keep * qStep)) === 0)
+        .limit(nQueries)
+        .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      val nCells = math.max(2, math.ceil(math.sqrt(m.toDouble)).toInt)
+      val (cents, _) = kmeansFit(sample, nCells, fitIters,
+        idCol = idCol, vecCol = vecCol)
+      val session = emb.sparkSession
+      import session.implicits._
+      val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cell_id", "cell_vec")
+      val brute = bruteForceTopK(sample, queries, k, corpusId = idCol,
+          corpusVec = vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBrute = brute.count()
+      val nprobe = math.max(1, math.ceil(probeFraction * nCells).toInt)
+      val ivf = ivfTopKWithCells(sample, queries, centFrame, k, nprobe,
+        corpusId = idCol, corpusVec = vecCol)
+      val hits = ivf.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+      brute.unpersist(blocking = false)
+      val recall = if (nBrute == 0) 0.0 else hits.toDouble / nBrute
+      val f = nprobe.toDouble / nCells
+      if (recall >= 1.0) 64.0
+      else if (recall <= 0.0) 1.0
+      else math.min(64.0,
+        math.max(1.0, math.log1p(-recall) / math.log1p(-f)))
+    } finally {
+      sample.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Spherical k-means, full Lloyd loop (the training step behind

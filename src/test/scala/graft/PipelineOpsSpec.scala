@@ -836,6 +836,31 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive.exhaustive)
   }
 
+  test("estimateIvfAlpha: clustered corpora measure far larger alpha than uniform ones") {
+    // the r16 sample calibrator behind ivfParamsFor's alpha knob: on
+    // the shipped near-uniform embeddings the estimate sits in the
+    // measured 2-8 band; on a planted-cluster fixture (8 tight
+    // clusters) a small probe fraction already captures each query's
+    // neighborhood, so the implied alpha is far larger. Deterministic:
+    // id-spread sampling, Lloyd init by first-K ids.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val aUniform = Similarity.estimateIvfAlpha(emb, "vec_id", "embedding",
+      k = 5, nQueries = 20, sampleSize = 500L, probeFraction = 0.2)
+    assert(aUniform >= 1.0 && aUniform <= 64.0, s"aUniform=$aUniform")
+    val clustered = (0 until 256).map { i =>
+      (i.toLong, Array.tabulate(64) { d =>
+        (if (d == i % 8) 1.0f else 0.0f) +
+          (if (d == (i * 7) % 64) 0.05f else 0.0f)
+      })
+    }.toDF("vec_id", "embedding")
+    val aClustered = Similarity.estimateIvfAlpha(clustered, "vec_id",
+      "embedding", k = 5, nQueries = 20, sampleSize = 500L,
+      probeFraction = 0.2)
+    assert(aClustered >= 8.0 && aClustered > aUniform,
+      s"planted clusters must measure a large alpha: clustered=" +
+      s"$aClustered uniform=$aUniform")
+  }
+
   test("ivfTopK: fitted cells are non-degenerate; explicit-centroid path matches") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.filter($"vec_id" < 5)

@@ -324,10 +324,14 @@ class SamplingSpec extends SparkSpec {
       Sampling.budgetSample(docs, "source", "doc_id", "n_chars",
         budget = Long.MaxValue / 4, seed = "sk1")
     }
+    assert(Sampling.lastCoverageRounds.get() == 0,
+      "trivial budget must record zero coverage scans")
     val tight = jobsDuring {
       Sampling.budgetSample(docs, "source", "doc_id", "n_chars",
         budget = 500L, seed = "sk1")
     }
+    assert(Sampling.lastCoverageRounds.get() >= 1,
+      "a sub-1.0-rate call must record its coverage scans")
     assert(trivial < tight,
       s"trivial-budget call must skip the coverage scan: trivial=$trivial " +
       s"tight=$tight")
