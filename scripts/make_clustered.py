@@ -42,8 +42,9 @@ tbl = pa.table({
     "embedding": pa.FixedSizeListArray.from_arrays(
         pa.array(pts.reshape(-1)), dim).cast(pa.list_(pa.float32())),
 })
-# same sizing rule as make_scale.py: ~64 row groups, 2048-row multiples
-rows_per_group = max(2048, (n // 64 // 2048) * 2048) if n >= 4096 else n
+# same sizing rule as make_scale.py (line 59): ~64 row groups so local
+# scan stages keep their parallelism (the r13 single-row-group lesson)
+rows_per_group = max(512, n // 64)
 pq.write_table(tbl, os.path.join(out, "embeddings.parquet"),
                row_group_size=rows_per_group)
 # intra/cross cosine sanity so the fixture's tightness is recorded

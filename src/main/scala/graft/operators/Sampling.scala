@@ -189,6 +189,9 @@ object Sampling {
     require(budget >= 0, s"budgetSample: negative budget: $budget")
     require(margin > 1.0, s"budgetSample: margin must exceed 1: $margin")
     InputContracts.requireDeterministic(df, "budgetSample")
+    // reset the instrument BEFORE any early exit, or a budget-0 call
+    // would report the previous call's scan count
+    lastCoverageRounds.set(0)
     val base = df.filter(col(strataCol).isNotNull) // null strata dropped
     if (budget == 0) return base.filter(lit(false))
     val strata = col(strataCol).cast("string")
@@ -230,7 +233,6 @@ object Sampling {
     }
     var guard = 0
     var needDouble = Set.empty[String]
-    lastCoverageRounds.set(0)
     // every stratum total within budget ⇒ every rate is already 1.0,
     // the presample IS the corpus and containment is trivial — skip the
     // coverage job entirely (it scans the corpus once and can never

@@ -218,16 +218,34 @@ object Similarity {
       probeFraction: Double = 0.1, fitIters: Int = 3): Double = {
     require(probeFraction > 0.0 && probeFraction < 1.0,
       s"probeFraction must be in (0,1): $probeFraction")
-    val n = emb.count()
-    val keep = math.max(1L, n / math.max(1L, math.min(n, sampleSize)))
-    val sample = emb.filter(pmod(col(idCol), lit(keep)) === 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // self-contained offline job: every cache this call creates
+    // (including kmeansFit's tracked corpus persist) releases on exit
+    val (alpha, caches) = OperatorCaches.scoped {
+      val n = emb.count()
+      val keep = math.max(1L, n / math.max(1L, math.min(n, sampleSize)))
+      val sample = OperatorCaches.track(
+        emb.filter(pmod(col(idCol), lit(keep)) === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val m = sample.count()
+      // fail fast on a sample the id-congruence filter collapsed
+      // (sparse/timestamp ids all sharing a residue): an empty or
+      // near-empty sample would "measure" alpha = 1 indistinguishably
+      // from a genuinely adversarial corpus. Unpersist before throwing —
+      // the scope's release only runs on the success path.
+      if (m <= math.max(k, 1)) {
+        sample.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"estimateIvfAlpha: id-spread sample kept only $m of $n rows " +
+          s"(keep every ${keep}th id) — ids are sparse or congruence-" +
+          "biased; pre-densify ids or sample upstream")
+      }
       val qStep = math.max(1L, m / nQueries)
+      // orderBy before limit: the spread filter usually matches a few
+      // more ids than nQueries, and an unordered limit would let file
+      // layout pick WHICH — breaking the documented determinism
       val queries = sample
         .filter(pmod(col(idCol), lit(keep * qStep)) === 0)
-        .limit(nQueries)
+        .orderBy(col(idCol)).limit(nQueries)
         .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       val nCells = math.max(2, math.ceil(math.sqrt(m.toDouble)).toInt)
       val (cents, _) = kmeansFit(sample, nCells, fitIters,
@@ -236,27 +254,26 @@ object Similarity {
       import session.implicits._
       val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("cell_id", "cell_vec")
-      val brute = bruteForceTopK(sample, queries, k, corpusId = idCol,
-          corpusVec = vecCol)
-        .select(col("query_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = OperatorCaches.track(
+        bruteForceTopK(sample, queries, k, corpusId = idCol,
+            corpusVec = vecCol)
+          .select(col("query_id"), col("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nBrute = brute.count()
       val nprobe = math.max(1, math.ceil(probeFraction * nCells).toInt)
       val ivf = ivfTopKWithCells(sample, queries, centFrame, k, nprobe,
         corpusId = idCol, corpusVec = vecCol)
       val hits = ivf.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
-      brute.unpersist(blocking = false)
       val recall = if (nBrute == 0) 0.0 else hits.toDouble / nBrute
       val f = nprobe.toDouble / nCells
       if (recall >= 1.0) 64.0
       else if (recall <= 0.0) 1.0
       else math.min(64.0,
         math.max(1.0, math.log1p(-recall) / math.log1p(-f)))
-    } finally {
-      sample.unpersist(blocking = false)
-      ()
     }
+    caches.release()
+    alpha
   }
 
   /** Spherical k-means, full Lloyd loop (the training step behind

@@ -288,6 +288,113 @@ object Pipeline {
       SELECT source, doc_id, n_chars FROM c WHERE bef < 5000
       ORDER BY source, doc_id""")),
 
+    // The sampling kit's headline property, driver-verified (the d09/d11
+    // pattern for dedup, r15 verdict #6): membership is a pure per-row
+    // hash function, so sampling two interleaved halves separately and
+    // unioning EQUALS sampling the whole corpus — no coordination, no
+    // state. The oracle literally RECOMPUTES both sides in DuckDB (the
+    // batched side from an explicit half-union) and both engines count
+    // the symmetric difference, so the zero is computed, not assumed.
+    // Holds for the pure-membership ops (stratified / weighted / split);
+    // bottom-k and budget sampling are corpus-dependent BY DESIGN
+    // (eviction under growth) and are excluded on purpose.
+    QueryDef("t16_sample_consistency", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val h1 = docs.filter($"doc_id" % 2 === 0)
+      val h2 = docs.filter($"doc_id" % 2 === 1)
+      val rates = Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.25, "zh" -> 0.1)
+      // lang IS NOT NULL on both engines: Spark's anti-join treats a
+      // null key as never-equal while DuckDB's EXCEPT treats NULLs as
+      // equal, so a null-lang row (none shipped, but the t13 lesson)
+      // would count as a false mismatch here and not in the oracle
+      def samp(df: org.apache.spark.sql.DataFrame) =
+        Sampling.stratifiedSample(df.filter($"lang".isNotNull), "lang",
+          "doc_id", rates, defaultRate = 0.05, seed = "s16")
+          .select($"doc_id", $"lang")
+      def spl(df: org.apache.spark.sql.DataFrame) =
+        Sampling.hashSplit(df, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "s16")
+          .select($"doc_id", $"split")
+      def block(whole: org.apache.spark.sql.DataFrame,
+          parts: org.apache.spark.sql.DataFrame, op: String, key: String) = {
+        val w = whole.groupBy(col(key)).agg(count(lit(1)).as("n_whole"))
+        val p = parts.groupBy(col(key)).agg(count(lit(1)).as("n_batched"))
+        val m = whole.join(parts, Seq("doc_id", key), "left_anti")
+          .unionByName(parts.join(whole, Seq("doc_id", key), "left_anti"))
+          .groupBy(col(key)).agg(count(lit(1)).as("n_mismatch"))
+        w.join(p, Seq(key), "full").join(m, Seq(key), "left")
+          .select(lit(op).as("op"), col(key).as("stratum"),
+            coalesce($"n_whole", lit(0L)).as("n_whole"),
+            coalesce($"n_batched", lit(0L)).as("n_batched"),
+            coalesce($"n_mismatch", lit(0L)).as("n_mismatch"))
+      }
+      block(samp(docs), samp(h1).unionByName(samp(h2)), "stratified", "lang")
+        .unionByName(
+          block(spl(docs), spl(h1).unionByName(spl(h2)), "split", "split"))
+        .orderBy($"op", $"stratum")
+    }, Some(s"""
+      WITH halves AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+                      UNION ALL
+                      SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1),
+      sw AS (SELECT doc_id, lang FROM documents
+             WHERE lang IS NOT NULL
+               AND substr(md5(doc_id || ':s16'), 1, 15) <
+                   CASE lang WHEN 'en' THEN '${Sampling.hexThreshold(0.5)}'
+                             WHEN 'fr' THEN '${Sampling.hexThreshold(1.0)}'
+                             WHEN 'de' THEN '${Sampling.hexThreshold(0.25)}'
+                             WHEN 'zh' THEN '${Sampling.hexThreshold(0.1)}'
+                             ELSE '${Sampling.hexThreshold(0.05)}' END),
+      sp AS (SELECT doc_id, lang FROM halves
+             WHERE lang IS NOT NULL
+               AND substr(md5(doc_id || ':s16'), 1, 15) <
+                   CASE lang WHEN 'en' THEN '${Sampling.hexThreshold(0.5)}'
+                             WHEN 'fr' THEN '${Sampling.hexThreshold(1.0)}'
+                             WHEN 'de' THEN '${Sampling.hexThreshold(0.25)}'
+                             WHEN 'zh' THEN '${Sampling.hexThreshold(0.1)}'
+                             ELSE '${Sampling.hexThreshold(0.05)}' END),
+      smism AS (SELECT lang, count(*) AS n_mismatch FROM (
+                  (SELECT doc_id, lang FROM sw EXCEPT SELECT doc_id, lang FROM sp)
+                  UNION ALL
+                  (SELECT doc_id, lang FROM sp EXCEPT SELECT doc_id, lang FROM sw))
+                GROUP BY lang),
+      vw AS (SELECT doc_id,
+               CASE WHEN substr(md5(doc_id || ':s16'), 1, 15) <
+                         '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                    WHEN substr(md5(doc_id || ':s16'), 1, 15) <
+                         '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents WHERE doc_id IS NOT NULL),
+      vp AS (SELECT doc_id,
+               CASE WHEN substr(md5(doc_id || ':s16'), 1, 15) <
+                         '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                    WHEN substr(md5(doc_id || ':s16'), 1, 15) <
+                         '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'val'
+                    ELSE 'test' END AS split
+             FROM halves WHERE doc_id IS NOT NULL),
+      vmism AS (SELECT split, count(*) AS n_mismatch FROM (
+                  (SELECT doc_id, split FROM vw EXCEPT SELECT doc_id, split FROM vp)
+                  UNION ALL
+                  (SELECT doc_id, split FROM vp EXCEPT SELECT doc_id, split FROM vw))
+                GROUP BY split)
+      SELECT op, stratum, n_whole, n_batched, n_mismatch FROM (
+        SELECT 'stratified' AS op, lang AS stratum,
+               CAST(COALESCE(w.n, 0) AS BIGINT) AS n_whole,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_batched,
+               CAST(COALESCE(m.n_mismatch, 0) AS BIGINT) AS n_mismatch
+        FROM (SELECT lang, count(*) AS n FROM sw GROUP BY lang) w
+        FULL JOIN (SELECT lang, count(*) AS n FROM sp GROUP BY lang) p USING (lang)
+        LEFT JOIN smism m USING (lang)
+        UNION ALL
+        SELECT 'split' AS op, split AS stratum,
+               CAST(COALESCE(w.n, 0) AS BIGINT) AS n_whole,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_batched,
+               CAST(COALESCE(m.n_mismatch, 0) AS BIGINT) AS n_mismatch
+        FROM (SELECT split, count(*) AS n FROM vw GROUP BY split) w
+        FULL JOIN (SELECT split, count(*) AS n FROM vp GROUP BY split) p USING (split)
+        LEFT JOIN vmism m USING (split)) z
+      ORDER BY op, stratum""")),
+
     // ---- dedup -----------------------------------------------------------
     QueryDef("d01_dedup_exact", (s, dir) => {
       Dedup.exactDupStats(t(s, dir, "documents"), "text")
