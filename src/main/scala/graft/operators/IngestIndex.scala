@@ -365,6 +365,133 @@ object IngestIndex {
     index.copy(buckets = persist(compactBuckets(index.buckets, "__xs",
       index.maxBucket)), segments = 1)
 
+  // ---- durable state ----------------------------------------------------
+
+  /** Persist the carried state as parquet tables + a params sidecar —
+    * the shape that survives sessions (an ingest pipeline's index must
+    * outlive any one driver; the in-session caches are just the hot
+    * copy). Writing the segment-union frame collapses the segments into
+    * one physical table WITHOUT merging rows — multiple rows per
+    * (band, bucket) are exactly what the probe-time merge already
+    * handles, so save/load changes nothing semantically (spec-pinned:
+    * a reloaded index continues an ingest chain identically). Call
+    * [[compactMinHash]] first when the segment count warrants it. */
+  def saveMinHash(index: MinHashIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    index.docs.write.mode("overwrite").parquet(s"$path/docs")
+    writeParams(index.docs.sparkSession, s"$path/params.json", Map(
+      "family" -> "minhash", "idCol" -> index.idCol,
+      "k" -> index.k, "numHashes" -> index.numHashes,
+      "bands" -> index.bands, "maxBucket" -> index.maxBucket,
+      "segments" -> index.segments))
+  }
+
+  /** Reload a [[saveMinHash]] index. The frames are parquet-backed (the
+    * store IS the disk copy — broadcast probes stream it; persist the
+    * fields yourself for a hot loop). */
+  def loadMinHash(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinHashIndex = {
+    val p = readParams(spark, s"$path/params.json", "minhash")
+    MinHashIndex(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/docs"),
+      p("idCol"), p("k").toInt, p("numHashes").toInt, p("bands").toInt,
+      p("maxBucket").toInt, p("segments").toInt)
+  }
+
+  /** [[saveMinHash]] for the embedding family. */
+  def saveCosine(index: CosineIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    index.docs.write.mode("overwrite").parquet(s"$path/docs")
+    writeParams(index.docs.sparkSession, s"$path/params.json", Map(
+      "family" -> "cosine", "idCol" -> index.idCol,
+      "vecCol" -> index.vecCol, "dim" -> index.dim,
+      "bands" -> index.params.bands,
+      "rowsPerBand" -> index.params.rowsPerBand,
+      "predictedRecall" -> index.params.predictedRecall,
+      "clamped" -> index.params.clamped, "nRows" -> index.params.nRows,
+      "seed" -> index.seed, "maxBucket" -> index.maxBucket,
+      "segments" -> index.segments))
+  }
+
+  /** Reload a [[saveCosine]] index. */
+  def loadCosine(spark: org.apache.spark.sql.SparkSession,
+      path: String): CosineIndex = {
+    val p = readParams(spark, s"$path/params.json", "cosine")
+    CosineIndex(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/docs"),
+      p("idCol"), p("vecCol"), p("dim").toInt,
+      Dedup.HyperplaneLshParams(p("bands").toInt, p("rowsPerBand").toInt,
+        p("predictedRecall").toDouble, p("clamped").toBoolean,
+        p("nRows").toLong),
+      p("seed").toLong, p("maxBucket").toInt, p("segments").toInt)
+  }
+
+  /** [[saveMinHash]] for the fingerprint family. */
+  def saveSimHash(index: SimHashIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    writeParams(index.buckets.sparkSession, s"$path/params.json", Map(
+      "family" -> "simhash", "idCol" -> index.idCol,
+      "maxBucket" -> index.maxBucket, "segments" -> index.segments))
+  }
+
+  /** Reload a [[saveSimHash]] index. */
+  def loadSimHash(spark: org.apache.spark.sql.SparkSession,
+      path: String): SimHashIndex = {
+    val p = readParams(spark, s"$path/params.json", "simhash")
+    SimHashIndex(spark.read.parquet(s"$path/buckets"),
+      p("idCol"), p("maxBucket").toInt, p("segments").toInt)
+  }
+
+  // minimal flat string-map JSON via the Hadoop FS API (works on any
+  // filesystem the session can write; no JSON library in the classpath
+  // contract). Values are written unquoted-safe: keys/strings escape
+  // quotes and backslashes, numerals/booleans round-trip via toString.
+  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+      file: String, params: Map[String, Any]): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = params.toSeq.sortBy(_._1).map {
+      case (k, v: String) => s""""${esc(k)}":"${esc(v)}""""
+      case (k, v) => s""""${esc(k)}":"${esc(v.toString)}""""
+    }.mkString("{", ",", "}")
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readParams(spark: org.apache.spark.sql.SparkSession,
+      file: String, expectFamily: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // flat {"k":"v",...} parser for exactly what writeParams emits
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String) = {
+      val u = """\\u([0-9a-fA-F]{4})""".r
+      u.replaceAllIn(s,
+          mm => java.util.regex.Matcher.quoteReplacement(
+            Integer.parseInt(mm.group(1), 16).toChar.toString))
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    val m = entry.findAllMatchIn(json)
+      .map(mm => unesc(mm.group(1)) -> unesc(mm.group(2))).toMap
+    require(m.get("family").contains(expectFamily),
+      s"$file holds a '${m.getOrElse("family", "?")}' index, expected " +
+      s"'$expectFamily'")
+    m
+  }
+
   // ---- shared state maintenance ---------------------------------------------
 
   private def compactBuckets(buckets: DataFrame, listCol: String,
