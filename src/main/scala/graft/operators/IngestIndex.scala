@@ -80,10 +80,22 @@ import org.apache.spark.storage.StorageLevel
   * (bounded by segment COUNT, not corpus size, per probed bucket).
   * `compact*` folds them back into one segment — the corpus-sized
   * exchange, paid on the caller's schedule (nightly), never on the
-  * ingest path. At 100 TB the segments are bucketed tables and the
-  * broadcast probes become storage-side bucket pruning; in-session they
-  * are MEMORY_AND_DISK frames registered with [[OperatorCaches]]
-  * (consume each ingest's pairs before releasing).
+  * ingest path — and TRUNCATES LINEAGE (eager `localCheckpoint`): the
+  * folded frame's plan would otherwise keep the whole union tree and
+  * every later ingest would re-analyze a plan growing with total
+  * ingests ever (measured — see [[persistTruncated]]). At 100 TB the
+  * segments are bucketed tables and the broadcast probes become
+  * storage-side bucket pruning; in-session they are MEMORY_AND_DISK
+  * frames registered with [[OperatorCaches]]. Cache lifetime follows
+  * the epoch pattern (measured in `graft.SegmentProbe`, numbers in
+  * PERF.md r16): hold each ingest's segment caches in a scope, and
+  * release the superseded scopes once a compact has materialized —
+  * never before (the checkpointed compact cannot recompute). The
+  * measured schedule at sf1: per-ingest wall drifts ≈0.1–0.2 s per
+  * accumulated segment past ~10 segments while shuffle stays flat, and
+  * an 8-ingest compaction cadence held the chain at its segment-2
+  * floor; with compact cost C and per-segment tax τ, compact every
+  * ≈ sqrt(2C/τ) ingests.
   */
 object IngestIndex {
 
@@ -109,6 +121,23 @@ object IngestIndex {
 
   private def persist(df: DataFrame): DataFrame =
     OperatorCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Persist AND truncate lineage (eager `localCheckpoint`). Compaction
+    * must use this, not [[persist]]: a merely-persisted compact keeps
+    * the whole union-of-segments tree in its logical plan, so every
+    * subsequent ingest re-analyzes a plan that grows with TOTAL ingests
+    * ever — the drift is measurable (SegmentProbe: post-compact ingests
+    * stuck at the never-compacted chain's level until compaction
+    * truncated). At 100 TB compaction is a table write and truncation
+    * is inherent; `localCheckpoint` is the in-session analog. The
+    * checkpointed frame cannot recompute once released — release its
+    * scope only after a newer compact supersedes it (the same contract
+    * [[Dedup.connectedComponents]] documents for its labels). */
+  private def persistTruncated(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint() // eager: materializes + truncates
+    OperatorCaches.trackRelease(() => OperatorCaches.releaseCheckpoint(cp))
+    cp
+  }
 
   /** Probe-time merged view of the buckets a batch touches: broadcast
     * the batch's (band, bucket) keys into a narrow scan of every
@@ -220,9 +249,9 @@ object IngestIndex {
     * cap+1 stays at cap+1, still measured saturated by every probe. */
   def compactMinHash(index: MinHashIndex): MinHashIndex =
     index.copy(
-      buckets = persist(compactBuckets(index.buckets, "__ids",
+      buckets = persistTruncated(compactBuckets(index.buckets, "__ids",
         index.maxBucket)),
-      docs = persist(compactDocs(index.docs, index.idCol, "sh")),
+      docs = persistTruncated(compactDocs(index.docs, index.idCol, "sh")),
       segments = 1)
 
   // ---- cosine ---------------------------------------------------------------
@@ -300,9 +329,10 @@ object IngestIndex {
   /** [[compactMinHash]] for the embedding family. */
   def compactCosine(index: CosineIndex): CosineIndex =
     index.copy(
-      buckets = persist(compactBuckets(index.buckets, "__ids",
+      buckets = persistTruncated(compactBuckets(index.buckets, "__ids",
         index.maxBucket)),
-      docs = persist(compactDocs(index.docs, index.idCol, index.vecCol)),
+      docs = persistTruncated(compactDocs(index.docs, index.idCol,
+        index.vecCol)),
       segments = 1)
 
   // ---- SimHash --------------------------------------------------------------
@@ -362,8 +392,8 @@ object IngestIndex {
 
   /** [[compactMinHash]] for the fingerprint family. */
   def compactSimHash(index: SimHashIndex): SimHashIndex =
-    index.copy(buckets = persist(compactBuckets(index.buckets, "__xs",
-      index.maxBucket)), segments = 1)
+    index.copy(buckets = persistTruncated(compactBuckets(index.buckets,
+      "__xs", index.maxBucket)), segments = 1)
 
   // ---- durable state ----------------------------------------------------
 

@@ -86,6 +86,46 @@ class IngestIndexSpec extends SparkSpec {
     } finally caches.release()
   }
 
+  test("compaction truncates lineage: compacted frames are checkpoint leaves") {
+    // a merely-persisted compact keeps the whole union-of-segments tree
+    // in its logical plan, so every later ingest re-analyzes a plan
+    // that grows with TOTAL ingests ever — SegmentProbe measured the
+    // drift (post-compact ingests stuck at the never-compacted chain's
+    // level until compaction checkpointed). Pin the truncation: after
+    // compact, the index frames' analyzed plans are LogicalRDD leaves,
+    // strictly smaller than the pre-compact union tree.
+    val (res, caches) = OperatorCaches.scoped {
+      val idx0 = IngestIndex.buildMinHash(docs.filter($"doc_id" < 300),
+        "doc_id", "text")
+      val (_, idx1) = IngestIndex.ingestMinHash(idx0,
+        docs.filter($"doc_id" >= 300 && $"doc_id" < 400), "text", 0.8)
+      val (p2, idx2) = IngestIndex.ingestMinHash(idx1,
+        docs.filter($"doc_id" >= 400), "text", 0.8)
+      p2.count() // consume the chain like a real pipeline would
+      val compacted = IngestIndex.compactMinHash(idx2)
+      def nodes(df: org.apache.spark.sql.DataFrame): Int = {
+        var n = 0
+        df.queryExecution.analyzed.foreach(_ => n += 1)
+        n
+      }
+      def isCheckpointLeaf(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.analyzed.collect {
+          case _: org.apache.spark.sql.execution.LogicalRDD => ()
+        }.nonEmpty && nodes(df) <= 2
+      (nodes(idx2.buckets), nodes(compacted.buckets),
+        isCheckpointLeaf(compacted.buckets),
+        isCheckpointLeaf(compacted.docs))
+    } // scope release also exercises the checkpoint-release registration
+    try {
+      val (preNodes, postNodes, bucketsLeaf, docsLeaf) = res
+      assert(preNodes > postNodes,
+        s"pre-compact union tree ($preNodes nodes) should dwarf the " +
+        s"compacted plan ($postNodes)")
+      assert(bucketsLeaf, "compacted buckets must be a checkpoint leaf")
+      assert(docsLeaf, "compacted doc store must be a checkpoint leaf")
+    } finally caches.release()
+  }
+
   test("cosine: index-carried ingest == recompute incremental") {
     val (res, caches) = OperatorCaches.scoped {
       val corpus = emb.filter($"vec_id" < 300)
