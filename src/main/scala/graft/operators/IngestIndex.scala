@@ -405,12 +405,24 @@ object IngestIndex {
     * (band, bucket) are exactly what the probe-time merge already
     * handles, so save/load changes nothing semantically (spec-pinned:
     * a reloaded index continues an ingest chain identically). Call
-    * [[compactMinHash]] first when the segment count warrants it. */
+    * [[compactMinHash]] first when the segment count warrants it.
+    *
+    * Saves are VERSIONED: each save writes a fresh `v<N>` directory and
+    * flips `params.json` to it last, so (a) the load → ingest → save
+    * loop works against ONE path even though the saved frame's lineage
+    * still reads the previous version's parquet (an in-place overwrite
+    * would throw "cannot overwrite a path that is also being read
+    * from"), and (b) a failure mid-save leaves the previous version
+    * complete and still referenced. Old versions are NOT deleted here —
+    * a live index loaded earlier in some session may still scan them;
+    * call [[pruneVersions]] once none does. */
   def saveMinHash(index: MinHashIndex, path: String): Unit = {
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    index.docs.write.mode("overwrite").parquet(s"$path/docs")
-    writeParams(index.docs.sparkSession, s"$path/params.json", Map(
-      "family" -> "minhash", "idCol" -> index.idCol,
+    val spark = index.docs.sparkSession
+    val v = nextVersion(spark, path)
+    index.buckets.write.mode("overwrite").parquet(s"$path/v$v/buckets")
+    index.docs.write.mode("overwrite").parquet(s"$path/v$v/docs")
+    writeParams(spark, path, Map(
+      "family" -> "minhash", "version" -> v, "idCol" -> index.idCol,
       "k" -> index.k, "numHashes" -> index.numHashes,
       "bands" -> index.bands, "maxBucket" -> index.maxBucket,
       "segments" -> index.segments))
@@ -421,20 +433,23 @@ object IngestIndex {
     * fields yourself for a hot loop). */
   def loadMinHash(spark: org.apache.spark.sql.SparkSession,
       path: String): MinHashIndex = {
-    val p = readParams(spark, s"$path/params.json", "minhash")
+    val p = readParams(spark, path, "minhash")
+    val v = p("version")
     MinHashIndex(
-      spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/docs"),
+      spark.read.parquet(s"$path/v$v/buckets"),
+      spark.read.parquet(s"$path/v$v/docs"),
       p("idCol"), p("k").toInt, p("numHashes").toInt, p("bands").toInt,
       p("maxBucket").toInt, p("segments").toInt)
   }
 
   /** [[saveMinHash]] for the embedding family. */
   def saveCosine(index: CosineIndex, path: String): Unit = {
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    index.docs.write.mode("overwrite").parquet(s"$path/docs")
-    writeParams(index.docs.sparkSession, s"$path/params.json", Map(
-      "family" -> "cosine", "idCol" -> index.idCol,
+    val spark = index.docs.sparkSession
+    val v = nextVersion(spark, path)
+    index.buckets.write.mode("overwrite").parquet(s"$path/v$v/buckets")
+    index.docs.write.mode("overwrite").parquet(s"$path/v$v/docs")
+    writeParams(spark, path, Map(
+      "family" -> "cosine", "version" -> v, "idCol" -> index.idCol,
       "vecCol" -> index.vecCol, "dim" -> index.dim,
       "bands" -> index.params.bands,
       "rowsPerBand" -> index.params.rowsPerBand,
@@ -447,10 +462,11 @@ object IngestIndex {
   /** Reload a [[saveCosine]] index. */
   def loadCosine(spark: org.apache.spark.sql.SparkSession,
       path: String): CosineIndex = {
-    val p = readParams(spark, s"$path/params.json", "cosine")
+    val p = readParams(spark, path, "cosine")
+    val v = p("version")
     CosineIndex(
-      spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/docs"),
+      spark.read.parquet(s"$path/v$v/buckets"),
+      spark.read.parquet(s"$path/v$v/docs"),
       p("idCol"), p("vecCol"), p("dim").toInt,
       Dedup.HyperplaneLshParams(p("bands").toInt, p("rowsPerBand").toInt,
         p("predictedRecall").toDouble, p("clamped").toBoolean,
@@ -460,64 +476,86 @@ object IngestIndex {
 
   /** [[saveMinHash]] for the fingerprint family. */
   def saveSimHash(index: SimHashIndex, path: String): Unit = {
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    writeParams(index.buckets.sparkSession, s"$path/params.json", Map(
-      "family" -> "simhash", "idCol" -> index.idCol,
+    val spark = index.buckets.sparkSession
+    val v = nextVersion(spark, path)
+    index.buckets.write.mode("overwrite").parquet(s"$path/v$v/buckets")
+    writeParams(spark, path, Map(
+      "family" -> "simhash", "version" -> v, "idCol" -> index.idCol,
       "maxBucket" -> index.maxBucket, "segments" -> index.segments))
   }
 
   /** Reload a [[saveSimHash]] index. */
   def loadSimHash(spark: org.apache.spark.sql.SparkSession,
       path: String): SimHashIndex = {
-    val p = readParams(spark, s"$path/params.json", "simhash")
-    SimHashIndex(spark.read.parquet(s"$path/buckets"),
+    val p = readParams(spark, path, "simhash")
+    SimHashIndex(spark.read.parquet(s"$path/v${p("version")}/buckets"),
       p("idCol"), p("maxBucket").toInt, p("segments").toInt)
   }
 
-  // minimal flat string-map JSON via the Hadoop FS API (works on any
-  // filesystem the session can write; no JSON library in the classpath
-  // contract). Values are written unquoted-safe: keys/strings escape
-  // quotes and backslashes, numerals/booleans round-trip via toString.
-  private def writeParams(spark: org.apache.spark.sql.SparkSession,
-      file: String, params: Map[String, Any]): Unit = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val json = params.toSeq.sortBy(_._1).map {
-      case (k, v: String) => s""""${esc(k)}":"${esc(v)}""""
-      case (k, v) => s""""${esc(k)}":"${esc(v.toString)}""""
-    }.mkString("{", ",", "}")
-    val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+  /** Delete version directories other than the one `params.json`
+    * currently points at; returns how many were removed. Only call
+    * when no live index loaded from an OLDER version of this path is
+    * still in use anywhere — its parquet scans would start failing. */
+  def pruneVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val keep = s"v${readParamsMap(spark, path)("version")}"
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("v\\d+") && st.getPath.getName != keep)
+      .count(st => fs.delete(st.getPath, true))
   }
 
-  private def readParams(spark: org.apache.spark.sql.SparkSession,
-      file: String, expectFamily: String): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(file)
+  private def nextVersion(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readParamsMap(spark, path)("version").toInt + 1 else 1
+  }
+
+  // The sidecar is a flat string map serialized with jackson (a hard
+  // Spark dependency — always on the classpath), written through the
+  // Hadoop FS API so it lands wherever the tables do. The write goes
+  // to a temp file first and renames over the target, shrinking the
+  // torn-write window to metadata ops.
+  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, params: Map[String, Any]): Unit = {
+    val m = new java.util.TreeMap[String, String]()
+    params.foreach { case (k, v) => m.put(k, v.toString) }
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(m)
+    val target = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.params.json.tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target),
+      s"could not move $tmp over $target")
+  }
+
+  private def readParamsMap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // flat {"k":"v",...} parser for exactly what writeParams emits
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unesc(s: String) = {
-      val u = """\\u([0-9a-fA-F]{4})""".r
-      u.replaceAllIn(s,
-          mm => java.util.regex.Matcher.quoteReplacement(
-            Integer.parseInt(mm.group(1), 16).toChar.toString))
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-    }
-    val m = entry.findAllMatchIn(json)
-      .map(mm => unesc(mm.group(1)) -> unesc(mm.group(2))).toMap
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    val b = Map.newBuilder[String, String]
+    node.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+    b.result()
+  }
+
+  private def readParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, expectFamily: String): Map[String, String] = {
+    val m = readParamsMap(spark, path)
     require(m.get("family").contains(expectFamily),
-      s"$file holds a '${m.getOrElse("family", "?")}' index, expected " +
+      s"$path holds a '${m.getOrElse("family", "?")}' index, expected " +
       s"'$expectFamily'")
     m
   }

@@ -180,48 +180,71 @@ class IngestIndexSpec extends SparkSpec {
       val (pDirect, _) = IngestIndex.ingestMinHash(idx1, b2, "text", 0.8)
       IngestIndex.saveMinHash(idx1, dir)
       val reloaded = IngestIndex.loadMinHash(spark, dir)
-      assert(reloaded.segments == idx1.segments &&
+      val paramsMatch = reloaded.segments == idx1.segments &&
         reloaded.k == idx1.k && reloaded.bands == idx1.bands &&
         reloaded.numHashes == idx1.numHashes &&
-        reloaded.maxBucket == idx1.maxBucket)
-      val (pReloaded, _) = IngestIndex.ingestMinHash(reloaded, b2, "text", 0.8)
-      (pairSet(pDirect), pairSet(pReloaded))
+        reloaded.maxBucket == idx1.maxBucket
+      val (pReloaded, idxR2) = IngestIndex.ingestMinHash(reloaded, b2,
+        "text", 0.8)
+      // the production loop: save the ADVANCED index back to the SAME
+      // path — its lineage still reads v1's parquet, which versioned
+      // writes must tolerate (an in-place overwrite throws)
+      IngestIndex.saveMinHash(idxR2, dir)
+      val reloaded2 = IngestIndex.loadMinHash(spark, dir)
+      val segsMatch = reloaded2.segments == idxR2.segments
+      val (pAgain, _) = IngestIndex.ingestMinHash(reloaded2, b2, "text", 0.8)
+      (pairSet(pDirect), pairSet(pReloaded), pairSet(pAgain), paramsMatch,
+        segsMatch)
     }
     try {
-      val (pDirect, pReloaded) = res
+      val (pDirect, pReloaded, pAgain, paramsMatch, segsMatch) = res
+      assert(paramsMatch, "reloaded params diverge from the saved index")
+      assert(segsMatch, "second-save segment count diverges")
       assert(pDirect.nonEmpty)
       assert(pReloaded == pDirect,
         s"reloaded-index ingest diverges: ${pDirect.diff(pReloaded)} / " +
         s"${pReloaded.diff(pDirect)}")
+      // re-delivery through the save → load → ingest loop is still
+      // idempotent (b2 is already in the v2 index)
+      assert(pAgain == pDirect,
+        "same-path save/load chain diverges on re-delivered batch")
       // family marker is enforced
       val ex = intercept[IllegalArgumentException] {
         IngestIndex.loadSimHash(spark, dir)
       }
       assert(ex.getMessage.contains("minhash"))
+      // pruning keeps only the current version and the index still loads
+      assert(IngestIndex.pruneVersions(spark, dir) == 1) // v1 removed
+      assert(IngestIndex.loadMinHash(spark, dir).segments == 3)
     } finally caches.release()
     // the other two families' param sidecars round-trip (incl. the
-    // cosine plane config, whose doubles/booleans parse back exactly)
-    val (_, caches2) = OperatorCaches.scoped {
+    // cosine plane config, whose doubles/booleans parse back exactly) —
+    // assertions live OUTSIDE the scoped body so a failure still
+    // releases the build caches
+    val params = graft.operators.Dedup.HyperplaneLshParams(
+      bands = 7, rowsPerBand = 5, predictedRecall = 0.9753,
+      clamped = true, nRows = 123L)
+    val (res2, caches2) = OperatorCaches.scoped {
       val dir2 = java.nio.file.Files.createTempDirectory("graft-idx2").toString
-      val params = graft.operators.Dedup.HyperplaneLshParams(
-        bands = 7, rowsPerBand = 5, predictedRecall = 0.9753,
-        clamped = true, nRows = 123L)
       val c = IngestIndex.buildCosine(emb.filter($"vec_id" < 50),
         "vec_id", "embedding", dim = 64, params = params, seed = 11L,
         maxBucket = 77)
       IngestIndex.saveCosine(c, dir2)
       val cr = IngestIndex.loadCosine(spark, dir2)
-      assert(cr.params == params && cr.seed == 11L && cr.maxBucket == 77 &&
-        cr.dim == 64 && cr.idCol == "vec_id" && cr.vecCol == "embedding")
       val dir3 = java.nio.file.Files.createTempDirectory("graft-idx3").toString
       val sh = IngestIndex.buildSimHash(docs.filter($"doc_id" < 50),
         "doc_id", "text", maxBucket = 99)
       IngestIndex.saveSimHash(sh, dir3)
       val shr = IngestIndex.loadSimHash(spark, dir3)
+      (cr, shr)
+    }
+    try {
+      val (cr, shr) = res2
+      assert(cr.params == params && cr.seed == 11L && cr.maxBucket == 77 &&
+        cr.dim == 64 && cr.idCol == "vec_id" && cr.vecCol == "embedding")
       assert(shr.maxBucket == 99 && shr.idCol == "doc_id" &&
         shr.segments == 1)
-    }
-    caches2.release()
+    } finally caches2.release()
   }
 
   test("ingest shuffle volume tracks the batch, not the corpus") {
