@@ -133,7 +133,7 @@ object IngestIndex {
     * checkpointed frame cannot recompute once released — release its
     * scope only after a newer compact supersedes it (the same contract
     * [[Dedup.connectedComponents]] documents for its labels). */
-  private def persistTruncated(df: DataFrame): DataFrame = {
+  private[operators] def persistTruncated(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint() // eager: materializes + truncates
     OperatorCaches.trackRelease(() => OperatorCaches.releaseCheckpoint(cp))
     cp
@@ -507,7 +507,7 @@ object IngestIndex {
       .count(st => fs.delete(st.getPath, true))
   }
 
-  private def nextVersion(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def nextVersion(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -519,7 +519,7 @@ object IngestIndex {
   // Hadoop FS API so it lands wherever the tables do. The write goes
   // to a temp file first and renames over the target, shrinking the
   // torn-write window to metadata ops.
-  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def writeParams(spark: org.apache.spark.sql.SparkSession,
       path: String, params: Map[String, Any]): Unit = {
     val m = new java.util.TreeMap[String, String]()
     params.foreach { case (k, v) => m.put(k, v.toString) }
@@ -536,7 +536,7 @@ object IngestIndex {
       s"could not move $tmp over $target")
   }
 
-  private def readParamsMap(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readParamsMap(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -551,7 +551,7 @@ object IngestIndex {
     b.result()
   }
 
-  private def readParams(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readParams(spark: org.apache.spark.sql.SparkSession,
       path: String, expectFamily: String): Map[String, String] = {
     val m = readParamsMap(spark, path)
     require(m.get("family").contains(expectFamily),

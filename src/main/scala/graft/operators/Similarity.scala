@@ -73,7 +73,10 @@ object Similarity {
   }
 
   /** IVF search against an explicit centroid frame (cell_id, cell_vec) —
-    * the assign/probe/search machinery shared by [[ivfTopK]]. */
+    * the assign/probe/search machinery shared by [[ivfTopK]], split as
+    * [[assignCells]] + [[searchAssigned]] so the carried [[IvfIndex]]
+    * reuses the exact same shapes (the composition is plan-identical to
+    * the pre-split form). */
   def ivfTopKWithCells(
       corpus: DataFrame, queries: DataFrame, centroidFrame: DataFrame,
       k: Int, nprobe: Int,
@@ -81,20 +84,27 @@ object Similarity {
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val centroids = centroidFrame
       .select(col("cell_id"), col("cell_vec"))
-    // assign corpus rows to nearest cell (scores rounded before the
-    // arg-max so float summation order can't flip a near-tie — keeps the
-    // assignment engine-stable and oracle-reproducible). The arg-max is
-    // a max_by PARTIAL aggregation, same shape as kmeansFit.assign: the
-    // K scored copies of a corpus row are born in one task, so the
-    // map side reduces them K→1 before anything shuffles — one row per
-    // corpus id (with its vector) enters the exchange. The previous
-    // row_number window here sort-exchanged the full corpus×K stream,
-    // embedding vectors included — benign at suite K, a K×-volume
-    // shuffle at 100 TB (r14 verdict's weak). Ties break to the lowest
-    // cell_id — maximize (__d, -cell_id) — exactly the old window's
-    // (desc __d, asc cell_id) order, so recorded results are
-    // bit-identical (the pre-argmax rounding makes that checkable).
-    val assigned = corpus.crossJoin(broadcast(centroids))
+    searchAssigned(assignCells(corpus, centroids, corpusId, corpusVec),
+      centroids, queries, k, nprobe, queryId, queryVec)
+  }
+
+  /** Corpus-side cell assignment (scores rounded before the
+    * arg-max so float summation order can't flip a near-tie — keeps the
+    * assignment engine-stable and oracle-reproducible). The arg-max is
+    * a max_by PARTIAL aggregation, same shape as kmeansFit.assign: the
+    * K scored copies of a corpus row are born in one task, so the
+    * map side reduces them K→1 before anything shuffles — one row per
+    * corpus id (with its vector) enters the exchange. The previous
+    * row_number window here sort-exchanged the full corpus×K stream,
+    * embedding vectors included — benign at suite K, a K×-volume
+    * shuffle at 100 TB (r14 verdict's weak). Ties break to the lowest
+    * cell_id — maximize (__d, -cell_id) — exactly the old window's
+    * (desc __d, asc cell_id) order, so recorded results are
+    * bit-identical (the pre-argmax rounding makes that checkable).
+    * Output: (neighbor_id, __cv, cell_id). */
+  private[operators] def assignCells(corpus: DataFrame, centroids: DataFrame,
+      corpusId: String, corpusVec: String): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", round(dot(col(corpusVec), col("cell_vec")) /
         (norm(col(corpusVec)) * norm(col("cell_vec"))), 6))
       .groupBy(col(corpusId))
@@ -102,7 +112,13 @@ object Similarity {
         struct(col("__d"), -col("cell_id"))).as("__b"))
       .select(col(corpusId).as("neighbor_id"), col("__b.__v").as("__cv"),
         col("__b.cell_id").as("cell_id"))
-    // each query probes nprobe nearest cells
+
+  /** Probe + search over an already-assigned corpus: each query probes
+    * its nprobe nearest cells, then searches only those rows via the
+    * cell_id equi-join (no cross join of the corpus). */
+  private[operators] def searchAssigned(assigned: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String, queryVec: String): DataFrame = {
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__d", round(dot(col(queryVec), col("cell_vec")) /
         (norm(col(queryVec)) * norm(col("cell_vec"))), 6))
@@ -110,7 +126,6 @@ object Similarity {
         Window.partitionBy(col(queryId)).orderBy(col("__d").desc, col("cell_id"))))
       .filter(col("__rn") <= nprobe)
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"), col("cell_id"))
-    // search only the probed cells (equi-join on cell_id — no cross join)
     val scored = assigned.join(probes, "cell_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(dot(col("__cv"), col("__qv")) /
@@ -274,6 +289,130 @@ object Similarity {
     }
     caches.release()
     alpha
+  }
+
+  // ---- carried IVF index ---------------------------------------------------
+
+  /** Carried ANN state — the r16 ingest discipline applied to the IVF
+    * family. Centroids are FROZEN at build (production IVF trains its
+    * quantizer once on a sample and reuses it per batch; re-training is
+    * a rebuild, not an ingest), and the corpus lives as its cell
+    * ASSIGNMENT: `assigned` is a union of per-ingest persisted segments
+    * with one (neighbor_id, __cv, cell_id) row per vector.
+    *
+    * [[ivfIngest]] touches ONLY the batch — broadcast centroids into a
+    * narrow scoring pass plus one batch-proportional max_by exchange;
+    * the existing corpus is never read (append is lazy union). Search
+    * over the carried index is [[searchAssigned]] on the segment union,
+    * which is result-IDENTICAL to one-shot [[ivfTopKWithCells]] on the
+    * union corpus: assignment is per-row deterministic given the frozen
+    * cells (rounded scores, lowest-cell tie-break), so carrying it
+    * changes nothing (spec-pinned exact equality; driver-pinned by the
+    * s06 gate). Re-delivered ids (same id, same vector) are collapsed
+    * at search time from the candidate stream — batch-proportional, so
+    * the one-shot path pays nothing for it. Maintenance mirrors
+    * [[IngestIndex]]: [[compactIvfIndex]] folds segments and truncates
+    * lineage on the caller's cadence. */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, segments: Int)
+
+  private def persistIvf(df: DataFrame): DataFrame =
+    OperatorCaches.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** One-time corpus-sized job: assign every corpus vector to its cell.
+    * `centroidFrame` is (cell_id, cell_vec) — from [[kmeansFit]] or a
+    * saved index. Null ids/vectors are dropped (the family convention). */
+  def buildIvfIndex(corpus: DataFrame, centroidFrame: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    InputContracts.requireDeterministic(corpus, "buildIvfIndex(corpus)")
+    val centroids = persistIvf(
+      centroidFrame.select(col("cell_id"), col("cell_vec")))
+    val assigned = persistIvf(assignCells(
+      corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull),
+      centroids, idCol, vecCol))
+    IvfIndex(centroids, assigned, idCol, vecCol, 1)
+  }
+
+  /** Append a batch: assign it against the frozen centroids (the ONLY
+    * job — the corpus is untouched) and union the segment in. Batch ids
+    * must be unique within the batch; a re-delivered id must carry an
+    * identical vector (collapsed at search time). */
+  def ivfIngest(index: IvfIndex, batch: DataFrame): IvfIndex = {
+    InputContracts.requireDeterministic(batch, "ivfIngest(batch)")
+    val seg = persistIvf(assignCells(
+      batch.filter(col(index.idCol).isNotNull &&
+        col(index.vecCol).isNotNull),
+      index.centroids, index.idCol, index.vecCol))
+    index.copy(assigned = index.assigned.unionByName(seg),
+      segments = index.segments + 1)
+  }
+
+  /** Top-k search over the carried index — [[ivfTopKWithCells]]'s
+    * search half over the segment union, plus the re-delivery collapse
+    * (dropDuplicates over the PROBED candidates only, so its exchange
+    * is candidate-proportional, never corpus-sized). */
+  def ivfSearchIndex(index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int, queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("__d", round(dot(col(queryVec), col("cell_vec")) /
+        (norm(col(queryVec)) * norm(col("cell_vec"))), 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryId))
+          .orderBy(col("__d").desc, col("cell_id"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+        col("cell_id"))
+    val scored = index.assigned.join(probes, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // re-delivered copies are identical rows, so any survivor carries
+      // the same values — the collapse is value-deterministic
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(dot(col("__cv"), col("__qv")) /
+        (norm(col("__cv")) * norm(col("__qv"))), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** Fold the assignment segments into one checkpointed frame —
+    * corpus-sized, paid on the caller's cadence, lineage-truncated for
+    * the same measured reason as [[IngestIndex.compactMinHash]]. The
+    * per-id collapse also makes re-delivered duplicates physical-once
+    * (first() over identical rows — value-deterministic). */
+  def compactIvfIndex(index: IvfIndex): IvfIndex =
+    index.copy(assigned = IngestIndex.persistTruncated(
+      index.assigned.groupBy(col("neighbor_id"))
+        .agg(first(col("__cv")).as("__cv"),
+          first(col("cell_id")).as("cell_id"))
+        .select(col("neighbor_id"), col("__cv"), col("cell_id"))),
+      segments = 1)
+
+  /** Persist the carried ANN state (versioned, same scheme and same
+    * caveats as [[IngestIndex.saveMinHash]]). */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    val v = IngestIndex.nextVersion(spark, path)
+    index.centroids.write.mode("overwrite").parquet(s"$path/v$v/centroids")
+    index.assigned.write.mode("overwrite").parquet(s"$path/v$v/assigned")
+    IngestIndex.writeParams(spark, path, Map(
+      "family" -> "ivf", "version" -> v, "idCol" -> index.idCol,
+      "vecCol" -> index.vecCol, "segments" -> index.segments))
+  }
+
+  /** Reload a [[saveIvfIndex]] index. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val p = IngestIndex.readParams(spark, path, "ivf")
+    val v = p("version")
+    IvfIndex(
+      spark.read.parquet(s"$path/v$v/centroids"),
+      spark.read.parquet(s"$path/v$v/assigned"),
+      p("idCol"), p("vecCol"), p("segments").toInt)
   }
 
   /** Spherical k-means, full Lloyd loop (the training step behind

@@ -859,6 +859,71 @@ object Pipeline {
         UNION ALL SELECT 'sizer_pruning_real', 1) m
       ORDER BY metric""")),
 
+    // The carried IVF index (r16 — the ingest discipline applied to the
+    // ANN family): centroids frozen at build, the corpus carried as its
+    // cell assignment, ingest = assign ONLY the batch (broadcast
+    // centroids, one batch-proportional exchange — the corpus is never
+    // read). This gate pins the adoption contract through the driver:
+    // search over the carried index must EXACTLY equal one-shot
+    // ivfTopKWithCells on the union corpus with the same frozen cells
+    // (full-row equality incl. cosine and rank — assignment is per-row
+    // deterministic, so carrying it may change nothing).
+    // `brute_topk_rows` is the DuckDB-recomputed anchor (proves the
+    // spread query set is what both engines saw); `ingest_visible` pins
+    // the gate non-vacuous (some returned neighbor must come from the
+    // ingested batch, else the equality never exercised the ingest
+    // path). CORRECTNESS-only: the anchor is O(n·q).
+    QueryDef("s06_ivf_ingest_gate", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val n = embeddingsCount(s, dir)
+      val cut = (n * 9 / 10).toLong
+      val corpus = emb.filter($"vec_id" < cut)
+      val batch = emb.filter($"vec_id" >= cut)
+      val queries = emb.filter(pmod($"vec_id", lit(20)) === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val (cents, _) = Similarity.kmeansFit(corpus, k = 16, iters = 5)
+      val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cell_id", "cell_vec")
+      val idx0 = Similarity.buildIvfIndex(corpus, centFrame)
+      val idx1 = Similarity.ivfIngest(idx0, batch)
+      val carried = Similarity.ivfSearchIndex(idx1, queries, k = 5,
+        nprobe = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oneShot = Similarity.ivfTopKWithCells(emb, queries, centFrame,
+        k = 5, nprobe = 4)
+      val keys = Seq("query_id", "neighbor_id", "cosine", "rank")
+      val mismatch = carried.join(oneShot, keys, "left_anti")
+        .unionByName(oneShot.join(carried, keys, "left_anti"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("carried_vs_oneshot_mismatch").as("metric"), $"value")
+      val visible = carried.agg(
+          sum(when($"neighbor_id" >= cut, 1L).otherwise(0L)).as("nb"))
+        .select(lit("ingest_visible").as("metric"),
+          when(coalesce($"nb", lit(0L)) > 0, 1L).otherwise(0L).as("value"))
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val nBrute = brute.agg(count(lit(1)).as("value"))
+        .select(lit("brute_topk_rows").as("metric"), $"value")
+      nBrute.unionByName(mismatch).unionByName(visible).orderBy($"metric")
+    }, Some("""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id % 20 = 0 AND c.vec_id != q.vec_id),
+      ranked AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT metric, value FROM (
+        SELECT 'brute_topk_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+        FROM ranked WHERE rank <= 5
+        UNION ALL SELECT 'carried_vs_oneshot_mismatch', 0
+        UNION ALL SELECT 'ingest_visible', 1) m
+      ORDER BY metric""")),
+
     QueryDef("s03_topk_agg", (s, dir) => {
       import s.implicits._
       import graft.functions.{ScoredId, TopKAggregator}
