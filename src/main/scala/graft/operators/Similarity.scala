@@ -115,10 +115,15 @@ object Similarity {
 
   /** Probe + search over an already-assigned corpus: each query probes
     * its nprobe nearest cells, then searches only those rows via the
-    * cell_id equi-join (no cross join of the corpus). */
+    * cell_id equi-join (no cross join of the corpus).
+    * `collapseDuplicates` dedups the PROBED candidate stream per
+    * (query, neighbor) — the carried index's re-delivery absorption;
+    * its exchange is candidate-proportional. The one-shot path leaves
+    * it off (per-id-unique input), keeping that plan unchanged. */
   private[operators] def searchAssigned(assigned: DataFrame,
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String, queryVec: String): DataFrame = {
+      queryId: String, queryVec: String,
+      collapseDuplicates: Boolean = false): DataFrame = {
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__d", round(dot(col(queryVec), col("cell_vec")) /
         (norm(col(queryVec)) * norm(col("cell_vec"))), 6))
@@ -126,8 +131,14 @@ object Similarity {
         Window.partitionBy(col(queryId)).orderBy(col("__d").desc, col("cell_id"))))
       .filter(col("__rn") <= nprobe)
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"), col("cell_id"))
-    val scored = assigned.join(probes, "cell_id")
+    val joined = assigned.join(probes, "cell_id")
       .filter(col("neighbor_id") =!= col("query_id"))
+    // re-delivered copies are identical rows, so any survivor carries
+    // the same values — the collapse is value-deterministic
+    val candidates =
+      if (collapseDuplicates) joined.dropDuplicates("query_id", "neighbor_id")
+      else joined
+    val scored = candidates
       .withColumn("cosine", round(dot(col("__cv"), col("__qv")) /
         (norm(col("__cv")) * norm(col("__qv"))), 6))
     scored.withColumn("rank", row_number().over(
@@ -348,36 +359,17 @@ object Similarity {
       segments = index.segments + 1)
   }
 
-  /** Top-k search over the carried index — [[ivfTopKWithCells]]'s
-    * search half over the segment union, plus the re-delivery collapse
-    * (dropDuplicates over the PROBED candidates only, so its exchange
-    * is candidate-proportional, never corpus-sized). */
+  /** Top-k search over the carried index — [[searchAssigned]] (the
+    * shared [[ivfTopKWithCells]] search half) over the segment union.
+    * The re-delivery collapse runs only when more than one segment
+    * exists: a freshly built or compacted index is per-id unique by
+    * construction (build's groupBy, compact's per-id fold), so the
+    * common steady-state compacted shape skips the extra exchange. */
   def ivfSearchIndex(index: IvfIndex, queries: DataFrame, k: Int,
       nprobe: Int, queryId: String = "query_id",
-      queryVec: String = "query_vec"): DataFrame = {
-    val probes = queries.crossJoin(broadcast(index.centroids))
-      .withColumn("__d", round(dot(col(queryVec), col("cell_vec")) /
-        (norm(col(queryVec)) * norm(col("cell_vec"))), 6))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(queryId))
-          .orderBy(col("__d").desc, col("cell_id"))))
-      .filter(col("__rn") <= nprobe)
-      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-        col("cell_id"))
-    val scored = index.assigned.join(probes, "cell_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      // re-delivered copies are identical rows, so any survivor carries
-      // the same values — the collapse is value-deterministic
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", round(dot(col("__cv"), col("__qv")) /
-        (norm(col("__cv")) * norm(col("__qv"))), 6))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("rank"))
-  }
+      queryVec: String = "query_vec"): DataFrame =
+    searchAssigned(index.assigned, index.centroids, queries, k, nprobe,
+      queryId, queryVec, collapseDuplicates = index.segments > 1)
 
   /** Fold the assignment segments into one checkpointed frame —
     * corpus-sized, paid on the caller's cadence, lineage-truncated for

@@ -890,8 +890,11 @@ object Pipeline {
       val carried = Similarity.ivfSearchIndex(idx1, queries, k = 5,
         nprobe = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted like s02's brute side: both anti-join legs read it,
+      // and it carries the corpus-sized assign subtree
       val oneShot = Similarity.ivfTopKWithCells(emb, queries, centFrame,
         k = 5, nprobe = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keys = Seq("query_id", "neighbor_id", "cosine", "rank")
       val mismatch = carried.join(oneShot, keys, "left_anti")
         .unionByName(oneShot.join(carried, keys, "left_anti"))
