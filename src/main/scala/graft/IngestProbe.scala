@@ -163,6 +163,51 @@ object IngestProbe {
     shScope.release()
     }
 
+    // carried IVF (embeddings table, same 90/10 protocol): centroids
+    // trained once on the corpus (untimed — production trains on a
+    // sample and freezes); "recompute" is the no-index pipeline shape,
+    // re-assigning the whole union per arriving batch via
+    // buildIvfIndex, vs the carried ivfIngest which assigns only the
+    // batch. The per-batch segment materializes via assigned.count()
+    // (the corpus side reads from cache, shuffle-free).
+    if (members("ivf")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nEmb = emb.count()
+      val eCut = (nEmb * 0.9).toLong
+      val eCorpus = emb.filter(col("vec_id") < eCut)
+      val eCorpusRows = eCorpus.count()
+      import operators.Similarity
+      val nCells = math.max(2,
+        math.ceil(math.sqrt(eCorpusRows.toDouble)).toInt)
+      val (cents, _) = Similarity.kmeansFit(eCorpus, nCells, iters = 5)
+      val session = spark
+      import session.implicits._
+      val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cell_id", "cell_vec")
+      val (iIdx, iScope) = OperatorCaches.scoped {
+        val i = Similarity.buildIvfIndex(eCorpus, centFrame)
+        i.assigned.count(); i.centroids.count()
+        i
+      }
+      for (pct <- pcts) {
+        val batch = emb.filter(col("vec_id") >= eCut &&
+          col("vec_id") < eCut + rowsFor(pct, eCorpusRows))
+        val bRows = batch.count()
+        val (tc, pc, sc1) = timedReps {
+          Similarity.ivfIngest(iIdx, batch).assigned.count()
+        }
+        record("ivf", "carried", pct, bRows, eCorpusRows, tc, pc, sc1)
+        val (tr, pr, sr1) = timedReps {
+          Similarity.buildIvfIndex(eCorpus.unionByName(batch), centFrame)
+            .assigned.count()
+        }
+        record("ivf", "recompute", pct, bRows, eCorpusRows, tr, pr, sr1)
+      }
+      iScope.release()
+      OperatorCaches.release() // kmeansFit's unscoped corpus persist
+    }
+
     // cosine (embeddings table, same 90/10 protocol, d06-style sizing)
     if (members("cosine")) {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
