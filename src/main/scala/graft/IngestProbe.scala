@@ -37,28 +37,8 @@ object IngestProbe {
     // wall time AND shuffle records written per run: at small sf the
     // wall clock sits on Spark's per-job floor, so the records are the
     // scale-honest signal (they are what grows at 100 TB)
-    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null)
-            shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          ()
-        }
-      })
-    def quiesce(): Long = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var prev = -1L
-      var stable = 0
-      while (stable < 5 && System.nanoTime() < deadline) {
-        val c = shuffleRecs.get()
-        if (c == prev) stable += 1 else { stable = 0; prev = c }
-        Thread.sleep(100)
-      }
-      shuffleRecs.get()
-    }
+    val meter = new ShuffleMeter(spark.sparkContext)
+    def quiesce(): Long = meter.quiesce()
     def timedReps(body: => Long): (Seq[Double], Long, Long) = {
       var rows = 0L
       var lastShuffle = 0L

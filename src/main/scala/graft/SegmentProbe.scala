@@ -47,28 +47,8 @@ object SegmentProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import operators.{IngestIndex, OperatorCaches}
 
-    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null)
-            shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          ()
-        }
-      })
-    def quiesce(): Long = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var prev = -1L
-      var stable = 0
-      while (stable < 5 && System.nanoTime() < deadline) {
-        val c = shuffleRecs.get()
-        if (c == prev) stable += 1 else { stable = 0; prev = c }
-        Thread.sleep(100)
-      }
-      shuffleRecs.get()
-    }
+    val meter = new ShuffleMeter(spark.sparkContext)
+    def quiesce(): Long = meter.quiesce()
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def emit(event: String, step: Int, segments: Int, times: Seq[Double],
         shuffled: Long, pairs: Long): Unit =
@@ -171,7 +151,11 @@ object SegmentProbe {
     while (start <= nSteps) {
       val end = math.min(start + every - 1, nSteps)
       runEpoch(start to end)
-      if (end < nSteps || compactEvery == 0) compactNow(end)
+      // "every k" includes a final full epoch (a trailing PARTIAL epoch
+      // stays uncompacted); the never-compact config compacts once at
+      // the end so the run prices both slopes
+      if (compactEvery == 0 ||
+          (compactEvery > 0 && end % compactEvery == 0)) compactNow(end)
       start = end + 1
     }
     if (compactEvery == 0) {

@@ -119,7 +119,7 @@ object IngestIndex {
   final case class SimHashIndex(
       buckets: DataFrame, idCol: String, maxBucket: Int, segments: Int)
 
-  private def persist(df: DataFrame): DataFrame =
+  private[operators] def persist(df: DataFrame): DataFrame =
     OperatorCaches.track(df.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Persist AND truncate lineage (eager `localCheckpoint`). Compaction
@@ -507,11 +507,30 @@ object IngestIndex {
       .count(st => fs.delete(st.getPath, true))
   }
 
+  /** Next save version: one past the MAX of the params-referenced
+    * version and any `v<N>` directory present. Scanning the directories
+    * matters for crash recovery: a save that died between writing its
+    * new version dir and flipping params.json leaves an orphan vN (and
+    * a save that died inside the params delete+rename leaves NO
+    * params.json at all) — counting only params.json would then reuse a
+    * version number and overwrite files a live loaded index may still
+    * be scanning. */
   private[operators] def nextVersion(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) readParamsMap(spark, path)("version").toInt + 1 else 1
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromDirs =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+          .map(_.getPath.getName.drop(1).toInt)
+          .maxOption.getOrElse(0)
+      else 0
+    val fromParams =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/params.json")))
+        readParamsMap(spark, path).get("version").map(_.toInt).getOrElse(0)
+      else 0
+    math.max(fromDirs, fromParams) + 1
   }
 
   // The sidecar is a flat string map serialized with jackson (a hard

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Deterministic dataset-curation sampling — the dataset-mixing
   * primitives of a training-data pipeline ("keep 50% of en, 10% of zh,
@@ -201,9 +201,18 @@ object Sampling {
     // NEGATIVE cost fails fast here: the downward-closed containment
     // proof needs a monotone cumulative sum, so with negative costs the
     // presample could exclude rows the exact definition admits.
+    // totals are summed as DECIMAL(38,0), not Long: a non-ANSI Long sum
+    // wraps silently — negative if you're lucky, but it can wrap PAST
+    // 2^64 back into positive range, where a sign check passes and the
+    // rate is computed from a total that is wrong by 2^64 (admitting a
+    // wrong set with no error). The exact decimal total surfaces every
+    // overflow here; once it is proven <= Long.MaxValue, the phase-2/3
+    // Long sums are prefix sums of the same non-negative costs and can
+    // never wrap.
     val totals = base.groupBy(strata.as("__s"))
-      .agg(coalesce(sum(col(costCol)), lit(0L)).cast(LongType).as("__t"),
-        min(col(costCol)).cast(LongType).as("__min"))
+      .agg(sum(col(costCol).cast(DecimalType(38, 0))).as("__t"),
+        min(col(costCol)).cast(LongType).as("__min"),
+        count(col(costCol)).as("__n"))
       .collect()
       .map { r =>
         val mn = if (r.isNullAt(2)) 0L else r.getLong(2)
@@ -211,15 +220,18 @@ object Sampling {
           s"budgetSample: negative cost in stratum '${r.getString(0)}' " +
           s"(min=$mn) — the hash-prefix containment argument requires " +
           "non-negative costs")
-        // with every cost non-negative a negative TOTAL can only be a
-        // silent Long wrap (non-ANSI sum overflow); fail fast here —
-        // left alone it becomes a negative presample rate, an empty
-        // presample, and a misleading "did not converge" at the guard
-        require(r.getLong(1) >= 0,
+        val dec = r.getDecimal(1)
+        // null total with non-null costs = even DECIMAL(38,0) overflowed
+        require(dec != null || r.getLong(3) == 0L,
           s"budgetSample: stratum '${r.getString(0)}' cost total " +
-          s"overflowed Long (sum=${r.getLong(1)} with min cost $mn >= 0) " +
-          "— rescale costCol to a coarser unit")
-        r.getString(0) -> r.getLong(1)
+          "exceeds 38 digits — rescale costCol to a coarser unit")
+        val total = if (dec == null) java.math.BigDecimal.ZERO else dec
+        require(total.compareTo(
+            java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0,
+          s"budgetSample: stratum '${r.getString(0)}' cost total $total " +
+          s"overflowed Long range (min cost $mn >= 0) — rescale costCol " +
+          "to a coarser unit")
+        r.getString(0) -> total.longValue()
       }
       .toMap
     val h = hashPoint(col(keyCol), seed)

@@ -245,8 +245,12 @@ object Similarity {
     require(probeFraction > 0.0 && probeFraction < 1.0,
       s"probeFraction must be in (0,1): $probeFraction")
     // self-contained offline job: every cache this call creates
-    // (including kmeansFit's tracked corpus persist) releases on exit
-    val (alpha, caches) = OperatorCaches.scoped {
+    // (including kmeansFit's tracked corpus persist) releases on exit —
+    // the Try wrapper makes that hold on EVERY path, including a throw
+    // from kmeansFit/bruteForceTopK mid-calibration (an uncaught body
+    // exception would otherwise lose the scope handle with its
+    // registrations unrun)
+    val (alphaTry, caches) = OperatorCaches.scoped { scala.util.Try {
       val n = emb.count()
       val keep = math.max(1L, n / math.max(1L, math.min(n, sampleSize)))
       val sample = OperatorCaches.track(
@@ -256,10 +260,9 @@ object Similarity {
       // fail fast on a sample the id-congruence filter collapsed
       // (sparse/timestamp ids all sharing a residue): an empty or
       // near-empty sample would "measure" alpha = 1 indistinguishably
-      // from a genuinely adversarial corpus. Unpersist before throwing —
-      // the scope's release only runs on the success path.
+      // from a genuinely adversarial corpus. The scope release below
+      // runs on every path, so the throw leaks nothing.
       if (m <= math.max(k, 1)) {
-        sample.unpersist(blocking = false)
         throw new IllegalArgumentException(
           s"estimateIvfAlpha: id-spread sample kept only $m of $n rows " +
           s"(keep every ${keep}th id) — ids are sparse or congruence-" +
@@ -297,9 +300,9 @@ object Similarity {
       else if (recall <= 0.0) 1.0
       else math.min(64.0,
         math.max(1.0, math.log1p(-recall) / math.log1p(-f)))
-    }
+    } }
     caches.release()
-    alpha
+    alphaTry.get
   }
 
   // ---- carried IVF index ---------------------------------------------------
@@ -327,9 +330,8 @@ object Similarity {
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame,
       idCol: String, vecCol: String, segments: Int)
 
-  private def persistIvf(df: DataFrame): DataFrame =
-    OperatorCaches.track(df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  // storage policy shared with the other carried-index members
+  private def persistIvf(df: DataFrame): DataFrame = IngestIndex.persist(df)
 
   /** One-time corpus-sized job: assign every corpus vector to its cell.
     * `centroidFrame` is (cell_id, cell_vec) — from [[kmeansFit]] or a

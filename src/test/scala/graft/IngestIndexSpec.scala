@@ -25,31 +25,8 @@ class IngestIndexSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
 
   /** Shuffle records written while `body` runs (async-bus-quiesced). */
-  private def shuffleRecordsDuring(body: => Unit): Long = {
-    val sc = spark.sparkContext
-    val recs = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-      }
-    }
-    sc.addSparkListener(listener)
-    try {
-      body
-      // quiesce the async bus: poll until the count is stable
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var prev = -1L
-      var stable = 0
-      while (stable < 5 && System.nanoTime() < deadline) {
-        val c = recs.get()
-        if (c == prev) stable += 1 else { stable = 0; prev = c }
-        Thread.sleep(100)
-      }
-      recs.get()
-    } finally sc.removeSparkListener(listener)
-  }
+  private def shuffleRecordsDuring(body: => Unit): Long =
+    ShuffleMeter.recordsDuring(spark.sparkContext)(body)
 
   test("minHash: index-carried ingest == recompute incremental, first and steady state") {
     val (res, caches) = OperatorCaches.scoped {

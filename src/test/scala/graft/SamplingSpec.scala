@@ -283,6 +283,15 @@ class SamplingSpec extends SparkSpec {
         Sampling.budgetSample(df, "s", "id", "c", budget = 10L, seed = "ov")
       }
       assert(ex.getMessage.contains("overflowed Long"), ex.getMessage)
+      // the nastier wrap: 5 x Long.MaxValue/2 wraps PAST 2^64 back into
+      // POSITIVE range — a sign check passes while the total is wrong
+      // by 2^64; the exact decimal phase-1 sum must still reject it
+      val df5 = (1 to 5).map(i => ("a", i.toLong, Long.MaxValue / 2))
+        .toDF("s", "id", "c")
+      val ex5 = intercept[IllegalArgumentException] {
+        Sampling.budgetSample(df5, "s", "id", "c", budget = 10L, seed = "ov")
+      }
+      assert(ex5.getMessage.contains("overflowed Long"), ex5.getMessage)
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
