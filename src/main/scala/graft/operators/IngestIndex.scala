@@ -428,16 +428,22 @@ object IngestIndex {
       "segments" -> index.segments))
   }
 
-  /** Reload a [[saveMinHash]] index. The frames are parquet-backed (the
-    * store IS the disk copy — broadcast probes stream it; persist the
-    * fields yourself for a hot loop). */
+  /** Reload a [[saveMinHash]] index. By default the frames are
+    * persisted (and [[OperatorCaches]]-tracked) on load: without that,
+    * EVERY ingest against a loaded index silently re-reads the corpus
+    * parquet — the per-batch corpus cost this family exists to avoid.
+    * The first action materializes the cache. Pass `cache = false` to
+    * stream from storage instead (a one-shot probe, or state larger
+    * than the session should pin). */
   def loadMinHash(spark: org.apache.spark.sql.SparkSession,
-      path: String): MinHashIndex = {
+      path: String, cache: Boolean = true): MinHashIndex = {
     val p = readParams(spark, path, "minhash")
     val v = p("version")
-    MinHashIndex(
-      spark.read.parquet(s"$path/v$v/buckets"),
-      spark.read.parquet(s"$path/v$v/docs"),
+    def frame(name: String) = {
+      val f = spark.read.parquet(s"$path/v$v/$name")
+      if (cache) persist(f) else f
+    }
+    MinHashIndex(frame("buckets"), frame("docs"),
       p("idCol"), p("k").toInt, p("numHashes").toInt, p("bands").toInt,
       p("maxBucket").toInt, p("segments").toInt)
   }
@@ -459,14 +465,16 @@ object IngestIndex {
       "segments" -> index.segments))
   }
 
-  /** Reload a [[saveCosine]] index. */
+  /** Reload a [[saveCosine]] index ([[loadMinHash]]'s cache default). */
   def loadCosine(spark: org.apache.spark.sql.SparkSession,
-      path: String): CosineIndex = {
+      path: String, cache: Boolean = true): CosineIndex = {
     val p = readParams(spark, path, "cosine")
     val v = p("version")
-    CosineIndex(
-      spark.read.parquet(s"$path/v$v/buckets"),
-      spark.read.parquet(s"$path/v$v/docs"),
+    def frame(name: String) = {
+      val f = spark.read.parquet(s"$path/v$v/$name")
+      if (cache) persist(f) else f
+    }
+    CosineIndex(frame("buckets"), frame("docs"),
       p("idCol"), p("vecCol"), p("dim").toInt,
       Dedup.HyperplaneLshParams(p("bands").toInt, p("rowsPerBand").toInt,
         p("predictedRecall").toDouble, p("clamped").toBoolean,
@@ -484,11 +492,12 @@ object IngestIndex {
       "maxBucket" -> index.maxBucket, "segments" -> index.segments))
   }
 
-  /** Reload a [[saveSimHash]] index. */
+  /** Reload a [[saveSimHash]] index ([[loadMinHash]]'s cache default). */
   def loadSimHash(spark: org.apache.spark.sql.SparkSession,
-      path: String): SimHashIndex = {
+      path: String, cache: Boolean = true): SimHashIndex = {
     val p = readParams(spark, path, "simhash")
-    SimHashIndex(spark.read.parquet(s"$path/v${p("version")}/buckets"),
+    val f = spark.read.parquet(s"$path/v${p("version")}/buckets")
+    SimHashIndex(if (cache) persist(f) else f,
       p("idCol"), p("maxBucket").toInt, p("segments").toInt)
   }
 

@@ -398,14 +398,17 @@ object Similarity {
       "vecCol" -> index.vecCol, "segments" -> index.segments))
   }
 
-  /** Reload a [[saveIvfIndex]] index. */
+  /** Reload a [[saveIvfIndex]] index
+    * ([[IngestIndex.loadMinHash]]'s cache default). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfIndex = {
+      path: String, cache: Boolean = true): IvfIndex = {
     val p = IngestIndex.readParams(spark, path, "ivf")
     val v = p("version")
-    IvfIndex(
-      spark.read.parquet(s"$path/v$v/centroids"),
-      spark.read.parquet(s"$path/v$v/assigned"),
+    def frame(name: String) = {
+      val f = spark.read.parquet(s"$path/v$v/$name")
+      if (cache) persistIvf(f) else f
+    }
+    IvfIndex(frame("centroids"), frame("assigned"),
       p("idCol"), p("vecCol"), p("segments").toInt)
   }
 

@@ -193,6 +193,13 @@ class IngestIndexSpec extends SparkSpec {
         reloaded.k == idx1.k && reloaded.bands == idx1.bands &&
         reloaded.numHashes == idx1.numHashes &&
         reloaded.maxBucket == idx1.maxBucket
+      // loads persist by default: without it every ingest against a
+      // loaded index re-reads the corpus parquet per batch. (The
+      // cache=false negative is checked on the cosine path below —
+      // storageLevel matches by PLAN, so once a path is cache-loaded an
+      // uncached load of the same path reports the existing entry.)
+      val loadCached = reloaded.buckets.storageLevel.useMemory &&
+        reloaded.docs.storageLevel.useMemory
       val (pReloaded, idxR2) = IngestIndex.ingestMinHash(reloaded, b2,
         "text", 0.8)
       // the production loop: save the ADVANCED index back to the SAME
@@ -203,12 +210,15 @@ class IngestIndexSpec extends SparkSpec {
       val segsMatch = reloaded2.segments == idxR2.segments
       val (pAgain, _) = IngestIndex.ingestMinHash(reloaded2, b2, "text", 0.8)
       (pairSet(pDirect), pairSet(pReloaded), pairSet(pAgain), paramsMatch,
-        segsMatch)
+        segsMatch, loadCached)
     }
     try {
-      val (pDirect, pReloaded, pAgain, paramsMatch, segsMatch) = res
+      val (pDirect, pReloaded, pAgain, paramsMatch, segsMatch,
+        loadCached) = res
       assert(paramsMatch, "reloaded params diverge from the saved index")
       assert(segsMatch, "second-save segment count diverges")
+      assert(loadCached,
+        "load must persist by default and stream with cache = false")
       assert(pDirect.nonEmpty)
       assert(pReloaded == pDirect,
         s"reloaded-index ingest diverges: ${pDirect.diff(pReloaded)} / " +
@@ -239,7 +249,9 @@ class IngestIndexSpec extends SparkSpec {
         "vec_id", "embedding", dim = 64, params = params, seed = 11L,
         maxBucket = 77)
       IngestIndex.saveCosine(c, dir2)
-      val cr = IngestIndex.loadCosine(spark, dir2)
+      // cache = false must stream (this path was never cache-loaded,
+      // so the plan-matching storageLevel lookup is meaningful here)
+      val cr = IngestIndex.loadCosine(spark, dir2, cache = false)
       val dir3 = java.nio.file.Files.createTempDirectory("graft-idx3").toString
       val sh = IngestIndex.buildSimHash(docs.filter($"doc_id" < 50),
         "doc_id", "text", maxBucket = 99)
@@ -251,6 +263,9 @@ class IngestIndexSpec extends SparkSpec {
       val (cr, shr) = res2
       assert(cr.params == params && cr.seed == 11L && cr.maxBucket == 77 &&
         cr.dim == 64 && cr.idCol == "vec_id" && cr.vecCol == "embedding")
+      assert(!cr.buckets.storageLevel.useMemory &&
+        !cr.docs.storageLevel.useMemory,
+        "cache = false load must stream from storage")
       assert(shr.maxBucket == 99 && shr.idCol == "doc_id" &&
         shr.segments == 1)
     } finally caches2.release()
