@@ -85,8 +85,12 @@ import org.apache.spark.storage.StorageLevel
   * every later ingest would re-analyze a plan growing with total
   * ingests ever (measured — see [[persistTruncated]]). At 100 TB the
   * segments are bucketed tables and the broadcast probes become
-  * storage-side bucket pruning; in-session they are MEMORY_AND_DISK
-  * frames registered with [[OperatorCaches]]. Cache lifetime follows
+  * storage-side bucket pruning — not just argued: a segment written
+  * via [[Scale.writeBucketed]] and probed with the ingest filter
+  * shape reads only the matching bucket files (SelectedBucketsCount,
+  * spec-pinned in IngestIndexSpec). In-session they are
+  * MEMORY_AND_DISK frames registered with [[OperatorCaches]]; loads
+  * persist by default. Cache lifetime follows
   * the epoch pattern (measured in `graft.SegmentProbe`, numbers in
   * PERF.md r16): hold each ingest's segment caches in a scope, and
   * release the superseded scopes once a compact has materialized —
