@@ -419,7 +419,20 @@ object IngestIndex {
     * from"), and (b) a failure mid-save leaves the previous version
     * complete and still referenced. Old versions are NOT deleted here —
     * a live index loaded earlier in some session may still scan them;
-    * call [[pruneVersions]] once none does. */
+    * call [[pruneVersions]] once none does.
+    *
+    * SINGLE WRITER PER PATH: versioning protects against crashes, not
+    * against concurrency. Two concurrent savers can pick the same
+    * `v<N>` ([[nextVersion]] is scan-then-use, not an atomic reserve),
+    * interleave parquet writes into one directory, and last-rename-wins
+    * on the pointer — coordinate externally (one compaction/save owner
+    * per index path, the same contract a streaming query's checkpoint
+    * dir carries). Crash recovery IS handled: each version carries its
+    * own `params.json` copy written after its tables, so a save that
+    * died before flipping the root pointer leaves the previous version
+    * referenced, and a death inside the pointer flip itself is
+    * recovered by [[readParamsMap]] falling back to the newest COMPLETE
+    * version. */
   def saveMinHash(index: MinHashIndex, path: String): Unit = {
     val spark = index.docs.sparkSession
     val v = nextVersion(spark, path)
@@ -548,39 +561,76 @@ object IngestIndex {
 
   // The sidecar is a flat string map serialized with jackson (a hard
   // Spark dependency — always on the classpath), written through the
-  // Hadoop FS API so it lands wherever the tables do. The write goes
-  // to a temp file first and renames over the target, shrinking the
-  // torn-write window to metadata ops.
+  // Hadoop FS API so it lands wherever the tables do. Two copies per
+  // save: `v<N>/params.json` FIRST (written after the version's tables,
+  // so its presence marks the version complete), then the root
+  // `params.json` pointer. The root write goes to a temp file and
+  // renames over the target — on a posix/HDFS rename that is atomic,
+  // but the delete-then-rename still has a metadata-op window; a crash
+  // inside it leaves NO root pointer, which readParamsMap recovers from
+  // via the newest complete version's own copy.
   private[operators] def writeParams(spark: org.apache.spark.sql.SparkSession,
       path: String, params: Map[String, Any]): Unit = {
     val m = new java.util.TreeMap[String, String]()
     params.foreach { case (k, v) => m.put(k, v.toString) }
     val json = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(m)
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // completeness marker inside the version dir (save* calls this
+    // after the tables are down, so marker-present ⇒ tables complete)
+    params.get("version").foreach { v =>
+      val inVersion = new org.apache.hadoop.fs.Path(s"$path/v$v/params.json")
+      val out = fs.create(inVersion, true)
+      try out.write(bytes) finally out.close()
+    }
     val target = new org.apache.hadoop.fs.Path(s"$path/params.json")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.params.json.tmp")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    try out.write(bytes) finally out.close()
     fs.delete(target, false)
     require(fs.rename(tmp, target),
       s"could not move $tmp over $target")
   }
 
+  /** Root `params.json` if present; otherwise fall back to the NEWEST
+    * version directory that carries its own complete-marker copy (a
+    * save that crashed inside the root-pointer flip leaves exactly this
+    * state — ADVICE r16: without the fallback every later load of the
+    * path would throw even though a complete version sits on disk). An
+    * orphan `v<N>` WITHOUT the marker is an incomplete table write and
+    * is skipped. */
   private[operators] def readParamsMap(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json)
-    val b = Map.newBuilder[String, String]
-    node.properties().forEach(e => b += e.getKey -> e.getValue.asText())
-    b.result()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAt(p: org.apache.hadoop.fs.Path): Map[String, String] = {
+      val in = fs.open(p)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json)
+      val b = Map.newBuilder[String, String]
+      node.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+      b.result()
+    }
+    val root = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    if (fs.exists(root)) readAt(root)
+    else {
+      val complete = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .map(_.getPath.getName.drop(1).toInt)
+        .sorted(Ordering[Int].reverse)
+        .find(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/v$v/params.json")))
+      require(complete.isDefined,
+        s"$path has no params.json and no complete v<N> version to " +
+        "recover from")
+      readAt(new org.apache.hadoop.fs.Path(
+        s"$path/v${complete.get}/params.json"))
+    }
   }
 
   private[operators] def readParams(spark: org.apache.spark.sql.SparkSession,

@@ -188,6 +188,23 @@ object Sampling {
       margin: Double = 2.0): DataFrame = {
     require(budget >= 0, s"budgetSample: negative budget: $budget")
     require(margin > 1.0, s"budgetSample: margin must exceed 1: $margin")
+    // the three phases must agree on cost arithmetic: phase 1 totals in
+    // DECIMAL(38,0) (overflow-proof), phases 2/3 prefix-sum the raw
+    // column as Long. With a fractional costCol the DECIMAL cast would
+    // round per-row while the prefix sums don't — the phases would cut
+    // at silently different totals. Integral costs (token counts,
+    // bytes) are the contract; fail fast like the negative-cost check.
+    val costType = df.select(col(costCol)).schema.head.dataType
+    require(costType match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"budgetSample: costCol '$costCol' must be an integral type " +
+      s"(token counts, bytes), got $costType — cast to a whole-number " +
+      "unit first; the phase-1 overflow-proof DECIMAL totals and the " +
+      "phase-2/3 Long prefix sums only agree on integral costs")
     InputContracts.requireDeterministic(df, "budgetSample")
     // reset the instrument BEFORE any early exit, or a budget-0 call
     // would report the previous call's scan count

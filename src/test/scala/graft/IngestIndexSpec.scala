@@ -271,6 +271,68 @@ class IngestIndexSpec extends SparkSpec {
     } finally caches2.release()
   }
 
+  test("save recovery: a missing root pointer falls back to the newest complete version") {
+    // the two crash states a versioned save can leave (ADVICE r16):
+    // (a) death inside the root-pointer delete+rename — NO params.json
+    //     at the root, but every v<N> carries its own complete-marker
+    //     copy, so loads must recover from the newest complete one;
+    // (b) death mid-table-write — an orphan v<M> WITHOUT its marker,
+    //     which the fallback must skip (its tables are torn) and whose
+    //     number the next save must not reuse (nextVersion scans dirs).
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val (_, caches) = OperatorCaches.scoped {
+      val idx = IngestIndex.buildMinHash(docs.filter($"doc_id" < 50),
+        "doc_id", "text")
+      IngestIndex.saveMinHash(idx, dir) // v1
+      IngestIndex.saveMinHash(idx, dir) // v2 — newest complete
+    }
+    try {
+      // crash state (a): root pointer gone
+      assert(java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "params.json")))
+      // crash state (b): an orphan, marker-less v9 from a torn save
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, "v9"))
+      val recovered = IngestIndex.loadMinHash(spark, dir, cache = false)
+      assert(recovered.segments == 1 && recovered.k == 3,
+        "fallback load must recover the newest complete version's params")
+      // the fallback picked v2 (complete), not the marker-less v9: the
+      // recovered frames' file scans read under v2
+      val scanned = recovered.buckets.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scanned.exists(_.contains("/v2/")) &&
+        !scanned.exists(_.contains("/v9/")),
+        s"fallback must read v2, not the orphan v9: $scanned")
+      // the orphan's number must never be reused — a save after
+      // recovery lands PAST it (a live loaded index could still be
+      // scanning whatever the torn save managed to write)
+      IngestIndex.saveMinHash(recovered, dir)
+      assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(dir, "v10", "params.json")),
+        "post-recovery save must take v10, one past the orphan v9")
+      assert(java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "params.json"))) // re-crash for (b)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "v10", "params.json"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "v10"))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      // nothing complete at all → a load fails loudly, naming the path
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "v1", "params.json"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "v2", "params.json"))
+      val ex = intercept[IllegalArgumentException] {
+        IngestIndex.loadMinHash(spark, dir, cache = false)
+      }
+      assert(ex.getMessage.contains("no complete"))
+    } finally caches.release()
+  }
+
   test("at rest, a bucket-index segment prunes storage-side") {
     // the scaladoc's 100 TB sentence — "the segments are bucketed
     // tables and the broadcast probes become storage-side bucket
