@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_CPUS=32
   *   sbt "runMain graft.IngestProbe [reps]"
   * One JSON line per (member, form, batch) plus a trailing summary.
+  *
+  * SPARK_GRAFT_GATE_ROWS overrides the carried ingests' broadcast
+  * gate: 0 forces every probe onto the co-partitioned shuffled-hash
+  * route (the above-gate shape), so a run pair (default vs 0) measures
+  * the crossover — same batches, same corpus, route as the only
+  * variable.
   */
 object IngestProbe {
   def main(args: Array[String]): Unit = {
@@ -88,6 +94,8 @@ object IngestProbe {
     // ≈linear tier (few bands, corpus-term-dominated — where the
     // carried index's amortization is the whole cost)
     val cosineT = sys.env.getOrElse("SPARK_GRAFT_COSINE_T", "0.4").toDouble
+    val gateRows = sys.env.get("SPARK_GRAFT_GATE_ROWS").map(_.toLong)
+      .getOrElse(IngestIndex.defaultBroadcastGateRows)
     def rowsFor(pct: Double, base: Long): Long =
       math.max(1L, (base * pct / 100.0).toLong)
     def batchOf(base: DataFrame, idCol: String, lo: Long, pct: Double,
@@ -105,7 +113,8 @@ object IngestProbe {
       val batch = batchOf(docs, "doc_id", cut, pct, corpusRows)
       val bRows = batch.count()
       val (tc, pc, sc1) = timedReps {
-        val (p, _) = IngestIndex.ingestMinHash(mhIdx, batch, "text", 0.8)
+        val (p, _) = IngestIndex.ingestMinHash(mhIdx, batch, "text", 0.8,
+          broadcastGateRows = gateRows)
         p.count()
       }
       record("minhash", "carried", pct, bRows, corpusRows, tc, pc, sc1)
@@ -130,7 +139,7 @@ object IngestProbe {
       val bRows = batch.count()
       val (tc, pc, sc1) = timedReps {
         val (p, _) = IngestIndex.ingestSimHash(shIdx, batch, "text",
-          maxHamming = 3)
+          maxHamming = 3, broadcastGateRows = gateRows)
         p.count()
       }
       record("simhash", "carried", pct, bRows, corpusRows, tc, pc, sc1)
@@ -210,7 +219,7 @@ object IngestProbe {
       val bRows = batch.count()
       val (tc, pc, sc1) = timedReps {
         val (p, _) = IngestIndex.ingestCosine(cIdx, batch,
-          threshold = cosineT)
+          threshold = cosineT, broadcastGateRows = gateRows)
         p.count()
       }
       record(s"cosine$cosineT", "carried", pct, bRows, eCorpusRows, tc, pc, sc1)
@@ -226,7 +235,7 @@ object IngestProbe {
     try spark.stop() catch { case _: Throwable => () }
     println(s"""{"probe":"ingest_amortization","sf_dir":"$sfDir",""" +
       s""""reps":$reps,"cpus":"$cpus","n_docs":$nDocs,""" +
-      s""""rows":${out.size}}""")
+      s""""gate_rows":$gateRows,"rows":${out.size}}""")
     System.out.flush()
   }
 }

@@ -305,6 +305,29 @@ object Similarity {
     alphaTry.get
   }
 
+  /** [[ivfParamsFor]] with α MEASURED on this corpus instead of the
+    * shipped uniform-corpus default — the closed loop from
+    * [[estimateIvfAlpha]] to the sizer (r16 verdict #7): estimate α on
+    * a sample, apply the estimator's documented discount (half, never
+    * below 1 — the implied α falls with f on uniform-ish corpora, so
+    * the one-f sample estimate is trusted only to half), and size for
+    * the floor. On a clustered corpus this buys the measured ~37×
+    * scan-fraction gap versus pricing it as uniform (PERF.md r16);
+    * on a near-uniform corpus the halved estimate lands near the
+    * default and the sizing degrades to [[ivfParamsFor]]'s. One
+    * calibration job (sample-sized k-means + brute force) per corpus —
+    * offline, like the estimator itself. PipelineOpsSpec pins the
+    * sized configuration end-to-end on a planted-cluster fixture:
+    * floor held at a fraction of the default's scan cost. */
+  def ivfParamsForCorpus(emb: DataFrame, idCol: String, vecCol: String,
+      nRows: Long, k: Int, recallFloor: Double = 0.95,
+      maxCells: Int = 1 << 16, sampleSize: Long = 2000L): IvfParams = {
+    val est = estimateIvfAlpha(emb, idCol, vecCol, k,
+      sampleSize = sampleSize)
+    ivfParamsFor(nRows, k, recallFloor, maxCells,
+      alpha = math.max(1.0, est / 2.0))
+  }
+
   // ---- carried IVF index ---------------------------------------------------
 
   /** Carried ANN state — the r16 ingest discipline applied to the IVF

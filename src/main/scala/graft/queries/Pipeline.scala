@@ -1511,6 +1511,213 @@ object Pipeline {
         UNION ALL SELECT 'simhash_mismatch', 0) m
       ORDER BY metric""")),
 
+    // Deletes and upserts for the carried index (r16 verdict #2):
+    // tombstone segments mask ids at probe time; compaction applies
+    // them physically by REBUILDING buckets from the surviving doc
+    // store. This gate pins, through the driver, (a) pre-compact and
+    // post-compact delete-then-ingest == the recompute incremental on
+    // the SURVIVING corpus (itself d11-oracled) for the minhash member,
+    // (b) the same post-compact contract for the cosine member, (c)
+    // upsert pairs verify against the NEW content (reference: recompute
+    // with the old versions removed from the corpus), (d) no deleted id
+    // ever appears in a pair, with the delete's non-vacuity recomputed
+    // (the deleted ids DID pair before deletion). The deleted set is
+    // derived from the no-delete reference's own partners (even ids),
+    // so the fixture cannot silently go vacuous. CORRECTNESS-only.
+    QueryDef("d15_ingest_delete_gate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def mism(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, name: String) = {
+        val keys = a.columns.toSeq
+        a.join(b, keys, "left_anti").unionByName(b.join(a, keys, "left_anti"))
+          .agg(count(lit(1)).as("value"))
+          .select(lit(name).as("metric"), $"value")
+      }
+      import graft.operators.IngestIndex
+      val b2 = docs.filter($"doc_id" >= 400)
+      val refAll = Dedup.minHashIncremental(docs.filter($"doc_id" < 400),
+        b2, "doc_id", "text", threshold = 0.8).persist(mem)
+      // delete half of the ids that actually pair with the b2 batch:
+      // enough to change the result (non-vacuous), with survivors left
+      // so the post-delete reference still has pairs
+      val delIds = refAll
+        .select(explode(array($"id1", $"id2")).as("doc_id")).distinct()
+        .filter($"doc_id" < 400 && $"doc_id" % 2 === 0).persist(mem)
+      val surviving = docs.filter($"doc_id" < 400)
+        .join(delIds, Seq("doc_id"), "left_anti")
+      val idx0 = IngestIndex.buildMinHash(docs.filter($"doc_id" < 300),
+        "doc_id", "text")
+      val (_, idx1) = IngestIndex.ingestMinHash(idx0,
+        docs.filter($"doc_id" >= 300 && $"doc_id" < 400), "text", 0.8)
+      // re-delivered delete (idempotence rides the same mismatch rows)
+      val idxDel = IngestIndex.deleteMinHash(
+        IngestIndex.deleteMinHash(idx1, delIds), delIds)
+      val (pPre, _) = IngestIndex.ingestMinHash(idxDel, b2, "text", 0.8)
+      val (pPost, _) = IngestIndex.ingestMinHash(
+        IngestIndex.compactMinHash(idxDel), b2, "text", 0.8)
+      val ref = Dedup.minHashIncremental(surviving, b2, "doc_id", "text",
+        threshold = 0.8).persist(mem)
+      // upsert: re-deliver [300,320) with CHANGED text on the un-deleted
+      // index; reference recomputes with the old versions gone
+      val mod = docs.filter($"doc_id" >= 300 && $"doc_id" < 320)
+        .select($"doc_id", concat($"text", lit(" graft upsert v2")).as("text"))
+      val (pUpRaw, _) = IngestIndex.upsertMinHash(idx1, mod, "text", 0.8)
+      val pUp = pUpRaw.persist(mem)
+      val refUp = Dedup.minHashIncremental(
+        docs.filter($"doc_id" < 400 && ($"doc_id" < 300 || $"doc_id" >= 320)),
+        mod, "doc_id", "text", threshold = 0.8)
+      // cosine member: delete → compact → ingest vs surviving recompute
+      val params = d06Params(s, dir)
+      val cDel = emb.filter($"vec_id" < 300 && $"vec_id" % 5 === 0)
+        .select($"vec_id")
+      val cIdx = IngestIndex.buildCosine(emb.filter($"vec_id" < 300),
+        "vec_id", "embedding", dim = 64, params = params)
+      val (cp, _) = IngestIndex.ingestCosine(
+        IngestIndex.compactCosine(IngestIndex.deleteCosine(cIdx, cDel)),
+        emb.filter($"vec_id" >= 300), threshold = 0.4)
+      val cr = Dedup.cosineLshIncremental(
+        emb.filter($"vec_id" < 300).join(cDel, Seq("vec_id"), "left_anti"),
+        emb.filter($"vec_id" >= 300), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, params = params)
+      val pPreP = pPre.persist(mem)
+      val pPostP = pPost.persist(mem)
+      val touched = pPreP.unionByName(pPostP)
+        .select(explode(array($"id1", $"id2")).as("doc_id"))
+      val nDocs = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      val deletedInPairs = touched.join(delIds, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("deleted_in_pairs").as("metric"), $"value")
+      val delNonvac = delIds.agg(count(lit(1)).as("n"))
+        .select(lit("delete_nonvacuous").as("metric"),
+          when($"n" > 0, 1L).otherwise(0L).as("value"))
+      val nonzero = pPostP.agg(count(lit(1)).as("n"))
+        .select(lit("post_pairs_nonzero").as("metric"),
+          when($"n" > 0, 1L).otherwise(0L).as("value"))
+      val upNonzero = pUp.agg(count(lit(1)).as("n"))
+        .select(lit("upsert_pairs_nonzero").as("metric"),
+          when($"n" > 0, 1L).otherwise(0L).as("value"))
+      mism(pPreP, ref, "pre_compact_mismatch")
+        .unionByName(mism(pPostP, ref, "post_compact_mismatch"))
+        .unionByName(mism(pUp, refUp, "upsert_mismatch"))
+        .unionByName(mism(cp, cr, "cosine_mismatch"))
+        .unionByName(deletedInPairs)
+        .unionByName(delNonvac)
+        .unionByName(nonzero)
+        .unionByName(upNonzero)
+        .unionByName(nDocs)
+        .orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'pre_compact_mismatch', 0
+        UNION ALL SELECT 'post_compact_mismatch', 0
+        UNION ALL SELECT 'upsert_mismatch', 0
+        UNION ALL SELECT 'cosine_mismatch', 0
+        UNION ALL SELECT 'deleted_in_pairs', 0
+        UNION ALL SELECT 'delete_nonvacuous', 1
+        UNION ALL SELECT 'post_pairs_nonzero', 1
+        UNION ALL SELECT 'upsert_pairs_nonzero', 1) m
+      ORDER BY metric""")),
+
+    // The carried index driven by Structured Streaming end-to-end (r16
+    // verdict #3): a file-source stream of doc batches feeds
+    // ingestMinHash from foreachBatch — the exact production loop the
+    // scaladocs describe, including mid-stream compact + versioned save
+    // + reload under real triggers. The accumulated per-batch pairs
+    // must equal the recompute incremental on the full streamed set
+    // (itself d11-oracled): every pair lands exactly once, in the
+    // micro-batch where its second member arrives, REGARDLESS of how
+    // the files group into batches — so the check is deterministic even
+    // though micro-batch boundaries are the engine's choice.
+    // CORRECTNESS-only.
+    QueryDef("e14_stream_ingest_gate", (s, dir) => {
+      import s.implicits._
+      import graft.operators.IngestIndex
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val nDocs = docs.count()
+      val cut = nDocs / 2
+      val corpus = docs.filter($"doc_id" < cut)
+      val streamed = docs.filter($"doc_id" >= cut).persist(mem)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e14").toString
+      val inDir = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      // four one-file id-range batches, moved into the source dir under
+      // stable names (one parquet part each so maxFilesPerTrigger=1
+      // paces the stream through multiple micro-batches)
+      val per = math.max(1L, (nDocs - cut) / 4)
+      for (i <- 0 until 4) {
+        val lo = cut + i * per
+        val hi = if (i == 3) Long.MaxValue else lo + per
+        val staging = s"$tmp/stage$i"
+        streamed.filter($"doc_id" >= lo && $"doc_id" < hi)
+          .repartition(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(inDir, f"b$i%02d.parquet"))
+      }
+      var idx = IngestIndex.buildMinHash(corpus, "doc_id", "text")
+      val pairBatches =
+        scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+      var nBatches = 0
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          Long) => Unit = (b, _) => {
+        val batch = b.persist(mem)
+        batch.count() // pin the micro-batch before multi-consumer reads
+        val (p, next) = IngestIndex.ingestMinHash(idx, batch, "text", 0.8)
+        val pp = p.persist(mem)
+        pp.count() // materialize within the batch's trigger
+        pairBatches += pp
+        idx = next
+        nBatches += 1
+        if (nBatches == 2) {
+          // the documented maintenance loop, mid-stream: compact, save
+          // a version, continue from the reloaded state
+          idx = IngestIndex.compactMinHash(idx)
+          IngestIndex.saveMinHash(idx, s"$tmp/idx")
+          idx = IngestIndex.loadMinHash(s, s"$tmp/idx")
+        }
+      }
+      val q = s.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(onBatch)
+        .start()
+      q.awaitTermination()
+      val got = pairBatches.reduce(_ unionByName _).distinct().persist(mem)
+      val ref = Dedup.minHashIncremental(corpus, streamed, "doc_id",
+        "text", threshold = 0.8).persist(mem)
+      val keys = got.columns.toSeq
+      val mismatch = got.join(ref, keys, "left_anti")
+        .unionByName(ref.join(got, keys, "left_anti"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("stream_vs_recompute_mismatch").as("metric"), $"value")
+      val nonzero = got.agg(count(lit(1)).as("n"))
+        .select(lit("pairs_nonzero").as("metric"),
+          when($"n" > 0, 1L).otherwise(0L).as("value"))
+      val multi = s.createDataset(Seq(nBatches.toLong)).toDF("n")
+        .select(lit("multi_batch").as("metric"),
+          when($"n" >= 2, 1L).otherwise(0L).as("value"))
+      val nd = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), $"value")
+      mismatch.unionByName(nonzero).unionByName(multi).unionByName(nd)
+        .orderBy($"metric")
+    }, Some("""
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'stream_vs_recompute_mismatch', 0
+        UNION ALL SELECT 'pairs_nonzero', 1
+        UNION ALL SELECT 'multi_batch', 1) m
+      ORDER BY metric""")),
+
     QueryDef("e01_stream_window", (s, dir) => {
       import s.implicits._
       // the STREAMING path itself under the oracle gate: run the

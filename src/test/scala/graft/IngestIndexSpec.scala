@@ -271,6 +271,199 @@ class IngestIndexSpec extends SparkSpec {
     } finally caches2.release()
   }
 
+  test("probe routing: the shuffle route equals the broadcast route, including via save/load") {
+    // r16 verdict #1: the probe frames are batch-proportional but not
+    // driver-sized — above the gate they must ride the co-partitioned
+    // shuffled-hash route instead of a broadcast. The routes may only
+    // differ in plan shape: pin output equality for all three members
+    // with the gate forced to 0 (everything shuffles) against the
+    // default (everything broadcasts), in steady state (multi-segment
+    // probe), and across a save/load (whose segments are re-clustered
+    // on load precisely so this route stays corpus-exchange-free).
+    val dir = java.nio.file.Files.createTempDirectory("graft-route").toString
+    val (res, caches) = OperatorCaches.scoped {
+      val b1 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+      val b2 = docs.filter($"doc_id" >= 400)
+      val idx0 = IngestIndex.buildMinHash(docs.filter($"doc_id" < 300),
+        "doc_id", "text")
+      val (_, idx1) = IngestIndex.ingestMinHash(idx0, b1, "text", 0.8)
+      val (pB, _) = IngestIndex.ingestMinHash(idx1, b2, "text", 0.8)
+      val (pS, _) = IngestIndex.ingestMinHash(idx1, b2, "text", 0.8,
+        broadcastGateRows = 0L)
+      IngestIndex.saveMinHash(idx1, dir)
+      val (pL, _) = IngestIndex.ingestMinHash(
+        IngestIndex.loadMinHash(spark, dir), b2, "text", 0.8,
+        broadcastGateRows = 0L)
+      val params = Dedup.hyperplaneLshParamsFor(500L, threshold = 0.4,
+        recallFloor = 0.95, maxBands = 64)
+      val cIdx = IngestIndex.buildCosine(emb.filter($"vec_id" < 300),
+        "vec_id", "embedding", dim = 64, params = params)
+      val (cB, _) = IngestIndex.ingestCosine(cIdx,
+        emb.filter($"vec_id" >= 300), threshold = 0.4)
+      val (cS, _) = IngestIndex.ingestCosine(cIdx,
+        emb.filter($"vec_id" >= 300), threshold = 0.4,
+        broadcastGateRows = 0L)
+      val sIdx = IngestIndex.buildSimHash(docs.filter($"doc_id" < 400),
+        "doc_id", "text")
+      val (sB, _) = IngestIndex.ingestSimHash(sIdx,
+        docs.filter($"doc_id" >= 400), "text", maxHamming = 8)
+      val (sS, _) = IngestIndex.ingestSimHash(sIdx,
+        docs.filter($"doc_id" >= 400), "text", maxHamming = 8,
+        broadcastGateRows = 0L)
+      (pairSet(pB), pairSet(pS), pairSet(pL), pairSet(cB), pairSet(cS),
+        pairSet(sB), pairSet(sS))
+    }
+    try {
+      val (pB, pS, pL, cB, cS, sB, sS) = res
+      assert(pB.nonEmpty && cB.nonEmpty && sB.nonEmpty, "vacuous fixture")
+      assert(pS == pB, s"minhash routes diverge: ${pS.diff(pB)} / ${pB.diff(pS)}")
+      assert(pL == pB, s"loaded shuffle route diverges: ${pL.diff(pB)} / ${pB.diff(pL)}")
+      assert(cS == cB, s"cosine routes diverge: ${cS.diff(cB)} / ${cB.diff(cS)}")
+      assert(sS == sB, s"simhash routes diverge: ${sS.diff(sB)} / ${sB.diff(sS)}")
+    } finally caches.release()
+  }
+
+  test("probe routing: shuffle-route ingest volume still tracks the batch, not the corpus") {
+    // the broadcast-route twin of this pin lives below ("ingest shuffle
+    // volume tracks the batch"); the shuffle route must keep the same
+    // property — its exchanges are the batch's own segment builds plus
+    // the batch-proportional merge, never the corpus
+    val batch = docs.filter($"doc_id" >= 400)
+    def shuffleRouteRecords(corpusMax: Int): Long = {
+      val (records, caches) = OperatorCaches.scoped {
+        val idx = IngestIndex.buildMinHash(docs.filter($"doc_id" < corpusMax),
+          "doc_id", "text")
+        idx.buckets.count(); idx.docs.count()
+        shuffleRecordsDuring {
+          val (p, _) = IngestIndex.ingestMinHash(idx, batch, "text", 0.8,
+            broadcastGateRows = 0L)
+          p.collect()
+        }
+      }
+      caches.release()
+      records
+    }
+    val small = shuffleRouteRecords(150)
+    val big = shuffleRouteRecords(400)
+    assert(big <= small * 1.5 + 100,
+      s"shuffle-route ingest must not track the corpus: $small @150 docs " +
+      s"vs $big @400 docs")
+  }
+
+  test("deletes: tombstoned ingest == surviving-corpus recompute; upserts verify new content; tombs survive save/load") {
+    // unsaturated regime (default caps): delete-then-ingest must equal
+    // the recompute incremental on the corpus WITHOUT the deleted ids,
+    // both before and after compaction; a re-delivered delete is
+    // idempotent (applied twice here); pending tombstones ride
+    // save/load; and an upsert's pairs verify against the NEW content
+    // (reference: recompute with the old versions removed).
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val (res, caches) = OperatorCaches.scoped {
+      val b2 = docs.filter($"doc_id" >= 400)
+      val refAll = Dedup.minHashIncremental(docs.filter($"doc_id" < 400),
+        b2, "doc_id", "text", threshold = 0.8)
+      // deleted set = the even ids that actually pair with b2, so the
+      // delete provably changes the answer while survivors remain
+      val delIds = refAll
+        .select(explode(array($"id1", $"id2")).as("doc_id")).distinct()
+        .filter($"doc_id" < 400 && $"doc_id" % 2 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDel = delIds.count()
+      val surviving = docs.filter($"doc_id" < 400)
+        .join(delIds, Seq("doc_id"), "left_anti")
+      val idx0 = IngestIndex.buildMinHash(docs.filter($"doc_id" < 300),
+        "doc_id", "text")
+      val (_, idx1) = IngestIndex.ingestMinHash(idx0,
+        docs.filter($"doc_id" >= 300 && $"doc_id" < 400), "text", 0.8)
+      val idxDel = IngestIndex.deleteMinHash(
+        IngestIndex.deleteMinHash(idx1, delIds), delIds)
+      val (pPre, _) = IngestIndex.ingestMinHash(idxDel, b2, "text", 0.8)
+      val (pPost, _) = IngestIndex.ingestMinHash(
+        IngestIndex.compactMinHash(idxDel), b2, "text", 0.8)
+      val ref = Dedup.minHashIncremental(surviving, b2, "doc_id", "text",
+        threshold = 0.8)
+      IngestIndex.saveMinHash(idxDel, dir)
+      val (pLoaded, _) = IngestIndex.ingestMinHash(
+        IngestIndex.loadMinHash(spark, dir), b2, "text", 0.8)
+      // upsert on a synthetic trio whose outcome is fully determined:
+      // docs 1,2 share text A, doc 10 carries text B; upserting doc 2
+      // to text B must pair it with 10 (against the NEW content) and
+      // with nothing from its old life as an A-dup
+      val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val tB = "one two three four five six seven eight nine ten eleven"
+      val trio = Seq((1L, tA), (2L, tA), (10L, tB)).toDF("doc_id", "text")
+      val uIdx = IngestIndex.buildMinHash(trio, "doc_id", "text")
+      val modB = Seq((2L, tB)).toDF("doc_id", "text")
+      val (pUp, _) = IngestIndex.upsertMinHash(uIdx, modB, "text", 0.8)
+      val refUp = Dedup.minHashIncremental(
+        Seq((1L, tA), (10L, tB)).toDF("doc_id", "text"), modB,
+        "doc_id", "text", threshold = 0.8)
+      (nDel, pairSet(pPre), pairSet(pPost), pairSet(pLoaded), pairSet(ref),
+        pairSet(pUp), pairSet(refUp))
+    }
+    try {
+      val (nDel, pPre, pPost, pLoaded, ref, pUp, refUp) = res
+      assert(nDel > 0, "vacuous: no even id of <400 pairs with b2")
+      assert(ref.nonEmpty, "vacuous: the delete removed every pair")
+      assert(pPre == ref,
+        s"pre-compact delete diverges: ${pPre.diff(ref)} / ${ref.diff(pPre)}")
+      assert(pPost == ref,
+        s"post-compact delete diverges: ${pPost.diff(ref)} / ${ref.diff(pPost)}")
+      assert(pLoaded == ref,
+        "pending tombstones must survive save/load")
+      assert(pUp == refUp,
+        s"upsert diverges from new-content recompute: ${pUp.diff(refUp)} / " +
+        s"${refUp.diff(pUp)}")
+      assert(pUp == Set((2L, 10L, 1.0)),
+        s"upsert must pair doc 2 with 10 via its NEW content only, got $pUp")
+    } finally caches.release()
+  }
+
+  test("deletes: a bucket saturated only by deleted ids unsaturates at compact") {
+    // the subtle half of the delete contract (r16 verdict #2): a capped
+    // list that saturated holds an arbitrary cap+1 subset, so a MERGE
+    // could never prove the survivors fit the cap — compaction instead
+    // rebuilds buckets from the surviving doc store, exactly like a
+    // from-scratch build. Six identical docs saturate every bucket at
+    // maxBucket=3 (cap+1 = 4 stored); deleting four leaves two
+    // survivors, so survivors + newcomer = 3 fits the cap and the
+    // compacted index must pair the newcomer with both survivors just
+    // as a fresh build would — while the pre-compact form must still
+    // honor the unconditional guarantee (no deleted id in any pair).
+    val (res, caches) = OperatorCaches.scoped {
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      val corpus = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+      val batch = Seq((7L, text)).toDF("doc_id", "text")
+      val idx0 = IngestIndex.buildMinHash(corpus, "doc_id", "text",
+        maxBucket = 3)
+      val delIds = (1L to 4L).map(Tuple1(_)).toDF("doc_id")
+      val idxDel = IngestIndex.deleteMinHash(idx0, delIds)
+      val (pPre, _) = IngestIndex.ingestMinHash(idxDel, batch, "text", 0.8)
+      val compacted = IngestIndex.compactMinHash(idxDel)
+      val maxList = compacted.buckets
+        .agg(max(size($"__ids"))).collect()(0).getInt(0)
+      val (pPost, _) = IngestIndex.ingestMinHash(compacted, batch, "text",
+        0.8)
+      val ref = Dedup.minHashIncremental(
+        corpus.filter($"doc_id" >= 5), batch, "doc_id", "text",
+        threshold = 0.8, maxBucket = 3)
+      (pairSet(pPre), pairSet(pPost), pairSet(ref), maxList)
+    }
+    try {
+      val (pPre, pPost, ref, maxList) = res
+      assert(ref == Set((5L, 7L, 1.0), (6L, 7L, 1.0)),
+        s"fixture broke: fresh rebuild should pair the newcomer with " +
+        s"both survivors, got $ref")
+      assert(pPost == ref,
+        s"post-compact diverges from the from-scratch rebuild: $pPost")
+      assert(maxList <= 3,
+        s"compaction must UNsaturate the bucket (survivors fit the cap), " +
+        s"stored list still has $maxList entries")
+      assert(pPre.forall { case (a, b, _) => a >= 5 && b >= 5 },
+        s"a deleted id appeared in pre-compact pairs: $pPre")
+    } finally caches.release()
+  }
+
   test("save recovery: a missing root pointer falls back to the newest complete version") {
     // the two crash states a versioned save can leave (ADVICE r16):
     // (a) death inside the root-pointer delete+rename — NO params.json
@@ -371,6 +564,114 @@ class IngestIndexSpec extends SparkSpec {
       spark.conf.set(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
       spark.sql("DROP TABLE IF EXISTS ingest_buckets_at_rest")
+      caches.release()
+    }
+  }
+
+  test("streaming: a foreachBatch ingest loop with mid-stream compact+save matches the recompute") {
+    // the e14 gate's production loop pinned in-suite, with the state
+    // assertions the driver row can't carry: the index must actually
+    // advance per micro-batch, the mid-stream compact must fold the
+    // segments, and the reloaded state must carry the chain to the
+    // same final answer the one-call recompute incremental gives.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e14spec").toString
+    val inDir = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val (res, caches) = OperatorCaches.scoped {
+      val base = docs.select($"doc_id", $"text")
+      val corpus = base.filter($"doc_id" < 300)
+      val streamed = base.filter($"doc_id" >= 300)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (i <- 0 until 3) {
+        val lo = 300L + i * 70
+        val hi = if (i == 2) Long.MaxValue else lo + 70
+        val staging = s"$tmp/stage$i"
+        streamed.filter($"doc_id" >= lo && $"doc_id" < hi)
+          .repartition(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(inDir, f"b$i%02d.parquet"))
+      }
+      var idx = IngestIndex.buildMinHash(corpus, "doc_id", "text")
+      var segsAtSave = -1
+      var batches = 0
+      val parts = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+      val onBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          Long) => Unit = (b, _) => {
+        val batch = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        val (p, next) = IngestIndex.ingestMinHash(idx, batch, "text", 0.8)
+        val pp = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pp.count()
+        parts += pp
+        idx = next
+        batches += 1
+        if (batches == 2) {
+          idx = IngestIndex.compactMinHash(idx)
+          IngestIndex.saveMinHash(idx, s"$tmp/idx")
+          idx = IngestIndex.loadMinHash(spark, s"$tmp/idx")
+          segsAtSave = idx.segments
+        }
+      }
+      val q = spark.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(onBatch)
+        .start()
+      q.awaitTermination()
+      val got = pairSet(parts.reduce(_ unionByName _).distinct())
+      val ref = pairSet(Dedup.minHashIncremental(corpus, streamed,
+        "doc_id", "text", threshold = 0.8))
+      (got, ref, batches, segsAtSave, idx.segments)
+    }
+    try {
+      val (got, ref, batches, segsAtSave, finalSegs) = res
+      assert(batches == 3, s"expected 3 micro-batches (one per file), got $batches")
+      assert(segsAtSave == 1, "mid-stream compact must fold to one segment")
+      assert(finalSegs == 1 + (batches - 2),
+        "the reloaded index must keep advancing per batch")
+      assert(got.nonEmpty)
+      assert(got == ref,
+        s"streamed ingest diverges: ${got.diff(ref)} / ${ref.diff(got)}")
+    } finally caches.release()
+  }
+
+  test("at rest, a doc-store segment prunes storage-side for the verify fetch") {
+    // the missing half of the at-rest story (r16 verdict #4 / What's
+    // wrong #3): the bucket index had its SelectedBucketsCount pin but
+    // the verify fetch (id-keyed) had none — an unbucketed docs table
+    // at rest would scan every file per fetch. Write a doc segment
+    // id-bucketed via Scale.writeBucketed and probe it with the fetch's
+    // id-set filter shape: only the matching bucket files may be read.
+    val (_, caches) = OperatorCaches.scoped {
+      val idx = IngestIndex.buildMinHash(docs.filter($"doc_id" < 300),
+        "doc_id", "text")
+      graft.operators.Scale.writeBucketed(idx.docs,
+        "ingest_docs_at_rest", "doc_id", 8)
+    }
+    val prevAuto = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probed = spark.table("ingest_docs_at_rest")
+        .filter($"doc_id".isin(11L, 42L, 97L))
+      probed.collect()
+      val plan = probed.queryExecution.executedPlan.toString
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined,
+        s"expected a bucket-pruned scan, got:\n${plan.take(2000)}")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"the id filter must prune doc-store files: ${sel.get.matched}")
+    } finally {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      spark.sql("DROP TABLE IF EXISTS ingest_docs_at_rest")
       caches.release()
     }
   }

@@ -649,6 +649,83 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d14 ingest index: above the gate, the corpus meets the probe co-partitioned") {
+    // the shuffle-route twin of the walk above (r16 verdict #1): with
+    // the broadcast gate forced to 0 every probe frame rides the
+    // shuffled-hash route, and the no-corpus-sized-work pin becomes —
+    // every index cache scan's path to the root must reach a
+    // ShuffledHashJoin with NO ShuffleExchange and NO Sort between the
+    // scan and that join. The segment caches are held clustered on
+    // their probe keys ((band, bucket) for the bucket index, id for
+    // the doc store), so EnsureRequirements must neither insert an
+    // exchange on the corpus side (that exchange would be corpus-sized)
+    // nor fall back to SortMergeJoin (whose corpus-side sort is the
+    // other way to pay corpus-sized work per ingest). File-scan rule
+    // unchanged: the ingest tree reads no files.
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (checks, caches) = graft.operators.OperatorCaches.scoped {
+      val docs = Tables.load(spark, sf, "documents")
+      val idx = graft.operators.IngestIndex.buildMinHash(
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
+      idx.buckets.count(); idx.docs.count()
+      val (pairs, _) = graft.operators.IngestIndex.ingestMinHash(idx,
+        docs.filter(col("doc_id") >= 400), "text", 0.8,
+        broadcastGateRows = 0L)
+      pairs.collect()
+      def builderOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.withCachedData.collectFirst {
+          case r: InMemoryRelation => r.cacheBuilder
+        }.get
+      val indexBuilders = Seq(builderOf(idx.buckets), builderOf(idx.docs))
+      val plan = pairs.queryExecution.executedPlan
+      def scanPaths(p: SparkPlan,
+          anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case s: InMemoryTableScanExec
+            if indexBuilders.exists(_ eq s.relation.cacheBuilder) => Seq(anc)
+        case s: InMemoryTableScanExec =>
+          scanPaths(s.relation.cachedPlan, s :: anc)
+        case other => other.children.flatMap(scanPaths(_, other :: anc))
+      }
+      val paths = scanPaths(plan, Nil)
+      val fileScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      (paths.size, paths.map { path =>
+        (path.indexWhere(_.isInstanceOf[ShuffledHashJoinExec]),
+          path.indexWhere(_.isInstanceOf[ShuffleExchangeExec]),
+          path.indexWhere(_.isInstanceOf[SortExec]))
+      }, fileScans.size)
+    }
+    try {
+      val (nScans, guards, nFileScans) = checks
+      assert(nScans >= 2,
+        s"expected the bucket index AND the doc store to be probed, got $nScans scans")
+      guards.foreach { case (iShj, iShuf, iSort) =>
+        assert(iShj >= 0,
+          "every index scan must sit under a shuffled hash probe on this route")
+        assert(iShuf < 0 || iShj < iShuf,
+          s"an exchange sits between the corpus scan and its hash probe " +
+          s"(shj at $iShj, shuffle at $iShuf) — that exchange would be " +
+          "corpus-sized; the segment cache's clustering was not reused")
+        assert(iSort < 0 || iShj < iSort,
+          s"a sort sits between the corpus scan and its hash probe " +
+          s"(shj at $iShj, sort at $iSort) — a SortMergeJoin fallback " +
+          "pays a corpus-sized sort per ingest")
+      }
+      assert(nFileScans == 0,
+        s"the ingest path must not read files — all state enters through " +
+        s"caches; found $nFileScans FileScans")
+    } finally {
+      caches.release()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("d09 incremental Jaccard (uncapped): explicit-N exchanges, one anti-join, no cache") {
     // The uncapped incremental shape computes the corpus lineage once
     // (full-index leg only: the probe leg derives straight from the
