@@ -342,7 +342,7 @@ object Dedup {
     * plus a pair-keyed aggregation. Doc arrays are bounded (shingle count
     * ≤ words), so per-row memory stays in the kilobytes. */
   def verifyJaccard(pairs: DataFrame, withShingles: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, carry: Seq[String] = Nil): DataFrame = {
     val arr = withShingles.select(col(idCol), hashedSh(withShingles).as("__sha"))
     pairs
       .join(arr.select(col(idCol).as("id1"), col("__sha").as("__a1")), "id1")
@@ -370,7 +370,7 @@ object Dedup {
       // jaccard filter alone would now let them through — keep the
       // share-≥-1-shingle contract (a no-op whenever threshold > 0)
       .filter(col("__inter") > 0)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .select(carry.map(col) ++ Seq(col("id1"), col("id2"), col("jaccard")): _*)
   }
 
   // ---- n-gram Jaccard (exact, complete) ---------------------------------
@@ -424,6 +424,36 @@ object Dedup {
     ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq)
   }
 
+  /** [[ngramJaccardPairs]] restricted to pairs whose endpoints share an
+    * equal (non-null) `groupCol` value — the "within-source" dedup report
+    * shape (d10). Output is (groupCol, id1, id2, jaccard).
+    *
+    * Semantically identical to generating ALL pairs and filtering to
+    * same-group afterwards (spec-pinned), but the restriction is pushed
+    * INTO the candidate equi-join key (shingle, group): cross-group
+    * co-occurrences never leave the join, never reach the pair-dedup
+    * exchange, and never probe the verification joins — at G
+    * uniformly-sized groups that is a ~G× cut of candidate volume (guide
+    * §2.3/§2.4: drop rows before the exchange; 20 sources at sf0.1
+    * measured 3.6 → 2.1 s warm on the t=0.5 pair gen, and d10 overall
+    * 4.65 → 2.38 s). Also a skew lever at 100 TB: a hot
+    * shingle's bucket splits across groups instead of one giant key.
+    * Global document frequencies (prefix rarity order, df cap) are
+    * unchanged — the per-doc prefix order must be one corpus-wide total
+    * order for AllPairs' completeness, and keeping it global means the
+    * candidate set is exactly "old candidates ∩ same-group". */
+  def ngramJaccardPairsWithin(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      k: Int = 3, threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
+    val sh = df.select(col(idCol), col(groupCol),
+      graft.functions.ShingleWords.shingleHashes(col(textCol), k).as("sh"))
+    val withShingles =
+      if (!jaccardMultiConsumer(threshold, maxDocFreq)) sh
+      else OperatorCaches.track(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    ngramJaccardPairsFrom(withShingles, idCol, threshold, maxDocFreq,
+      groupCol = Some(groupCol))
+  }
+
   /** [[ngramJaccardPairs]] over a prepared [[shingleFrame]].
     *
     * Contract on caller-built frames: `sh` arrays must be DISTINCT per
@@ -434,9 +464,17 @@ object Dedup {
     * PipelineOpsSpec's zero-jobs listener test). */
   def ngramJaccardPairsFrom(
       withShingles: DataFrame, idCol: String,
-      threshold: Double = 0.3, maxDocFreq: Int = NoCap): DataFrame = {
+      threshold: Double = 0.3, maxDocFreq: Int = NoCap,
+      groupCol: Option[String] = None): DataFrame = {
     InputContracts.requireDeterministic(withShingles, "ngramJaccardPairsFrom")
-    val inv = invFromShingles(withShingles, idCol)
+    // `groupCol` (set via ngramJaccardPairsWithin): the group column rides
+    // the inverted index as a carry column and joins as an EXTRA EQUI-KEY
+    // next to the shingle in every candidate join, so cross-group
+    // candidates are dropped at the join instead of generated and
+    // filtered. Document frequencies stay global (see Within's scaladoc).
+    val gcols = groupCol.toSeq
+    val inv = invFromShingles(withShingles, idCol,
+      carry = gcols.map(g => g -> col(g)))
     val sizes = sizesFromShingles(withShingles, idCol)
     // global document frequencies: the prefix filter needs them for its
     // rarity order even uncapped; the cap filter applies only when a
@@ -467,7 +505,8 @@ object Dedup {
         .withColumn("__rk", row_number().over(wDoc))
         .join(sizes, Seq(idCol))
         .filter(col("__rk") <= col("sz") - ceil(lit(slackedT) * col("sz")) + 1)
-        .select(col("shingle"), col(idCol), col("sz"), col("__rk"))
+        .select(Seq(col("shingle"), col(idCol), col("sz"), col("__rk")) ++
+          gcols.map(col): _*)
       // size-ratio bound (AllPairs companion filter): J(A,B) ≤
       // min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes differ by more
       // than 1/t cannot reach the threshold — prune it INSIDE the
@@ -497,11 +536,11 @@ object Dedup {
       // survivor position) upper-bounds the tokens remaining after the
       // match on each side.
       val minOverlapFrac = slackedT / (1.0 + slackedT)
-      val cands = prefix.select(col("shingle"), col(idCol).as("id1"),
-          col("sz").as("__s1"), col("__rk").as("__p1"))
-        .join(prefix.select(col("shingle"), col(idCol).as("id2"),
-            col("sz").as("__s2"), col("__rk").as("__p2")),
-          Seq("shingle"))
+      val cands = prefix.select(Seq(col("shingle"), col(idCol).as("id1"),
+          col("sz").as("__s1"), col("__rk").as("__p1")) ++ gcols.map(col): _*)
+        .join(prefix.select(Seq(col("shingle"), col(idCol).as("id2"),
+            col("sz").as("__s2"), col("__rk").as("__p2")) ++ gcols.map(col): _*),
+          "shingle" +: gcols)
         .filter(col("id1") < col("id2") &&
           least(col("__s1"), col("__s2")).cast(DoubleType) >=
             lit(slackedT) * greatest(col("__s1"), col("__s2")).cast(DoubleType) &&
@@ -509,9 +548,9 @@ object Dedup {
             least(col("__s1") - col("__p1"), col("__s2") - col("__p2"))
               .cast(DoubleType) >=
             lit(minOverlapFrac) * (col("__s1") + col("__s2")).cast(DoubleType))
-        .select(col("id1"), col("id2"))
+        .select(gcols.map(col) ++ Seq(col("id1"), col("id2")): _*)
         .distinct()
-      verifyJaccard(cands, withShingles, idCol, threshold)
+      verifyJaccard(cands, withShingles, idCol, threshold, carry = gcols)
     } else if (maxDocFreq == NoCap) {
       // low threshold, uncapped: one shuffle — co-occurrence counts ARE
       // the intersection sizes; no distinct pass, no verification join.
@@ -532,7 +571,8 @@ object Dedup {
       // reused-exchange + inline-size plan runs 4.6 s with zero jobs at
       // construction and no reliance on the caller persisting anything.
       val indexed = invFromShingles(withShingles, idCol,
-        carry = Seq("sz" -> size(col("sh")).cast(LongType)))
+        carry = Seq("sz" -> size(col("sh")).cast(LongType)) ++
+          gcols.map(g => g -> col(g)))
       // explicit partition count: AQE coalesces a bare repartition(col)
       // to the ~64 MB advisory target, which at sf1 collapses the join's
       // sort parallelism to a handful of tasks; an explicit N is exempt
@@ -546,13 +586,19 @@ object Dedup {
       // reach the slacked threshold skip the partial-agg hash map.
       // Lossless — the pruned pairs would fail the jaccard filter below.
       val coSlackedT = (threshold - 0.00005) * (1.0 - 1e-12)
-      part.select(col("shingle"), col(idCol).as("id1"), col("sz").as("__sz1"))
-        .join(part.select(col("shingle"), col(idCol).as("id2"), col("sz").as("__sz2")),
-          Seq("shingle"))
+      // with groupCol: the extra equi-key is satisfied by the existing
+      // shingle partitioning (a subset of the join keys), so the plan
+      // keeps its single reused exchange — cross-group co-occurrences
+      // are dropped inside the join instead of counted and discarded
+      part.select(Seq(col("shingle"), col(idCol).as("id1"),
+          col("sz").as("__sz1")) ++ gcols.map(col): _*)
+        .join(part.select(Seq(col("shingle"), col(idCol).as("id2"),
+            col("sz").as("__sz2")) ++ gcols.map(col): _*),
+          "shingle" +: gcols)
         .filter(col("id1") < col("id2") &&
           least(col("__sz1"), col("__sz2")).cast(DoubleType) >=
             lit(coSlackedT) * greatest(col("__sz1"), col("__sz2")).cast(DoubleType))
-        .groupBy(col("id1"), col("id2"))
+        .groupBy(gcols.map(col) ++ Seq(col("id1"), col("id2")): _*)
         // sz is constant within a pair group — first() just carries it
         .agg(count(lit(1)).as("__inter"),
           first(col("__sz1")).as("__sz1"), first(col("__sz2")).as("__sz2"))
@@ -560,7 +606,8 @@ object Dedup {
           col("__inter").cast(DoubleType) /
           (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
         .filter(col("jaccard") >= threshold)
-        .select(col("id1"), col("id2"), col("jaccard"))
+        .select(gcols.map(col) ++
+          Seq(col("id1"), col("id2"), col("jaccard")): _*)
     } else {
       // low threshold with a finite cap: the capped index is a JOIN
       // (filter against the df aggregation), so it persists — both
@@ -570,12 +617,15 @@ object Dedup {
       val capped = OperatorCaches.track(
         inv.join(dfCounts.select(col("shingle")), Seq("shingle"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-      val inter = capped.select(col("shingle"), col(idCol).as("id1"))
-        .join(capped.select(col("shingle"), col(idCol).as("id2")), Seq("shingle"))
+      val inter = capped.select(Seq(col("shingle"), col(idCol).as("id1")) ++
+          gcols.map(col): _*)
+        .join(capped.select(Seq(col("shingle"), col(idCol).as("id2")) ++
+            gcols.map(col): _*),
+          "shingle" +: gcols)
         .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2"))
+        .groupBy(gcols.map(col) ++ Seq(col("id1"), col("id2")): _*)
         .agg(count(lit(1)).as("__inter"))
-      jaccardFromCounts(inter, sizes, idCol, threshold)
+      jaccardFromCounts(inter, sizes, idCol, threshold, carry = gcols)
     }
   }
 
@@ -583,7 +633,7 @@ object Dedup {
     * co-occurrence counts → (id1, id2, jaccard ≥ threshold). A pair can
     * only reach here by sharing ≥ 1 shingle, so the union is never zero. */
   private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
-      idCol: String, threshold: Double): DataFrame =
+      idCol: String, threshold: Double, carry: Seq[String] = Nil): DataFrame =
     inter
       .join(sizes.select(col(idCol).as("id1"), col("sz").as("__sz1")), "id1")
       .join(sizes.select(col(idCol).as("id2"), col("sz").as("__sz2")), "id2")
@@ -591,7 +641,8 @@ object Dedup {
         col("__inter").cast(DoubleType) /
         (col("__sz1") + col("__sz2") - col("__inter")).cast(DoubleType), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .select(carry.map(col) ++
+        Seq(col("id1"), col("id2"), col("jaccard")): _*)
 
   // ---- SimHash ----------------------------------------------------------
 

@@ -246,29 +246,33 @@ object Core6 {
     QueryDef("d10_dup_by_source", (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        k = 3, threshold = 0.5)
-      val src = docs.select($"doc_id", $"source")
-      // `within` feeds FOUR consumers (both arms of the dupDocs union,
-      // the n_pairs aggregate, and through dupDocs the n_dup_docs one) —
-      // without a persist each branch re-runs the whole prefix-filter
-      // pair pipeline upstream (measured: 24.7 s isolated at sf1 vs
-      // 8.9 s for one pass of the pair gen). The frame is tiny (the
-      // verified same-source pairs), so the cache is pure win.
-      val within = graft.operators.OperatorCaches.track(pairs
-        .join(src.toDF("id1", "s1"), "id1")
-        .join(src.toDF("id2", "s2"), "id2")
-        .filter($"s1" === $"s2")
-        .select($"s1".as("source"), $"id1", $"id2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val dupDocs = within.select($"source", $"id1".as("doc_id"))
-        .unionByName(within.select($"source", $"id2".as("doc_id")))
-        .distinct()
+      // r17 optimizations (OPTIMIZATION_r17.md, guide §2.3/§2.4):
+      // 1. The report only consumes SAME-SOURCE pairs, so the restriction
+      //    is pushed into the candidate equi-join key (shingle, source)
+      //    via ngramJaccardPairsWithin instead of generating every
+      //    cross-source pair and filtering it after two source-tag joins
+      //    — cross-source candidates (~19/20 of the volume at 20 uniform
+      //    sources) never reach the pair-dedup exchange or the
+      //    verification joins (spec-pinned Within == filtered plain).
+      // 2. n_pairs and n_dup_docs both reduce over the pair frame keyed
+      //    by source, so ONE aggregation over the exploded endpoints
+      //    yields both (each pair contributes exactly two endpoint rows
+      //    ⇒ n_pairs = count/2, exact; n_dup_docs = countDistinct) —
+      //    this replaced a four-consumer persisted frame (two dupDocs
+      //    union arms + two aggregates), its distinct, and one of two
+      //    20-row SortMergeJoins; `within` is now single-consumer, so
+      //    the old MEMORY_AND_DISK persist is dropped outright.
+      // Same output (oracle text unchanged); isolated sf0.1 bench
+      // 4.65 → 2.38 s (plans/r17/d10_dup_by_source_{before,after}.txt).
+      val within = Dedup.ngramJaccardPairsWithin(docs, "doc_id", "text",
+        groupCol = "source", k = 3, threshold = 0.5)
+      val stats = within
+        .select($"source", explode(array($"id1", $"id2")).as("doc_id"))
+        .groupBy($"source")
+        .agg((count(lit(1)) / 2).cast(LongType).as("n_pairs"),
+          countDistinct($"doc_id").as("n_dup_docs"))
       t(s, dir, "documents").groupBy($"source").agg(count(lit(1)).as("n_docs"))
-        .join(within.groupBy($"source").agg(count(lit(1)).as("n_pairs")),
-          Seq("source"), "left")
-        .join(dupDocs.groupBy($"source").agg(count(lit(1)).as("n_dup_docs")),
-          Seq("source"), "left")
+        .join(broadcast(stats), Seq("source"), "left")
         .select($"source", $"n_docs",
           coalesce($"n_pairs", lit(0L)).as("n_pairs"),
           coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"),

@@ -193,6 +193,48 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("ngramJaccardPairsWithin == ngramJaccardPairs filtered to same group, all three branches") {
+    // the r17 d10 optimization: the group restriction is pushed into the
+    // candidate equi-join key — results must be EXACTLY the plain
+    // operator's pairs restricted to same-group endpoints (plus the
+    // group value), on every dispatch branch (prefix-filter, uncapped
+    // co-occurrence, capped)
+    // real corpus + planted near-dups: one same-group pair (must be
+    // found) and one CROSS-group pair (must be excluded by both sides —
+    // proves the restriction, not just the plumbing)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val planted = Seq(
+      (10001L, base, "srcA"), (10002L, base.replace("kappa", "lambda"), "srcA"),
+      (10003L, base + "mu nu", "srcB"), (10004L, base + "mu nu xi", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"source").unionByName(planted)
+    val src = docs.select($"doc_id", $"source")
+    for ((threshold, cap) <- Seq(
+        (0.5, Dedup.NoCap), // prefix-filter branch
+        (0.2, Dedup.NoCap), // uncapped co-occurrence branch
+        (0.2, 1000))) {     // capped branch
+      val within = Dedup.ngramJaccardPairsWithin(docs, "doc_id", "text",
+          groupCol = "source", threshold = threshold, maxDocFreq = cap)
+        .as[(String, Long, Long, Double)].collect().toSet
+      val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = threshold, maxDocFreq = cap)
+        .join(src.toDF("id1", "s1"), "id1")
+        .join(src.toDF("id2", "s2"), "id2")
+        .filter($"s1" === $"s2")
+        .select($"s1", $"id1", $"id2", $"jaccard")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(within == plain,
+        s"t=$threshold cap=$cap: within=${within.size} plain=${plain.size} " +
+        s"diff=${(within diff plain) ++ (plain diff within)}")
+      assert(within.exists(p => p._2 == 10001L && p._3 == 10002L),
+        s"t=$threshold cap=$cap: planted same-group pair not found")
+      assert(!within.exists(p => p._2 == 10003L && p._3 == 10004L),
+        s"t=$threshold cap=$cap: cross-group pair leaked")
+    }
+    graft.operators.OperatorCaches.release()
+  }
+
   test("OperatorCaches.release() drops every operator-owned cache and checkpoint") {
     import graft.operators.OperatorCaches
     val docs = Tables.load(spark, sf, "documents").limit(60)
