@@ -1072,8 +1072,18 @@ object Dedup {
     // edges checkpoint AFTER a hash-repartition on the join key: the
     // checkpointed LogicalRDD keeps its outputPartitioning, so the
     // per-round join re-shuffles only the (much smaller) label frame.
+    // r17 (guide §2.4): dedup AFTER the src repartition instead of a
+    // standalone distinct() before it — HashPartitioning(src) satisfies
+    // the (src, dst) aggregation's clustering requirement (subset rule),
+    // so dropDuplicates adds NO exchange and the edge list crosses the
+    // network once, not twice; the aggregate preserves the src
+    // partitioning the rounds rely on. Same rows (set semantics), and
+    // duplicates never affected correctness anyway (per-round min() is
+    // duplicate-insensitive) — the dedup is a per-round cost saver.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).localCheckpoint()
+      .repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src"))
+      .dropDuplicates("src", "dst").localCheckpoint()
     // seed labels with min(node, min neighbor): the same groupBy-on-src
     // shuffle the plain distinct() would pay, but it bakes the first
     // propagation round into initialization — one fewer loop iteration

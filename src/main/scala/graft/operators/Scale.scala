@@ -141,24 +141,39 @@ object Scale {
     * exact distinct shuffles that column's values). min/max are emitted
     * as strings so one schema profiles any column mix; keep to
     * integer/string columns where engines render identically when
-    * hash-comparing against an external oracle. */
+    * hash-comparing against an external oracle.
+    *
+    * `withApprox = false` (r17, guide §1.2 "don't compute things you
+    * throw away") drops the HLL++ sketches from the aggregate for
+    * callers that consume only nulls/min/max: the stack() melt
+    * references every aggregated column, so Catalyst cannot prune an
+    * unused sketch out of the plan on its own — a consumer that
+    * projects the sketch away still paid 52 merged registers per
+    * column per row (q86 measured 1.03 → 0.76 s at sf0.1 when the
+    * consumer stopped carrying them). */
   def tableProfile(df: DataFrame, cols: Seq[String],
-      withExact: Boolean = false): DataFrame = {
+      withExact: Boolean = false, withApprox: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "tableProfile: no columns given")
+    require(withApprox || !withExact,
+      "tableProfile: withExact bounds the sketch — it needs withApprox")
     val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}__nn"),
-        approx_count_distinct(col(c), 0.05).as(s"${c}__ad"),
-        min(col(c)).cast("string").as(s"${c}__mn"),
-        max(col(c)).cast("string").as(s"${c}__mx")) ++
+      Seq(count(col(c)).as(s"${c}__nn")) ++
+        (if (withApprox)
+          Seq(approx_count_distinct(col(c), 0.05).as(s"${c}__ad")) else Nil) ++
+        Seq(
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx")) ++
         (if (withExact) Seq(countDistinct(col(c)).as(s"${c}__xd")) else Nil)
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val fields = cols.map { c =>
+      val approx = if (withApprox) s", ${c}__ad" else ""
       val exact = if (withExact) s", ${c}__xd" else ""
-      s"'$c', __n - ${c}__nn, ${c}__ad, ${c}__mn, ${c}__mx$exact"
+      s"'$c', __n - ${c}__nn$approx, ${c}__mn, ${c}__mx$exact"
     }.mkString(", ")
-    val outCols = "column_name, n_null, approx_distinct, min_value, max_value" +
+    val outCols = "column_name, n_null" +
+      (if (withApprox) ", approx_distinct" else "") +
+      ", min_value, max_value" +
       (if (withExact) ", exact_distinct" else "")
     one.selectExpr(s"stack(${cols.size}, $fields) AS ($outCols)")
   }
