@@ -336,13 +336,24 @@ object Bench {
     val baselineLoaded = BenchDefense.baselineLoaded(controlBase, controlMin)
     val loadVerdict =
       if (loadFlagged.nonEmpty || baselineLoaded) "flagged" else "clean"
-    def line(entries: Seq[(String, Double)]): String = {
+    // r18 (r17 verdict #2): the r17 sweep's 51 flagged names ate the
+    // line budget and left only 9 of 145 per-query entries — starving
+    // the driver's round-over-round evidence. The flagged array now
+    // sheds NAMES (slowest-first kept, count preserved in
+    // "flagged_omitted") before the per-query map sheds entries below
+    // ~25; under budget nothing changes. Additions-only: every existing
+    // key keeps its meaning, "flagged_omitted" is new.
+    val medianOf = medians.toMap
+    def line(entries: Seq[(String, Double)], flaggedKeep: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
       val outs = outliers.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val flg = loadFlagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flaggedKept = loadFlagged.toSeq
+        .sortBy(n => -medianOf.getOrElse(n, 0.0)).take(flaggedKeep).sorted
+      val flg = flaggedKept.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flgOmitted = loadFlagged.size - flaggedKept.size
       // no clamp: a genuinely faster box reads <1 and total_norm
       // correctly inflates to reference-box scale — clamping would
       // normalize slow boxes but not fast ones, leaving cross-session
@@ -361,7 +372,7 @@ object Bench {
           val b = controlBase / idleControlFloor
           s""""box_speed":${ms(b)},"total_norm":${ms(total / b)}"""
         } else """"box_speed":null,"total_norm":null"""
-      val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg}"""
+      val ctl = s"""{"base":${ms(controlBase)},"min":${ms(controlMin)},"max":${ms(controlMax)},"reruns":$controlReruns,"flagged":$flg,"flagged_omitted":$flgOmitted}"""
       // auto-sized LSH configs chosen during the sweep (r13 ADVICE:
       // cross-sf totals compare different recall regimes unless the
       // chosen banding travels with the numbers)
@@ -382,8 +393,17 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1800)
     val bySlowest = medians.sortBy(-_._2)
     var keep = bySlowest.size
-    while (keep > 1 && line(bySlowest.take(keep).sortBy(_._1)).length > budget) keep -= 1
-    val out = line(bySlowest.take(keep).sortBy(_._1))
+    var fkeep = loadFlagged.size
+    def render(): String = line(bySlowest.take(keep).sortBy(_._1), fkeep)
+    var out = render()
+    // shed query entries down to the slowest ~25, then flagged names,
+    // then (only if still over) the remaining query entries
+    while (out.length > budget && (keep > 1 || fkeep > 0)) {
+      if (keep > 25) keep -= 1
+      else if (fkeep > 0) fkeep -= 1
+      else keep -= 1
+      out = render()
+    }
     // stop() before printing keeps Spark's shutdown chatter above the JSON
     // line, but must never swallow the measurements if it throws.
     try spark.stop() catch { case _: Throwable => () }

@@ -16,6 +16,9 @@ object Graft {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(graft.plans.RegexPrefixPushdown))
       spark.experimental.extraOptimizations = cur :+ graft.plans.RegexPrefixPushdown
+    val cur2 = spark.experimental.extraOptimizations
+    if (!cur2.contains(graft.plans.SmallResultSort))
+      spark.experimental.extraOptimizations = cur2 :+ graft.plans.SmallResultSort
     val strats = spark.experimental.extraStrategies
     if (!strats.exists(_.isInstanceOf[graft.plans.AsofJoinStrategy]))
       spark.experimental.extraStrategies = strats :+ new graft.plans.AsofJoinStrategy

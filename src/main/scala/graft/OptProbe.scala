@@ -87,6 +87,106 @@ object OptProbe {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.kmeansFit(emb, k = 16, iters = 5)._2
     }
+    // r18 A/B (r17 verdict #3): narrow-map argmax assignment vs the
+    // max_by partial-agg shape, same fit otherwise
+    run("s02_kmeans_narrow") {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.kmeansFit(emb, k = 16, iters = 5, narrowAssign = true)._2
+    }
+    run("s02_kmeans_maxby") {
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.kmeansFit(emb, k = 16, iters = 5, narrowAssign = false)._2
+    }
+    // r18 plan artifacts the registered-query dumps can't show (both run
+    // at plan-build time inside their operators): the kmeans assignment
+    // step's plan per variant, and d07's pre-checkpoint edge-build plan.
+    if (wanted.contains("r18_plans")) {
+      def dumpPlan(path: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+        System.err.println(s"[optprobe] plan -> $path")
+      }
+      val emb = Tables.load(spark, dir, "embeddings")
+      dumpPlan("plans/r18/s02_kmeans_assign_before.txt",
+        Similarity.kmeansFit(emb, k = 16, iters = 0, narrowAssign = false)._2)
+      cleanup()
+      dumpPlan("plans/r18/s02_kmeans_assign_after.txt",
+        Similarity.kmeansFit(emb, k = 16, iters = 0, narrowAssign = true)._2)
+      cleanup()
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.1)
+      val raw = {
+        val f = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+      }
+      val w = Dedup.edgeWidth(raw.count(), 32)
+      dumpPlan(s"plans/r18/d07_edge_build_width${w}_after.txt",
+        Dedup.edgeBuild(raw, w))
+      cleanup()
+    }
+
+    // r18 (r17 verdict #6): validate d10's Within operator one decade up
+    // — same-source pair generation (restriction in the candidate join
+    // key) vs the r16 shape (all pairs, then source-tag joins + filter),
+    // with ShuffleMeter record counts. Both produce the same-source pair
+    // set; the claim under test is candidate volume dropped BEFORE the
+    // exchanges (guide §2.3) and the (shingle, source) key's skew split.
+    if (wanted.contains("within_shuffle")) {
+      def meter(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        spark.sparkContext.setJobDescription(s"optprobe: within $label")
+        val t0 = System.nanoTime()
+        val recs = ShuffleMeter.recordsDuring(spark.sparkContext) {
+          f.queryExecution.toRdd.count(); ()
+        }
+        println(f"WITHIN_SHUFFLE $label recs=$recs sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        cleanup()
+      }
+      (1 to 2).foreach { i =>
+        meter(s"plain_filtered$i") {
+          val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            k = 3, threshold = 0.5)
+          val s1 = docs.select(col("doc_id").as("id1"), col("source").as("s1"))
+          val s2 = docs.select(col("doc_id").as("id2"), col("source").as("s2"))
+          p.join(broadcast(s1), "id1").join(broadcast(s2), "id2")
+            .filter(col("s1") === col("s2"))
+            .select(col("id1"), col("id2"), col("s1").as("source"))
+        }
+        meter(s"within$i") {
+          Dedup.ngramJaccardPairsWithin(docs, "doc_id", "text", "source",
+            k = 3, threshold = 0.5)
+        }
+      }
+    }
+
+    // r18 A/B (r17 verdict #5): the size-gated narrow final sort
+    // (plans.SmallResultSort) over a battery of small-result queries —
+    // the per-query harness floor's range-sampling job + wide reduce
+    // wave vs the single-partition route. Alternating off/on rounds so
+    // box drift hits both arms.
+    if (wanted.contains("smallsort_ab")) {
+      val battery = Seq("q04_having", "q16_sort_multi", "q21_distinct",
+        "q26_date_parts", "q64_nulls_order", "q65_int_div",
+        "q46_null_funcs", "q69_minmax_null", "t02_quality", "q13_window_rank")
+      def once(label: String): Unit = {
+        spark.sparkContext.setJobDescription(s"optprobe: smallsort $label")
+        val t0 = System.nanoTime()
+        battery.foreach { n =>
+          SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+        }
+        println(f"SMALLSORT $label ${(System.nanoTime() - t0) / 1e9}%.2f")
+        cleanup()
+      }
+      once("warm")
+      (1 to 3).foreach { i =>
+        spark.conf.set(graft.plans.SmallResultSort.confKey, "0")
+        once(s"off$i")
+        spark.conf.unset(graft.plans.SmallResultSort.confKey)
+        once(s"on$i")
+      }
+    }
+
     run("q33") { SparkEntry.queries("q33_window_range")(spark, dir) }
     run("q45") { SparkEntry.queries("q45_salted_join")(spark, dir) }
     run("q03") { SparkEntry.queries("q03_distinct_agg")(spark, dir) }

@@ -35,6 +35,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     Graft.enableOptimizations(spark)
     Graft.tuneLocalScanSplits(spark)
+    // r18: A/B override for the size-gated narrow final sort (0 = off),
+    // so the before/after floor plans can both be dumped
+    sys.env.get("SPARK_GRAFT_SMALLSORT").foreach(v =>
+      spark.conf.set(graft.plans.SmallResultSort.confKey, v))
     Files.createDirectories(Paths.get(outDir))
     val names: Seq[String] =
       if (wanted == "all") SparkEntry.queries.keys.toSeq.sorted

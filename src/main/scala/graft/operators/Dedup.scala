@@ -1062,6 +1062,21 @@ object Dedup {
     * diameter ≤ ~2), which is why plain propagation beats the more complex
     * large-star/small-star variant here. Returns (node, component) with
     * component = min node id reachable. */
+  /** Size-aware width for [[connectedComponents]]'s single edge-list
+    * exchange (r17 verdict #1): one partition per ~128k edge rows,
+    * floored at 1 (toy graphs run 1-task fixpoint rounds instead of
+    * paying sessParts tasks of scheduler overhead per round), capped at
+    * the session width (at-scale edge lists keep full parallelism). */
+  def edgeWidth(nEdgeRows: Long, sessParts: Int): Int =
+    math.max(1L, math.min(sessParts.toLong, nEdgeRows / 131072L + 1L)).toInt
+
+  /** The pre-checkpoint edge-build plan (exposed so plan dumps and specs
+    * can pin the one-exchange shape — the committed d07 after-plan only
+    * shows the final checkpointed frame because the fixpoint runs at
+    * plan-build time, r17 verdict #8). */
+  private[graft] def edgeBuild(raw: DataFrame, width: Int): DataFrame =
+    raw.repartition(width, col("src")).dropDuplicates("src", "dst")
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     // pairs is read by BOTH union legs below before the checkpoint
@@ -1069,6 +1084,13 @@ object Dedup {
     // edges
     InputContracts.requireDeterministic(pairs, "connectedComponents")
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Materialize the raw (un-deduped) edge list BEFORE the keyed
+    // exchange: the union's two legs each re-run the pair generator's
+    // post-exchange work (the verify join + similarity compute) when
+    // they live in one lineage — checkpointing the union first runs
+    // pair generation once, and gives an exact edge count for free.
+    val raw = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     // edges checkpoint AFTER a hash-repartition on the join key: the
     // checkpointed LogicalRDD keeps its outputPartitioning, so the
     // per-round join re-shuffles only the (much smaller) label frame.
@@ -1080,10 +1102,22 @@ object Dedup {
     // partitioning the rounds rely on. Same rows (set semantics), and
     // duplicates never affected correctness anyway (per-round min() is
     // duplicate-insensitive) — the dedup is a per-round cost saver.
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("src"))
-      .dropDuplicates("src", "dst").localCheckpoint()
+    // r18 (r17 verdict #1): the repartition width is SIZE-AWARE, not the
+    // session constant — pinning a 260-edge sf0.1 graph to 32 partitions
+    // forfeited AQE coalescing and charged every fixpoint round ~32
+    // tasks of scheduler overhead per join/agg/checkpoint (driver bench
+    // 2.19→3.88 s, 8 cores beating 32 at 0.51×). Width = exact edge
+    // count (from the checkpoint above, no extra pass) over a ~128k
+    // rows/partition target, floored at 1 and capped at the session
+    // width, so toy graphs run 1-task rounds while at-scale edge lists
+    // keep the full session width — and still exactly ONE network pass
+    // of the edge list either way.
+    val sessParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // release `raw` whether or not the count/dedup jobs succeed — the
+    // deduped checkpoint reads its own blocks from here on
+    val edges = try {
+      edgeBuild(raw, edgeWidth(raw.count(), sessParts)).localCheckpoint()
+    } finally OperatorCaches.releaseCheckpoint(raw)
     // seed labels with min(node, min neighbor): the same groupBy-on-src
     // shuffle the plain distinct() would pay, but it bakes the first
     // propagation round into initialization — one fewer loop iteration

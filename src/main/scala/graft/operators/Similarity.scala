@@ -457,7 +457,8 @@ object Similarity {
     * the old code used. A DOUBLE corpus keeps full precision end-to-end,
     * matching what a double-reading oracle computes. */
   def kmeansFit(corpus0: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      narrowAssign: Boolean = true)
       : (Seq[Array[Double]], DataFrame) = {
     val spark = corpus0.sparkSession
     import spark.implicits._
@@ -471,21 +472,35 @@ object Similarity {
     var cents: Seq[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast(ArrayType(DoubleType))).as[Array[Double]]
       .collect().toSeq
-    // best centroid per row via max_by partial aggregation: the shuffle
-    // carries ONE pre-reduced row per (partition, id), not the N×K
-    // scored stream a window(row_number) would sort-exchange. Ties break
-    // to the lowest cid: maximize (cos, -cid).
-    def assign(c: Seq[Array[Double]]): DataFrame = {
-      val cdf = broadcast(c.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cid", "cvec"))
-      corpus.crossJoin(cdf)
-        .withColumn("__cos", cosine(col(vecCol), col("cvec")))
-        .groupBy(col(idCol))
-        .agg(max_by(struct(col("cid"), col("__cos"), col(vecCol).as("__v")),
-          struct(col("__cos"), -col("cid"))).as("__b"))
-        .select(col(idCol), col("__b.cid").as("cid"),
-          col("__b.__cos").as("__cos"), col("__b.__v").as(vecCol))
-    }
+    // Best centroid per row. Default (r18, r17 verdict #3): a NARROW MAP
+    // — one codegen'd argmax over the centroid matrix as a literal
+    // ([[graft.functions.CosineArgmaxK]]; bit-exact cosine arithmetic and
+    // (cos, -cid) tie-break, see its doc) — so the assignment step plans
+    // ZERO exchanges. The max_by shape it replaces (kept one flag away
+    // for A/B, and the right choice if a corpus ever carried duplicate
+    // ids: it emits one row per ID, the narrow map one per CORPUS ROW —
+    // identical under the vector-index uniqueness contract every caller
+    // already relies on) shuffled one pre-reduced row per corpus row per
+    // Lloyd iteration: iters + 1 full-corpus exchanges per fit.
+    def assign(c: Seq[Array[Double]]): DataFrame =
+      if (narrowAssign) {
+        val centsLit = typedLit(c.map(_.toSeq))
+        corpus
+          .withColumn("__b",
+            graft.functions.CosineArgmaxK.argmax(col(vecCol), centsLit))
+          .select(col(idCol), col("__b.cid").as("cid"),
+            col("__b.cos").as("__cos"), col(vecCol))
+      } else {
+        val cdf = broadcast(c.zipWithIndex.map { case (v, i) => (i, v) }
+          .toDF("cid", "cvec"))
+        corpus.crossJoin(cdf)
+          .withColumn("__cos", cosine(col(vecCol), col("cvec")))
+          .groupBy(col(idCol))
+          .agg(max_by(struct(col("cid"), col("__cos"), col(vecCol).as("__v")),
+            struct(col("__cos"), -col("cid"))).as("__b"))
+          .select(col(idCol), col("__b.cid").as("cid"),
+            col("__b.__cos").as("__cos"), col("__b.__v").as(vecCol))
+      }
     for (_ <- 0 until iters) {
       val a = assign(cents)
       // per-(cluster, dim) mean; K×dim rows come back to the driver.

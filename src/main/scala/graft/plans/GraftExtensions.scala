@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RegexPrefixPushdown)
+    ext.injectOptimizerRule(_ => SmallResultSort)
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
   }
 }

@@ -59,6 +59,20 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  // r18 (r17 verdict #1): the edge list's one exchange is SIZE-AWARE —
+  // toy graphs must not pay sessParts tasks of scheduler overhead per
+  // fixpoint round, at-scale edge lists keep the full session width.
+  test("connectedComponents: edge exchange width is size-aware") {
+    assert(Dedup.edgeWidth(0L, 32) === 1)
+    assert(Dedup.edgeWidth(520L, 32) === 1) // d07 at sf0.1
+    assert(Dedup.edgeWidth(131072L * 3 + 5, 32) === 4)
+    assert(Dedup.edgeWidth(Long.MaxValue / 4, 32) === 32) // cap
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs, "id1", "id2")
+    assert(labels.rdd.getNumPartitions <= 2,
+      "toy-graph fixpoint rounds must run at ~1-task width, not session width")
+  }
+
   test("connectedComponents: long chain needs multiple rounds") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
     val comp = Dedup.connectedComponents(pairs, "id1", "id2")

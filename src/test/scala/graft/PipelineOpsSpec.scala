@@ -969,6 +969,27 @@ class SimilaritySpec extends SparkSpec {
     assert(o3 >= o1 - eps, s"iteration 3 must not regress: $o1 -> $o3")
     assert(o3 > o0, s"three iterations should strictly improve on init: $o0 -> $o3")
   }
+
+  // r18: the narrow-map argmax assignment (CosineArgmaxK, zero exchanges)
+  // must be BIT-IDENTICAL to the max_by partial-agg shape it replaced —
+  // fitted centroids (every double), assignments, and unrounded cosines.
+  // Exercised over multiple iterations so any drift would compound and
+  // surface; ties and NaN ordering are pinned by CosineArgmaxK's use of
+  // the same SQL double ordering max_by compares with.
+  test("kmeansFit: narrow argmax assignment is bit-identical to the max_by shape") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (cN, aN) = Similarity.kmeansFit(emb, k = 8, iters = 3,
+      narrowAssign = true)
+    val (cB, aB) = Similarity.kmeansFit(emb, k = 8, iters = 3,
+      narrowAssign = false)
+    assert(cN.size == cB.size, "centroid count must match")
+    cN.zip(cB).zipWithIndex.foreach { case ((n, b), i) =>
+      assert(java.util.Arrays.equals(n, b), s"centroid $i diverged")
+    }
+    val rowsN = aN.orderBy($"vec_id").collect().toSeq
+    val rowsB = aB.orderBy($"vec_id").collect().toSeq
+    assert(rowsN == rowsB, "assignments (id, cid, cosine) must be identical")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

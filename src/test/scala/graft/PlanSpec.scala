@@ -214,6 +214,28 @@ class PlanSpec extends SparkSpec {
       s"expected only the two query-sided windows (probe rank + final rank), got $windows:\n$p")
   }
 
+  test("kmeansFit: narrow argmax assignment plans ZERO exchanges") {
+    // r18 (r17 verdict #3): the Lloyd assignment step is one codegen'd
+    // narrow map over a literal centroid matrix — the corpus is never
+    // shuffled to pick its nearest centroid. The max_by shape this
+    // replaced exchanged one pre-reduced row per corpus row per
+    // iteration; its plan (narrowAssign = false) is asserted to still
+    // carry that exchange so the A/B stays honest.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val narrow = graft.operators.Similarity.kmeansFit(
+      emb, k = 4, iters = 0, narrowAssign = true)._2
+    val pN = narrow.queryExecution.executedPlan.toString
+    assert(!pN.contains("Exchange"),
+      s"narrow assignment must not shuffle the corpus:\n$pN")
+    assert(pN.contains("cosine_argmax") || pN.contains("CosineArgmaxK"),
+      s"expected the fused argmax expression:\n$pN")
+    val maxby = graft.operators.Similarity.kmeansFit(
+      emb, k = 4, iters = 0, narrowAssign = false)._2
+    val pB = maxby.queryExecution.executedPlan.toString
+    assert(pB.contains("Exchange"),
+      s"max_by A/B variant should keep its per-corpus-row exchange:\n$pB")
+  }
+
   test("q63: grouping sets plans one Expand + partial aggregation") {
     val p = plan("q63_grouping_sets")
     assert(p.contains("Expand"), "grouping sets lower to Expand")
