@@ -13,12 +13,12 @@ object Graft {
     * .GraftExtensions`; this is the same set of rules for sessions built
     * before the library loads. */
   def enableOptimizations(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(graft.plans.RegexPrefixPushdown))
-      spark.experimental.extraOptimizations = cur :+ graft.plans.RegexPrefixPushdown
-    val cur2 = spark.experimental.extraOptimizations
-    if (!cur2.contains(graft.plans.SmallResultSort))
-      spark.experimental.extraOptimizations = cur2 :+ graft.plans.SmallResultSort
+    Seq(graft.plans.RegexPrefixPushdown, graft.plans.SmallResultSort)
+      .foreach { r =>
+        val cur = spark.experimental.extraOptimizations
+        if (!cur.contains(r))
+          spark.experimental.extraOptimizations = cur :+ r
+      }
     val strats = spark.experimental.extraStrategies
     if (!strats.exists(_.isInstanceOf[graft.plans.AsofJoinStrategy]))
       spark.experimental.extraStrategies = strats :+ new graft.plans.AsofJoinStrategy

@@ -102,9 +102,14 @@ object OptProbe {
     // step's plan per variant, and d07's pre-checkpoint edge-build plan.
     if (wanted.contains("r18_plans")) {
       def dumpPlan(path: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        val p = java.nio.file.Paths.get(path)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
           df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.WRITE)
         System.err.println(s"[optprobe] plan -> $path")
       }
       val emb = Tables.load(spark, dir, "embeddings")

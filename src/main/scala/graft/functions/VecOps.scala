@@ -82,8 +82,18 @@ case class VecDotF32(left: Expression, right: Expression) extends BinaryExpressi
   *     (SQLOrderingUtil — NaN greatest, NaN == NaN) max_by compares with.
   * Null vectors return a null struct (BinaryExpression null intolerance);
   * every caller feeds non-null vectors (kmeansFit collects init centroids
-  * with `.as[Array[Double]]`, which already requires them). */
-case class CosineArgmaxK(left: Expression, right: Expression)
+  * with `.as[Array[Double]]`, which already requires them).
+  *
+  * `roundScale` ≥ 0 rounds each candidate cosine (HALF_UP at that scale,
+  * the exact arithmetic of Spark's `round(col, n)` on doubles:
+  * BigDecimal.valueOf + setScale, NaN/Infinity passed through) BEFORE
+  * the argmax — the [[graft.operators.Similarity.assignCells]] contract,
+  * where pre-argmax rounding keeps a near-tie from flipping with float
+  * summation order. −1 (default) compares raw cosines (kmeansFit's
+  * contract). The reported `cos` field is the compared (i.e. rounded
+  * when roundScale ≥ 0) value. */
+case class CosineArgmaxK(left: Expression, right: Expression,
+    roundScale: Int = -1)
     extends BinaryExpression {
   override def dataType: DataType = CosineArgmaxK.outType
   override def prettyName: String = "cosine_argmax"
@@ -108,13 +118,29 @@ case class CosineArgmaxK(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // The centroid matrix is constant (a literal in every caller), so its
+  // K norms are hoisted out of the per-row loop — recomputing dot(c,c)
+  // + sqrt per corpus row roughly doubled the centroid-side FLOPs of an
+  // assignment (review finding). Same Math.sqrt over the same
+  // accumulation, just once: bit-identical to the inline form. Non-
+  // foldable matrices (none today) fall back to the per-row computation.
+  @transient private lazy val centNorms: Array[Double] =
+    if (right.foldable) {
+      val cs = right.eval().asInstanceOf[ArrayData]
+      if (cs == null) null else CosineArgmaxK.centroidNorms(cs)
+    } else null
+
   override protected def nullSafeEval(v: Any, cs: Any): Any =
     CosineArgmaxK.eval(v.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData],
-      vecIsDouble)
+      vecIsDouble, roundScale, centNorms)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val normsRef =
+      if (centNorms == null) "null"
+      else ctx.addReferenceObj("centNorms", centNorms, "double[]")
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineArgmaxK$$.MODULE$$.eval($a, $b, $vecIsDouble)")
+      s"graft.functions.CosineArgmaxK$$.MODULE$$.eval($a, $b, $vecIsDouble, $roundScale, $normsRef)")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : CosineArgmaxK = copy(left = l, right = r)
@@ -125,7 +151,39 @@ object CosineArgmaxK {
     StructField("cid", IntegerType, nullable = false),
     StructField("cos", DoubleType, nullable = false)))
 
-  def eval(v: ArrayData, cents: ArrayData, vIsDouble: Boolean)
+  /** Spark `round(double, scale)` arithmetic (HALF_UP via
+    * BigDecimal.valueOf, NaN/Infinity unchanged) — replicated here so a
+    * pre-argmax rounding contract stays bit-identical to the Column
+    * form it replaces; pinned by the assignCells equivalence spec. */
+  private def roundTo(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** sqrt(dot(c,c)) per centroid, the same accumulation order as the
+    * per-row fallback in [[eval]]. */
+  def centroidNorms(cents: ArrayData): Array[Double] = {
+    val k = cents.numElements()
+    val out = new Array[Double](k)
+    var cid = 0
+    while (cid < k) {
+      val c = cents.getArray(cid)
+      val m = c.numElements()
+      var dcc = 0.0
+      var j = 0
+      while (j < m) {
+        val y = c.getDouble(j)
+        dcc += y * y
+        j += 1
+      }
+      out(cid) = Math.sqrt(dcc)
+      cid += 1
+    }
+    out
+  }
+
+  def eval(v: ArrayData, cents: ArrayData, vIsDouble: Boolean,
+      roundScale: Int, norms: Array[Double])
       : org.apache.spark.sql.catalyst.InternalRow = {
     import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
     val n = v.numElements()
@@ -153,14 +211,18 @@ object CosineArgmaxK {
         duv += x * c.getDouble(j)
         j += 1
       }
-      var dcc = 0.0
-      j = 0
-      while (j < m) {
-        val y = c.getDouble(j)
-        dcc += y * y
-        j += 1
+      val nc = if (norms != null) norms(cid) else {
+        var dcc = 0.0
+        j = 0
+        while (j < m) {
+          val y = c.getDouble(j)
+          dcc += y * y
+          j += 1
+        }
+        Math.sqrt(dcc)
       }
-      val cos = duv / (nu * Math.sqrt(dcc))
+      val raw = duv / (nu * nc)
+      val cos = if (roundScale >= 0) roundTo(raw, roundScale) else raw
       if (cid == 0 || SQLOrderingUtil.compareDoubles(cos, bestCos) > 0) {
         bestCos = cos
         bestCid = cid
@@ -172,9 +234,12 @@ object CosineArgmaxK {
   }
 
   /** (cid, cos) struct column: best-cosine centroid for `vec` out of the
-    * foldable `cents` (array<array<double>> literal). */
-  def argmax(vec: Column, cents: Column): Column =
-    glue.toColumn(CosineArgmaxK(glue.toExpression(vec), glue.toExpression(cents)))
+    * foldable `cents` (array<array<double>> literal). `roundScale` ≥ 0
+    * rounds each candidate cosine before the argmax (assignCells
+    * contract); −1 compares raw cosines (kmeansFit contract). */
+  def argmax(vec: Column, cents: Column, roundScale: Int = -1): Column =
+    glue.toColumn(CosineArgmaxK(glue.toExpression(vec),
+      glue.toExpression(cents), roundScale))
 }
 
 object VecDotF32 {

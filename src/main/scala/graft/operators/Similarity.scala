@@ -66,9 +66,9 @@ object Similarity {
     import spark.implicits._
     val cents: Seq[Array[Double]] = centroids.getOrElse(
       kmeansFit(corpus, nCells, fitIters, corpusId, corpusVec)._1)
-    val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cell_id", "cell_vec")
-    ivfTopKWithCells(corpus, queries, centFrame, k, nprobe,
+    // r18: the fitted centroids are on the driver here, so the corpus
+    // cell assignment takes the zero-exchange literal route
+    ivfTopKWithCentroids(corpus, queries, cents, k, nprobe,
       corpusId, corpusVec, queryId, queryVec)
   }
 
@@ -88,6 +88,26 @@ object Similarity {
       centroids, queries, k, nprobe, queryId, queryVec)
   }
 
+  /** [[ivfTopKWithCells]] when the fitted centroids are already on the
+    * driver (the one-shot fit-then-search path — s02/s06 and any
+    * ivfTopK caller): identical probe/search machinery and identical
+    * output over `cents.zipWithIndex.toDF("cell_id", "cell_vec")`, but
+    * the corpus-side cell assignment is [[assignCellsLit]]'s
+    * zero-exchange narrow map instead of the frame route's
+    * per-corpus-row groupBy exchange. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, queries: DataFrame, cents: Seq[Array[Double]],
+      k: Int, nprobe: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell_id", "cell_vec")
+    searchAssigned(assignCellsLit(corpus, cents, corpusId, corpusVec),
+      centroids, queries, k, nprobe, queryId, queryVec)
+  }
+
   /** Corpus-side cell assignment (scores rounded before the
     * arg-max so float summation order can't flip a near-tie — keeps the
     * assignment engine-stable and oracle-reproducible). The arg-max is
@@ -101,7 +121,13 @@ object Similarity {
     * cell_id — maximize (__d, -cell_id) — exactly the old window's
     * (desc __d, asc cell_id) order, so recorded results are
     * bit-identical (the pre-argmax rounding makes that checkable).
-    * Output: (neighbor_id, __cv, cell_id). */
+    * Output: (neighbor_id, __cv, cell_id).
+    *
+    * This FRAME route remains the carried-index shape (an IvfIndex's
+    * centroids live in a DataFrame; collecting them inside an operator
+    * would break the no-collect rule). When the centroids are already
+    * on the driver, [[assignCellsLit]] plans the same assignment with
+    * ZERO corpus exchanges. */
   private[operators] def assignCells(corpus: DataFrame, centroids: DataFrame,
       corpusId: String, corpusVec: String): DataFrame =
     corpus.crossJoin(broadcast(centroids))
@@ -112,6 +138,23 @@ object Similarity {
         struct(col("__d"), -col("cell_id"))).as("__b"))
       .select(col(corpusId).as("neighbor_id"), col("__b.__v").as("__cv"),
         col("__b.cell_id").as("cell_id"))
+
+  /** [[assignCells]] with a DRIVER-SIDE centroid matrix (dense cell ids
+    * = 0..K−1, the zipWithIndex layout every one-shot caller builds):
+    * the arg-max runs as one codegen'd narrow map
+    * ([[graft.functions.CosineArgmaxK]] with the same pre-argmax
+    * round-6), so the corpus is NEVER exchanged to learn its cell —
+    * r18, extending the r17-verdict kmeansFit change to the one-shot
+    * search path. Bit-identical output (spec-pinned): same cosine
+    * arithmetic, same rounding (BigDecimal HALF_UP — Spark's round),
+    * same (d, -cell_id) tie-break. */
+  private[operators] def assignCellsLit(corpus: DataFrame,
+      cents: Seq[Array[Double]], corpusId: String, corpusVec: String)
+      : DataFrame =
+    corpus.withColumn("__b", graft.functions.CosineArgmaxK.argmax(
+        col(corpusVec), typedLit(cents.map(_.toSeq)), roundScale = 6))
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
+        col("__b.cid").as("cell_id"))
 
   /** Probe + search over an already-assigned corpus: each query probes
     * its nprobe nearest cells, then searches only those rows via the

@@ -757,9 +757,9 @@ object Pipeline {
       val queries = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
       val (cents, assign) = Similarity.kmeansFit(emb, k = 16, iters = 5)
-      val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cell_id", "cell_vec")
-      val ivf = Similarity.ivfTopKWithCells(emb, queries, centFrame,
+      // r18: driver-side cents → zero-exchange corpus cell assignment
+      // (same output as the centFrame route, spec-pinned)
+      val ivf = Similarity.ivfTopKWithCentroids(emb, queries, cents,
         k = 5, nprobe = 4)
       val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
       val nBrute = brute.agg(count(lit(1)).as("value"))
@@ -821,9 +821,8 @@ object Pipeline {
       val queries = emb.filter(pmod($"vec_id", lit(10)) === 0)
         .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
       val (cents, _) = Similarity.kmeansFit(emb, params.nCells, iters = 5)
-      val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cell_id", "cell_vec")
-      val ivf = Similarity.ivfTopKWithCells(emb, queries, centFrame,
+      // r18: zero-exchange corpus cell assignment (driver-side cents)
+      val ivf = Similarity.ivfTopKWithCentroids(emb, queries, cents,
         k = 5, nprobe = params.nprobe)
       val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -891,8 +890,11 @@ object Pipeline {
         nprobe = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // persisted like s02's brute side: both anti-join legs read it,
-      // and it carries the corpus-sized assign subtree
-      val oneShot = Similarity.ivfTopKWithCells(emb, queries, centFrame,
+      // and it carries the corpus-sized assign subtree. r18: the
+      // one-shot arm takes the zero-exchange literal-centroid route —
+      // same frozen cells, spec-pinned identical output, so the
+      // carried-vs-oneshot equality gate is unchanged in meaning.
+      val oneShot = Similarity.ivfTopKWithCentroids(emb, queries, cents,
         k = 5, nprobe = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keys = Seq("query_id", "neighbor_id", "cosine", "rank")

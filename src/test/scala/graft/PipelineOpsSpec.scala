@@ -990,6 +990,27 @@ class SimilaritySpec extends SparkSpec {
     val rowsB = aB.orderBy($"vec_id").collect().toSeq
     assert(rowsN == rowsB, "assignments (id, cid, cosine) must be identical")
   }
+
+  // r18: the literal-centroid IVF route (zero-exchange corpus cell
+  // assignment) must return EXACTLY what the frame route returns —
+  // full rows including cosine and rank. A duplicated centroid forces
+  // assignment-level ties, exercising the rounded-argmax lowest-cell_id
+  // tie-break both routes must share.
+  test("ivfTopKWithCentroids matches ivfTopKWithCells exactly, ties included") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (cents0, _) = Similarity.kmeansFit(emb, k = 6, iters = 2)
+    val cents = cents0 :+ cents0.head // duplicate cell → guaranteed ties
+    val centFrame = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell_id", "cell_vec")
+    val q = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val a = Similarity.ivfTopKWithCells(emb, q, centFrame, k = 5, nprobe = 3)
+      .collect().toSet
+    val b = Similarity.ivfTopKWithCentroids(emb, q, cents, k = 5, nprobe = 3)
+      .collect().toSet
+    assert(a == b, "literal-centroid route must equal the frame route row-for-row")
+    assert(a.nonEmpty)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -236,6 +236,24 @@ class PlanSpec extends SparkSpec {
       s"max_by A/B variant should keep its per-corpus-row exchange:\n$pB")
   }
 
+  test("ivfTopKWithCentroids: corpus cell-assignment is a narrow map, not an aggregation") {
+    // r18: with driver-side centroids the corpus-side assignment is the
+    // fused argmax (no max_by aggregation, no corpus groupBy exchange);
+    // the frame route (carried indexes) keeps the max_by shape — the
+    // test above pins that one.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cents = (0 until 4).map(i =>
+      Array.tabulate(64)(d => if (d % 4 == i) 1.0 else 0.0)).toSeq
+    val p = finalPlan(graft.operators.Similarity.ivfTopKWithCentroids(
+      emb, q, cents, k = 5, nprobe = 2))
+    assert(p.contains("cosine_argmax"),
+      s"expected the fused argmax expression for the corpus assignment:\n$p")
+    assert(!p.contains("max_by") && !p.contains("partial_max_by"),
+      s"corpus assignment must not aggregate:\n$p")
+  }
+
   test("q63: grouping sets plans one Expand + partial aggregation") {
     val p = plan("q63_grouping_sets")
     assert(p.contains("Expand"), "grouping sets lower to Expand")
